@@ -1,0 +1,83 @@
+"""Schema-enforced readers.
+
+The engine default is columnar Parquet (vectorized reader, predicate
+pushdown, partition pruning). A CSV reader is retained as an ingestion
+option because the reference ingests CSV (reference glue_job.py:51-53),
+but ALWAYS with an explicit schema — ``inferSchema`` is a full extra
+data pass and is banned at scale (SURVEY.md §1.2).
+
+Folder paths are first-class: reading a directory of files is one
+DataFrame (implicit UNION ALL), exactly how the reference consumes the
+accumulating ``streams/`` folder (reference glue_job.py:53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import STAR_TABLES
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Read one file or a folder of CSVs with an enforced schema.
+
+    ``mode='FAILFAST'`` turns malformed rows into job failures (the
+    loud-failure stance SURVEY.md C5 demands, unlike the reference's
+    swallow-and-commit at glue_job.py:136-142).
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("mode", mode)
+        .csv(path)
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def pin_naive_timestamp_semantics(spark: SparkSession) -> None:
+    """Pin session confs so timestamp semantics are well-defined
+    regardless of how the caller built the session.
+
+    The testdata parquet stores timezone-naive timestamps; rendering
+    them (date_format, hour/minute/second) in any session timezone
+    other than UTC shifts day buckets and changes results. UTC is the
+    faithful interpretation (and the one the DuckDB oracle uses).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events fact table.
+
+    The driver testdata writes ``events.ts`` as parquet
+    TIMESTAMP(NANOS), which Spark cannot map to TimestampType natively;
+    with ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
+    nanoseconds-since-epoch LongType and we truncate to microseconds
+    (integer ``div`` — same truncation DuckDB applies when it reads the
+    ns column as its µs TIMESTAMP, so oracle comparisons agree).
+    """
+    pin_naive_timestamp_semantics(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_star_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = STAR_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver testdata tables for one scale factor."""
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}

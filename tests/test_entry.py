@@ -1,0 +1,37 @@
+"""t1-style smoke + t2-style oracle checks for the driver contract."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.oracle_harness import compare
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert "rank" in df.columns
+
+
+def test_queries_have_callables_and_oracles(spark):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert qs, "no queries declared"
+    unknown = set(oracles) - set(qs)
+    assert not unknown, f"oracles without queries: {unknown}"
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_matches_oracle(spark, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    result = compare(spark, SF_ORACLE, name, qs[name], oracles.get(name))
+    assert result["ok"], result
+
+
+def test_entry_runs_at_smoke_scale(spark):
+    qs = entry_mod.queries()
+    for name, fn in qs.items():
+        assert fn(spark, SF_SMOKE).count() >= 0, name
