@@ -111,10 +111,153 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def _counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(day, segment, customer) event counts — the song_counts
+    analog (reference glue_job.py:86-88), shared by the top-k queries."""
+    enriched = filter_not_numeric(_enriched_events(spark, sf_dir), "segment")
+    return enriched.groupBy("date", "segment", "custkey", "cust_name").agg(
+        F.count(F.lit(1)).alias("listen_count")
+    )
+
+
+_COUNTS_SQL = f"""
+    SELECT date, segment, custkey, cust_name, COUNT(*) AS listen_count
+    FROM ({_ENRICHED_SQL})
+    WHERE NOT regexp_matches(segment, '{NUMERIC_RE_SQL}')
+    GROUP BY date, segment, custkey, cust_name
+"""
+
+
+def segment_kpis_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GenreKPIs analog, reference-faithful semantics (quirk Q2):
+    ``unique_listeners`` is a plain count(user_id), NOT count distinct
+    (reference glue_job.py:95-100 — the name says distinct, the code
+    says count; golden outputs prove listen_count == unique_listeners).
+
+    avg is computed as exact-integer-sum / count so the double result
+    is bit-identical across engines.
+    """
+    enriched = filter_not_numeric(_enriched_events(spark, sf_dir), "segment")
+    return enriched.groupBy("date", "segment").agg(
+        F.count(F.lit(1)).alias("listen_count"),
+        F.count("user_id").alias("unique_listeners"),
+        F.sum("listen_seconds").alias("total_listening_time"),
+        (F.sum("listen_seconds").cast("double") / F.count(F.lit(1))).alias(
+            "avg_listening_time"
+        ),
+    )
+
+
+SEGMENT_KPIS_COMPAT_SQL = f"""
+    SELECT date, segment,
+           COUNT(*)                                       AS listen_count,
+           COUNT(user_id)                                 AS unique_listeners,
+           SUM(listen_seconds)                            AS total_listening_time,
+           CAST(SUM(listen_seconds) AS DOUBLE) / COUNT(*) AS avg_listening_time
+    FROM ({_ENRICHED_SQL})
+    WHERE NOT regexp_matches(segment, '{NUMERIC_RE_SQL}')
+    GROUP BY date, segment
+"""
+
+
+def segment_kpis_intended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GenreKPIs analog with the INTENDED semantics: unique listeners
+    counted distinct (SURVEY.md Q2 variant)."""
+    enriched = filter_not_numeric(_enriched_events(spark, sf_dir), "segment")
+    return enriched.groupBy("date", "segment").agg(
+        F.count(F.lit(1)).alias("listen_count"),
+        F.countDistinct("user_id").alias("unique_listeners"),
+        F.sum("listen_seconds").alias("total_listening_time"),
+        (F.sum("listen_seconds").cast("double") / F.count(F.lit(1))).alias(
+            "avg_listening_time"
+        ),
+    )
+
+
+SEGMENT_KPIS_INTENDED_SQL = f"""
+    SELECT date, segment,
+           COUNT(*)                                       AS listen_count,
+           COUNT(DISTINCT user_id)                        AS unique_listeners,
+           SUM(listen_seconds)                            AS total_listening_time,
+           CAST(SUM(listen_seconds) AS DOUBLE) / COUNT(*) AS avg_listening_time
+    FROM ({_ENRICHED_SQL})
+    WHERE NOT regexp_matches(segment, '{NUMERIC_RE_SQL}')
+    GROUP BY date, segment
+"""
+
+
+def top_rows_per_day_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopGenres analog, reference-faithful semantics (quirk Q3): the
+    reference's 'top 5 genres per day' actually ranks per-SONG count
+    rows partitioned by day only (reference glue_job.py:91-92) — the
+    result carries track_id/track_name. Reproduced: top-5 customer
+    rows per day."""
+    return top_k_per_group(
+        _counts(spark, sf_dir),
+        group_by=["date"],
+        order_by=ranked_desc("listen_count", ["custkey"]),
+        k=5,
+    )
+
+
+TOP_ROWS_PER_DAY_COMPAT_SQL = f"""
+WITH counts AS ({_COUNTS_SQL}),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY date
+               ORDER BY listen_count DESC, custkey ASC) AS INTEGER) AS rank
+    FROM counts
+)
+SELECT date, segment, custkey, cust_name, listen_count, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def top_segments_per_day_intended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopGenres analog, INTENDED semantics (SURVEY.md Q3 variant):
+    rank segment-level aggregates per day, top 5."""
+    enriched = filter_not_numeric(_enriched_events(spark, sf_dir), "segment")
+    seg_counts = enriched.groupBy("date", "segment").agg(
+        F.count(F.lit(1)).alias("listen_count")
+    )
+    return top_k_per_group(
+        seg_counts,
+        group_by=["date"],
+        order_by=ranked_desc("listen_count", ["segment"]),
+        k=5,
+    )
+
+
+TOP_SEGMENTS_PER_DAY_INTENDED_SQL = f"""
+WITH seg_counts AS (
+    SELECT date, segment, COUNT(*) AS listen_count
+    FROM ({_ENRICHED_SQL})
+    WHERE NOT regexp_matches(segment, '{NUMERIC_RE_SQL}')
+    GROUP BY date, segment
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY date
+               ORDER BY listen_count DESC, segment ASC) AS INTEGER) AS rank
+    FROM seg_counts
+)
+SELECT date, segment, listen_count, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "flagship_daily_segment_topk": flagship_daily_segment_topk,
+    "segment_kpis_compat": segment_kpis_compat,
+    "segment_kpis_intended": segment_kpis_intended,
+    "top_rows_per_day_compat": top_rows_per_day_compat,
+    "top_segments_per_day_intended": top_segments_per_day_intended,
 }
 
 ORACLE = {
     "flagship_daily_segment_topk": FLAGSHIP_SQL,
+    "segment_kpis_compat": SEGMENT_KPIS_COMPAT_SQL,
+    "segment_kpis_intended": SEGMENT_KPIS_INTENDED_SQL,
+    "top_rows_per_day_compat": TOP_ROWS_PER_DAY_COMPAT_SQL,
+    "top_segments_per_day_intended": TOP_SEGMENTS_PER_DAY_INTENDED_SQL,
 }

@@ -1,0 +1,476 @@
+"""General engine surface over the TPC-H-ish star testdata.
+
+The reference's own query program needs only one join, two aggregates
+and two windows (SURVEY.md §2) — but the north star is a general
+engine, so the inventory declares the full relational surface
+"for free" through DataFrame primitives: all join types, set ops,
+grouping sets, window analytics, global top-k, JSON access, and the
+classic multi-agg scan shapes.
+
+Float determinism contract: any SUM over a double measure is computed
+on an exact DECIMAL cast of the per-row expression, then converted
+back to double — the result is bit-identical regardless of partition
+count, AQE decisions, or engine (Spark vs the DuckDB oracle). Plain
+double sums would be order-dependent and unhashable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.windows import ranked_desc, top_k_per_group
+from ..sources.readers import read_events
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, scale: int = 4):
+    """Exact-sum helper: cast a per-row double expression to DECIMAL
+    so the aggregate is order-independent."""
+    return col.cast(f"decimal(28,{scale})")
+
+
+# --- A: multi-aggregate scan (TPC-H Q1 shape) ----------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = _dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (
+                F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            (
+                F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1))
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)      AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1-l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1-l_discount) * (1+l_tax) AS DECIMAL(28,4))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- J: join gallery ------------------------------------------------------
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + global top-10 (deterministic
+    tie-break on o_orderkey)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1-l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join (small dims broadcast), agg per
+    nation."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+NATION_REVENUE_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1-l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def customers_with_events_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) — customers that appear in the events
+    fact (non-trivial on the testdata: events covers 1/10 of custkeys)."""
+    cust = _t(spark, sf_dir, "customer")
+    events = read_events(spark, sf_dir)
+    return (
+        cust.join(events, cust.c_custkey == events.user_id, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMERS_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def customers_without_events_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    events = read_events(spark, sf_dir)
+    return (
+        cust.join(events, cust.c_custkey == events.user_id, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMERS_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --- set operations -------------------------------------------------------
+
+
+def active_user_ids_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two id sets."""
+    buyers = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    eventers = read_events(spark, sf_dir).select(F.col("user_id").alias("id"))
+    return buyers.union(eventers).distinct().orderBy("id")
+
+
+UNION_SQL = """
+SELECT o_custkey AS id FROM orders
+UNION
+SELECT user_id AS id FROM events
+ORDER BY id
+"""
+
+
+def buyer_eventer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buyers = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    eventers = read_events(spark, sf_dir).select(F.col("user_id").alias("id"))
+    return buyers.intersect(eventers).orderBy("id")
+
+
+INTERSECT_SQL = """
+SELECT o_custkey AS id FROM orders
+INTERSECT
+SELECT user_id AS id FROM events
+ORDER BY id
+"""
+
+
+def buyers_not_eventers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buyers = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    eventers = read_events(spark, sf_dir).select(F.col("user_id").alias("id"))
+    # subtract == SQL EXCEPT (set semantics, distinct result)
+    return buyers.subtract(eventers).orderBy("id")
+
+
+EXCEPT_SQL = """
+SELECT o_custkey AS id FROM orders
+EXCEPT
+SELECT user_id AS id FROM events
+ORDER BY id
+"""
+
+
+# --- grouping sets --------------------------------------------------------
+
+
+def returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (grouping sets) with an exact decimal sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# --- window analytics -----------------------------------------------------
+
+
+def customer_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + running frame aggregate per customer, fully
+    deterministic ordering (orderdate, orderkey)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = _dec(F.col("o_totalprice"), 2)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").alias("price"),
+        F.lag(price).over(w).cast("double").alias("prev_price"),
+        F.lead(price).over(w).cast("double").alias("next_price"),
+        F.sum(price)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+CUSTOMER_ORDER_DELTAS_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       o_totalprice AS price,
+       CAST(LAG(CAST(o_totalprice AS DECIMAL(28,2))) OVER w AS DOUBLE)  AS prev_price,
+       CAST(LEAD(CAST(o_totalprice AS DECIMAL(28,2))) OVER w AS DOUBLE) AS next_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (TopK via takeOrdered physically)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+TOP_ORDERS_GLOBAL_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+"""
+
+
+# --- JSON + scalar functions ---------------------------------------------
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON access over the events.props string column (engine surface
+    the reference lacks; SURVEY.md §2.7 extension)."""
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def part_scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/conditional scalar-function surface in one projection."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower(F.col("p_type")).alias("type_lower"),
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.length(F.col("p_name")).cast("int").alias("name_len"),
+        F.substring(F.col("p_name"), 1, 8).alias("name_prefix"),
+        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.when(F.col("p_size") >= 25, F.lit("large"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+        F.round(F.col("p_retailprice"), 1).alias("price_rounded"),
+    ).orderBy("p_partkey")
+
+
+PART_SCALAR_SQL = """
+SELECT p_partkey,
+       LOWER(p_type)  AS type_lower,
+       UPPER(p_brand) AS brand_upper,
+       CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+       SUBSTRING(p_name, 1, 8) AS name_prefix,
+       CONCAT_WS('/', p_brand, p_type) AS brand_type,
+       CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class,
+       ROUND(p_retailprice, 1) AS price_rounded
+FROM part
+ORDER BY p_partkey
+"""
+
+
+def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar surface: year/month/day/dayofweek extraction."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.dayofmonth("o_orderdate").alias("dom"),
+        )
+        .groupBy("yr", "mo")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.max("dom").alias("max_dom"))
+        .orderBy("yr", "mo")
+    )
+
+
+ORDER_DATE_PARTS_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER)  AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       COUNT(*) AS n_orders,
+       CAST(MAX(dayofmonth(o_orderdate)) AS INTEGER) AS max_dom
+FROM orders
+GROUP BY 1, 2
+ORDER BY yr, mo
+"""
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "shipping_priority": shipping_priority,
+    "nation_revenue": nation_revenue,
+    "customers_with_events_semi": customers_with_events_semi,
+    "customers_without_events_anti": customers_without_events_anti,
+    "active_user_ids_union": active_user_ids_union,
+    "buyer_eventer_intersect": buyer_eventer_intersect,
+    "buyers_not_eventers_except": buyers_not_eventers_except,
+    "returnflag_rollup": returnflag_rollup,
+    "returnflag_cube": returnflag_cube,
+    "customer_order_deltas": customer_order_deltas,
+    "top_orders_global": top_orders_global,
+    "events_json_extract": events_json_extract,
+    "part_scalar_showcase": part_scalar_showcase,
+    "order_date_parts": order_date_parts,
+}
+
+ORACLE = {
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "shipping_priority": SHIPPING_PRIORITY_SQL,
+    "nation_revenue": NATION_REVENUE_SQL,
+    "customers_with_events_semi": CUSTOMERS_SEMI_SQL,
+    "customers_without_events_anti": CUSTOMERS_ANTI_SQL,
+    "active_user_ids_union": UNION_SQL,
+    "buyer_eventer_intersect": INTERSECT_SQL,
+    "buyers_not_eventers_except": EXCEPT_SQL,
+    "returnflag_rollup": ROLLUP_SQL,
+    "returnflag_cube": CUBE_SQL,
+    "customer_order_deltas": CUSTOMER_ORDER_DELTAS_SQL,
+    "top_orders_global": TOP_ORDERS_GLOBAL_SQL,
+    "events_json_extract": EVENTS_JSON_SQL,
+    "part_scalar_showcase": PART_SCALAR_SQL,
+    "order_date_parts": ORDER_DATE_PARTS_SQL,
+}
