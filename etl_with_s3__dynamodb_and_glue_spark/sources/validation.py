@@ -31,6 +31,25 @@ def require_columns(df: DataFrame, required: Iterable[str], table: str = "<df>")
     return df
 
 
+def require_csv_columns(spark, path: str, required: Iterable[str], table: str = "<csv>"):
+    """Header-level contract check for raw CSV inputs (reference
+    dag.py:114-137, which pandas-reads each file to compare columns).
+
+    A schema-enforced read always carries every declared column, so
+    the contract must be checked against the file's ACTUAL header: a
+    header-only schemaless read (no inferSchema — Spark only scans for
+    column names, not types) gives exactly that, without pandas and
+    without a second full pass over the data.
+    """
+    try:
+        actual = spark.read.option("header", True).csv(path).columns
+    except Exception as exc:  # Spark raises UNABLE_TO_INFER_SCHEMA on no files
+        raise ValidationError(f"{table}: no readable CSV files at {path}") from exc
+    missing = set(required) - set(actual)
+    if missing:
+        raise ValidationError(f"{table}: missing required columns {sorted(missing)}")
+
+
 def require_nonempty(df: DataFrame, table: str = "<df>") -> DataFrame:
     """Fail-fast on empty input (reference dag.py:82-84)."""
     if df.isEmpty():
