@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over the headline set (lower is
+better). Each query is timed end-to-end: logical plan build → Catalyst →
+execution → ``collect()`` (what the grading driver does). A warm-up
+query runs first so JVM/codegen startup isn't attributed to q1.
+
+Baseline context (BASELINE.md): the reference does ~200k rows in ~71 s
+on 2 Glue DPUs, dominated by startup; our bar is the full set in
+seconds at sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_with_s3__dynamodb_and_glue_spark import get_spark  # noqa: E402
+
+# Headline set: the flagship music-KPI lineage, representative relational
+# operators (agg / join / window / rollup / json), and the LLM-pipeline
+# extension surface (dedup, similarity, text analysis, multimodal).
+HEADLINE = [
+    "segment_kpis_compat",
+    "top_rows_per_day_compat",
+    "pricing_summary",
+    "shipping_priority",
+    "nation_revenue",
+    "customer_order_deltas",
+    "returnflag_rollup",
+    "events_json_extract",
+    "doc_token_stats",
+    "doc_exact_dedup",
+    "doc_minhash_near_dups",
+    "embedding_topk_bruteforce",
+    "embedding_lsh_topk",
+    "asset_content_hashes",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    spark = get_spark("bench")
+
+    # Warm-up: JVM classloading, codegen, parquet footer reads.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,267 @@
+"""Deduplication operators for LLM-data pipelines: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard — each a standard public technique
+(Broder '97 resemblance/MinHash; Charikar '02 SimHash; banding per the
+classic LSH construction in Mining of Massive Datasets), implemented
+as pure DataFrame compositions.
+
+Scale design (100 TB):
+
+- Exact dedup is one hash-shuffle on the fingerprint.
+- MinHash: signatures are H aggregates over exploded shingles — one
+  shuffle on doc_id; banding turns candidate generation into an
+  equi-join on (band_idx, band_hash), which is the whole point: no
+  pairwise comparison ever happens outside a bucket. Bucket sizes are
+  data-dependent → AQE skew handling applies to the bucket join.
+- SimHash: 64 per-bit aggregates over exploded tokens (one shuffle),
+  then band-bucketed Hamming candidates like MinHash.
+- Brute-force n-gram Jaccard is the small-N verifier / oracle twin,
+  not the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import fingerprint, normalize
+
+
+# --- exact ---------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact near-identical dedup: group by content fingerprint of the
+    normalized text, keep the lowest id (deterministic survivor)."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    survivors = fp.groupBy("fp").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    )
+    return survivors.select(id_col, "fp", "n_copies")
+
+
+# --- n-gram Jaccard (brute force; verifier/oracle twin) ------------------
+
+
+def token_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(F.split(normalize(text_col), " ")).alias("toks"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs token-set Jaccard ≥ threshold. O(n²) — correct but
+    only for modest n; the LSH paths below are the scale route."""
+    a = token_sets(df, text_col, id_col).select(
+        F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a")
+    )
+    b = token_sets(df, text_col, id_col).select(
+        F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac = inter.cast("double") / union
+    return (
+        pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH -------------------------------------------------------
+
+
+def minhash_signatures(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    num_hashes: int = 32,
+) -> DataFrame:
+    """H-permutation MinHash signature per document.
+
+    Each 'permutation' is xxhash64 seeded by the hash index; the
+    signature component is the min over the doc's shingles. Computed
+    as H aggregates over one explode — a single shuffle keyed by
+    doc_id regardless of H.
+    """
+    exploded = shingled.select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def pick_bands(num_hashes: int, threshold: float) -> int:
+    """Choose the band count whose LSH S-curve midpoint
+    ``(1/b)**(r/H)`` sits just below the target threshold: high
+    thresholds → few bands × many rows (prunes dissimilar pairs hard),
+    low thresholds → many bands (keeps recall). Candidate volume is the
+    cost knob at scale — with b too large every moderately-similar pair
+    collides and the verify join degenerates toward all-pairs."""
+    best = 1
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        midpoint = (1.0 / b) ** (b / num_hashes)
+        if midpoint <= threshold:
+            return b
+        best = b
+    return best
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Band the signature and equi-join on (band index, band hash):
+    two docs are candidates iff they collide in ≥1 band."""
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard
+    on the candidates only (candidates ≪ all pairs — that's the LSH
+    win). Returns (id_a, id_b, jaccard ≥ threshold)."""
+    if bands is None:
+        bands = pick_bands(num_hashes, threshold)
+    toks = token_sets(df, text_col, id_col)
+    sigs = minhash_signatures(
+        toks.withColumnRenamed("toks", "shingles"),
+        id_col=id_col,
+        shingle_col="shingles",
+        num_hashes=num_hashes,
+    )
+    candidates = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
+
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    verified = (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+                / F.size(F.array_union("toks_a", "toks_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# --- SimHash -------------------------------------------------------------
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document: hash each distinct token, sum ±1
+    per bit position, take the sign bit. One explode + one groupBy."""
+    exploded = token_sets(df, text_col, id_col).select(
+        F.col(id_col), F.explode("toks").alias("tok")
+    )
+    h = F.xxhash64("tok")
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = exploded.groupBy(id_col).agg(*bit_aggs)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks — a
+    pair within the distance budget must agree exactly on ≥1 chunk, so
+    candidates come from an equi-join on (chunk index, chunk value),
+    then a cheap popcount filter."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    fps = simhash_fingerprints(df, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("val"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    banded = fps.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("cc")).select(
+        id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val")
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "val"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "val"
+    )
+    return (
+        left.join(right, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

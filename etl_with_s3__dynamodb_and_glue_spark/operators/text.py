@@ -1,0 +1,154 @@
+"""Text-analysis operators for LLM-data pipelines (north-star
+extension surface; BASELINE.json): tokenization, n-grams/shingles,
+quality scoring, language-ID, fingerprinting.
+
+Everything here is built from native ``pyspark.sql.functions`` array/
+string expressions — JVM-side, whole-stage-codegen'd, no Python in the
+hot path. At 100 TB these are embarrassingly parallel per-row maps:
+no shuffle, no skew concern; the only knob is input partition size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the heuristic classifier.
+# Real deployments swap in larger profiles; the mechanism (overlap
+# ratio + argmax) is what matters.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "por", "que"],
+}
+
+
+def normalize(col: Column | str) -> Column:
+    """Lowercase + collapse whitespace — the canonical form used by
+    tokenization and fingerprinting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of the normalized text →
+    array<string>."""
+    return F.split(normalize(col), " ")
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams from a token array, as space-joined strings.
+    Pure array expression: slice a sliding window per position."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Character k-shingles of the normalized text (MinHash input)."""
+    text = normalize(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+        lambda i: F.substring(text, i, k),
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """A BPE-flavored token-count estimate without a tokenizer model:
+    splits on word boundaries AND digit/punct transitions, the way
+    byte-pair vocabularies fracture text. Deterministic and cheap —
+    a cost/billing estimator, not a real tokenizer."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(F.lower(F.trim(c)), r"\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?=[^\w\s])")
+    return F.size(F.filter(pieces, lambda p: p != F.lit("")))
+
+
+def stopword_ratio(toks: Column, stopwords: list[str]) -> Column:
+    """Fraction of tokens that are stopwords (quality signal)."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1))
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_digit = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return n_digit.cast("double") / F.greatest(F.length(c), F.lit(1))
+
+
+def avg_token_len(toks: Column) -> Column:
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Composite [0,1] quality heuristic in the spirit of public
+    pretraining-data filters (length, word shape, symbol load,
+    stopword presence). Fixed deterministic arithmetic — ideal for an
+    oracle check; thresholds are tuning parameters, not truths."""
+    stopwords = stopwords or LANG_PROFILES["en"]
+    toks = tokens(col)
+    len_score = F.least(F.size(toks).cast("double") / F.lit(20.0), F.lit(1.0))
+    word_len = avg_token_len(toks)
+    word_len_score = F.when((word_len >= 2.0) & (word_len <= 12.0), 1.0).otherwise(0.3)
+    punct_score = F.lit(1.0) - F.least(
+        punct_ratio(col) * F.lit(4.0), F.lit(1.0)
+    )
+    sw_score = F.least(stopword_ratio(toks, stopwords) * F.lit(3.0), F.lit(1.0))
+    return (
+        len_score * F.lit(0.3)
+        + word_len_score * F.lit(0.3)
+        + punct_score * F.lit(0.2)
+        + sw_score * F.lit(0.2)
+    )
+
+
+def lang_scores(col: Column | str, profiles: dict[str, list[str]] | None = None) -> dict[str, Column]:
+    """Per-language stopword-overlap ratios (n-gram-profile heuristic
+    reduced to unigram profiles)."""
+    profiles = profiles or LANG_PROFILES
+    toks = tokens(col)
+    return {lang: stopword_ratio(toks, words) for lang, words in profiles.items()}
+
+
+def lang_id(col: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
+    """argmax over the language scores; 'und' (undetermined) when no
+    profile matches at all. Ties break by language code order —
+    deterministic."""
+    profiles = profiles or LANG_PROFILES
+    scores = lang_scores(col, profiles)
+    pairs = F.array(
+        *[
+            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+            for lang, score in sorted(scores.items())
+        ]
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p.score > 0))
+    return F.coalesce(best.lang, F.lit("und"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text. md5 (not
+    xxhash64) so external engines can reproduce it byte-for-byte."""
+    return F.md5(normalize(col))
+
+
+def rolling_fingerprints(col: Column | str, window_tokens: int = 16) -> Column:
+    """Rolling document fingerprints: md5 per sliding token window —
+    the building block for fuzzy containment / plagiarism sweeps."""
+    grams = word_ngrams(tokens(col), window_tokens)
+    return F.transform(grams, F.md5)

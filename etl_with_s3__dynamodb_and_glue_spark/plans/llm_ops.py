@@ -1,0 +1,338 @@
+"""LLM-data-pipeline queries over the documents/embeddings testdata
+(north-star extension surface: dedup, similarity search, text
+analysis, multimodal — BASELINE.json).
+
+Oracle-checkable queries (exact math, deterministic ordering) carry a
+DuckDB twin; the approximate/LSH paths are declared rows-only (driver
+contract allows omitting the oracle) and are instead verified against
+their exact twins in tests/test_llm_ops.py (recall assertions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup, multimodal, similarity
+from ..operators.text import (
+    LANG_PROFILES,
+    avg_token_len,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    tokens,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- text analysis -------------------------------------------------------
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(avg_token_len(toks), 6).alias("avg_token_len"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+DOC_TOKEN_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(toks) AS INTEGER)                AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_tokens,
+       ROUND(CAST(list_sum(list_transform(toks, x -> strlen(x))) AS DOUBLE)
+             / GREATEST(len(toks), 1), 6)        AS avg_token_len,
+       CAST(strlen(text) AS BIGINT)              AS n_chars_actual
+FROM t ORDER BY doc_id
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.round(stopword_ratio(toks, LANG_PROFILES["en"]), 6).alias("stopword_ratio"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_EN_SW = "['the','and','of','to','a','in','is','that','it','for']"
+
+DOC_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, toks,
+         CAST(len(list_filter(toks, x -> list_contains({_EN_SW}, x))) AS DOUBLE)
+             / GREATEST(len(toks), 1) AS sw_ratio,
+         CAST(strlen(text) - strlen(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / GREATEST(strlen(text), 1) AS p_ratio,
+         CAST(list_sum(list_transform(toks, x -> strlen(x))) AS DOUBLE)
+             / GREATEST(len(toks), 1) AS wlen,
+         LEAST(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) AS len_score
+  FROM t
+)
+SELECT doc_id,
+       ROUND(sw_ratio, 6) AS stopword_ratio,
+       ROUND(p_ratio, 6)  AS punct_ratio,
+       ROUND(len_score * 0.3
+             + (CASE WHEN wlen >= 2.0 AND wlen <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+             + (1.0 - LEAST(p_ratio * 4.0, 1.0)) * 0.2
+             + LEAST(sw_ratio * 3.0, 1.0) * 0.2, 6) AS quality
+FROM feat ORDER BY doc_id
+"""
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", "lang", lang_id("text").alias("predicted_lang")
+    ).orderBy("doc_id")
+
+
+_PROFILE_SQL = {
+    "en": _EN_SW,
+    "de": "['der','die','das','und','ist','nicht','ein','mit','zu','auf']",
+    "fr": "['le','la','les','et','est','un','une','dans','pour','que']",
+    "es": "['el','la','los','y','es','un','una','en','por','que']",
+}
+
+# Tie-break mirrors the Spark argmax (max over (score, lang) structs):
+# among tied scores the lexicographically greatest language code wins,
+# hence the CASE tests languages in reverse code order.
+DOC_LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(toks, x -> list_contains({_PROFILE_SQL['en']}, x))) AS DOUBLE) / GREATEST(len(toks),1) AS s_en,
+         CAST(len(list_filter(toks, x -> list_contains({_PROFILE_SQL['de']}, x))) AS DOUBLE) / GREATEST(len(toks),1) AS s_de,
+         CAST(len(list_filter(toks, x -> list_contains({_PROFILE_SQL['fr']}, x))) AS DOUBLE) / GREATEST(len(toks),1) AS s_fr,
+         CAST(len(list_filter(toks, x -> list_contains({_PROFILE_SQL['es']}, x))) AS DOUBLE) / GREATEST(len(toks),1) AS s_es
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+            WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+            WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+            ELSE 'de' END AS predicted_lang
+FROM s ORDER BY doc_id
+"""
+
+
+# --- dedup ---------------------------------------------------------------
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+DOC_EXACT_DEDUP_SQL = """
+SELECT MIN(doc_id) AS doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 2
+ORDER BY doc_id
+"""
+
+
+def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.95).orderBy(
+        "id_a", "id_b"
+    )
+
+
+DOC_JACCARD_PAIRS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.95
+ORDER BY id_a, id_b
+"""
+
+
+def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (LSH) — rows-only for the driver; recall vs the
+    exact twin is asserted in tests."""
+    return dedup.minhash_near_dups(_docs(spark, sf_dir), threshold=0.95).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (Hamming banding) — rows-only for the driver."""
+    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --- similarity search ---------------------------------------------------
+
+
+def _queries_df(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < n)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(
+        _emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5
+    ).orderBy("query_id", "rank")
+
+
+EMBEDDING_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS cos
+  FROM embeddings e JOIN q ON e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN — rows-only for the driver; recall vs brute
+    force asserted in tests."""
+    return similarity.lsh_topk(
+        _emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5
+    ).orderBy("query_id", "rank")
+
+
+# --- multimodal ----------------------------------------------------------
+
+
+def asset_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing with an oracle: sha256 over the content
+    bytes (text bytes standing in for encoded media)."""
+    assets = multimodal.make_asset_table(_docs(spark, sf_dir))
+    return (
+        multimodal.content_hash(assets)
+        .select(
+            "asset_id",
+            "modality",
+            "content_sha",
+            F.length("content").cast("long").alias("n_bytes"),
+        )
+        .orderBy("asset_id")
+    )
+
+
+ASSET_CONTENT_HASHES_SQL = """
+SELECT doc_id AS asset_id,
+       'image' AS modality,
+       sha256(text) AS content_sha,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+FROM documents
+ORDER BY asset_id
+"""
+
+
+def asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (deterministic fake decoder) —
+    rows-only for the driver; schema/shape asserted in tests."""
+    assets = multimodal.make_asset_table(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(assets, fake=True)
+    return feats.select(
+        "asset_id",
+        "content_sha",
+        "n_bytes",
+        F.size("features").alias("n_features"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")), 6
+        ).alias("feature_sum"),
+    ).orderBy("asset_id")
+
+
+QUERIES = {
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_jaccard_pairs": doc_jaccard_pairs,
+    "doc_minhash_near_dups": doc_minhash_near_dups,
+    "doc_simhash_near_dups": doc_simhash_near_dups,
+    "embedding_topk_bruteforce": embedding_topk_bruteforce,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "embedding_lsh_topk": embedding_lsh_topk,
+    "asset_content_hashes": asset_content_hashes,
+    "asset_features": asset_features,
+}
+
+ORACLE = {
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_quality": DOC_QUALITY_SQL,
+    "doc_lang_id": DOC_LANG_ID_SQL,
+    "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
+    "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
+    "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
+    "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,
+    "asset_content_hashes": ASSET_CONTENT_HASHES_SQL,
+    # doc_minhash_near_dups, doc_simhash_near_dups, embedding_lsh_topk,
+    # asset_features: approximate / non-SQL-expressible → rows-only.
+}

@@ -1,0 +1,122 @@
+"""Extension-operator tests: recall of the approximate paths against
+their exact twins, multimodal plumbing shape, classifier sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_with_s3__dynamodb_and_glue_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+from etl_with_s3__dynamodb_and_glue_spark.operators.text import lang_id, quality_score
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").cache()
+
+
+def test_minhash_recall_vs_exact(docs):
+    exact = {
+        (r.id_a, r.id_b) for r in dedup.jaccard_pairs(docs, threshold=0.95).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_dups(docs, threshold=0.95).collect()
+    }
+    assert exact, "exact near-dup set unexpectedly empty"
+    # verification step guarantees precision == 1.0
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.3f} < 0.9"
+
+
+def test_simhash_pairs_are_close(docs):
+    pairs = dedup.simhash_near_dups(docs, max_hamming=3)
+    rows = pairs.collect()
+    assert rows
+    assert all(r.hamming <= 3 for r in rows)
+
+
+def test_lsh_ann_recall_vs_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.lsh_topk(emb, queries, k=5)
+    recall = similarity.recall_at_k(approx, exact, k=5)
+    assert recall >= 0.5, f"LSH recall@5 {recall:.3f} < 0.5"
+
+
+def test_exact_dedup_finds_injected_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "The  quick  brown fox"),  # same after normalization
+            (3, "something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_copies for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_lang_id_on_crafted_samples(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der hund ist nicht mit der katze auf dem sofa"),
+            (3, "le chat est dans la maison pour le dîner"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred for r in df.select("doc_id", lang_id("text").alias("pred")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_score_orders_sensibly(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs far away to the hills in a day"),
+            (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = {r.doc_id: r.q for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
+    assert scores[1] > scores[2]
+
+
+def test_multimodal_feature_shape(docs):
+    assets = multimodal.make_asset_table(docs)
+    feats = multimodal.extract_features(assets, fake=True)
+    row = feats.first()
+    assert len(row.features) == multimodal.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in row.features)
+    assert feats.count() == docs.count()
+    # determinism: same content → same features
+    again = multimodal.extract_features(assets, fake=True).first()
+    assert again.features == row.features
+    assert again.content_sha == row.content_sha
+
+
+def test_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG fake")
+
+
+def test_frame_sample_plan(spark, docs):
+    assets = multimodal.make_asset_table(docs, modality="video")
+    plan = multimodal.frame_sample_plan(assets, every_ms=1000)
+    row = plan.first()
+    assert row.frame_ts_ms[0] == 0
+    assert all(b - a == 1000 for a, b in zip(row.frame_ts_ms, row.frame_ts_ms[1:]))
