@@ -15,9 +15,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops, star_queries, tpch_like
+from etl_with_s3__dynamodb_and_glue_spark.plans import (
+    event_time,
+    llm_ops,
+    star_queries,
+    tpch_like,
+)
 
-_MODULES = [star_queries, tpch_like, llm_ops]
+_MODULES = [star_queries, tpch_like, llm_ops, event_time]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,156 @@
+"""Structured Streaming layer: AvailableNow episode parity with the
+batch pipeline, built-in source archival, windowed aggregation, and
+the stateful sessionization operator vs its declarative batch twin."""
+
+from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from etl_with_s3__dynamodb_and_glue_spark.operators.sessions import sessionize
+from etl_with_s3__dynamodb_and_glue_spark.plans import music_pipeline as mp
+from etl_with_s3__dynamodb_and_glue_spark.schemas import SONGS, STREAMS
+from etl_with_s3__dynamodb_and_glue_spark.sources.readers import (
+    read_csv,
+    read_events,
+)
+from etl_with_s3__dynamodb_and_glue_spark.sources.sinks import ParquetKeyValueSink
+from etl_with_s3__dynamodb_and_glue_spark.streaming.file_pipeline import (
+    run_streaming_episode,
+    windowed_genre_kpis_stream,
+)
+from etl_with_s3__dynamodb_and_glue_spark.streaming.stateful import sessionize_stream
+from tests.conftest import SF_SMOKE
+from tests.fixtures_gen import generate
+
+
+def _kv(spark, path: Path, table: str):
+    return {
+        tuple(str(v) for v in row)
+        for row in spark.read.parquet(str(path / table)).collect()
+    }
+
+
+def test_streaming_episode_matches_batch(spark, tmp_path):
+    paths = generate(tmp_path / "music")
+    stream_out = tmp_path / "stream_wh"
+    batch_out = tmp_path / "batch_wh"
+
+    run_streaming_episode(
+        spark,
+        songs_path=paths["songs"],
+        streams_dir=paths["streams"],
+        sink=ParquetKeyValueSink(str(stream_out)),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    mp.run_batch_episode(
+        spark,
+        users_path=paths["users"],
+        songs_path=paths["songs"],
+        streams_path=paths["streams"],
+        sink=ParquetKeyValueSink(str(batch_out)),
+    )
+
+    for table in ("GenreKPIs", "TopSongs", "TopGenres"):
+        assert _kv(spark, stream_out, table) == _kv(spark, batch_out, table), table
+
+
+def test_streaming_source_archival(spark, tmp_path):
+    """cleanSource=archive moves a committed batch's files once a later
+    batch commits — episode 2 archives episode 1's files."""
+    paths = generate(tmp_path / "music")
+    streams = Path(paths["streams"])
+    archive = tmp_path / "archived_streams"
+    first_episode_files = {p.name for p in streams.glob("*.csv")}
+
+    common = dict(
+        songs_path=paths["songs"],
+        streams_dir=str(streams),
+        sink=ParquetKeyValueSink(str(tmp_path / "wh")),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        archive_dir=str(archive),
+    )
+    run_streaming_episode(spark, **common)
+
+    late = streams / "late1.csv"
+    late.write_text(
+        "user_id,track_id,listen_time\n"
+        "1," + "A" * 22 + ",2024-06-28 10:00:00\n"
+    )
+    run_streaming_episode(spark, **common)
+
+    deadline = time.time() + 60
+    archived: set[str] = set()
+    while time.time() < deadline:
+        archived = {p.name for p in archive.rglob("*.csv")}
+        if first_episode_files <= archived:
+            break
+        time.sleep(1)
+    assert first_episode_files <= archived
+    remaining = {p.name for p in streams.glob("*.csv")}
+    assert not (first_episode_files & remaining)
+
+
+def test_windowed_kpis_stream_matches_batch_grouping(spark, tmp_path):
+    paths = generate(tmp_path / "music")
+    songs = mp.clean_songs(read_csv(spark, paths["songs"], SONGS), deterministic=True)
+
+    # batch plan through the same function (F.window works in both)
+    batch_streams = read_csv(spark, paths["streams"], STREAMS)
+    expected = {
+        (r.date, r.track_genre, r.listen_count, r.total_listening_time)
+        for r in windowed_genre_kpis_stream(batch_streams, songs).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(STREAMS).option("header", True).csv(paths["streams"])
+    )
+    q = (
+        windowed_genre_kpis_stream(stream, songs)
+        .writeStream.format("memory")
+        .queryName("win_kpis")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.date, r.track_genre, r.listen_count, r.total_listening_time)
+        for r in spark.sql("SELECT * FROM win_kpis").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    events = read_events(spark, SF_SMOKE).select("user_id", "ts", "event_id", "value")
+    src = tmp_path / "events_parquet"
+    events.write.parquet(str(src))
+
+    expected = {
+        (r.user_id, r.session_seq, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in sessionize(events.withColumn("e", F.lit(1)).drop("e")).collect()
+    }
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_seq, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
