@@ -17,12 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_with_s3__dynamodb_and_glue_spark.plans import (
     event_time,
+    functions_surface,
     llm_ops,
     star_queries,
     tpch_like,
 )
 
-_MODULES = [star_queries, tpch_like, llm_ops, event_time]
+_MODULES = [star_queries, tpch_like, llm_ops, event_time, functions_surface]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,128 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range
+(interval) join — both implemented as shuffle-lean DataFrame
+compositions, per the task pattern (a) "composition of existing
+DataFrame ops" (no Pandas fallback needed).
+
+Scale design:
+
+- **As-of join = union + window, not a join.** The classic merge_asof
+  degenerates to a non-equi join (BroadcastNestedLoop in stock Spark —
+  quadratic). Instead: tag both sides, UNION ALL, one window partitioned
+  by key ordered by time, and carry the right side's payload forward
+  with ``last_value(ignoreNulls)``. ONE shuffle on the key, linear in
+  rows, no pair explosion, AQE-skew-safe. This is the standard
+  log-merge formulation of point-in-time joins.
+- **Range join = bucketed equi-join.** A raw ``BETWEEN`` predicate is
+  again a nested-loop in stock Spark. Quantize time into buckets of
+  the window width, explode each left row to the (≤2) buckets its
+  window spans, equi-join on (key, bucket) — hash join, shuffle on
+  (key, bucket) — then re-apply the exact range predicate. Candidate
+  fan-out is bounded by window/bucket ratio, not table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row
+    with the same key and ``right_time <= left_time`` (``<`` when
+    ``strict``). Left rows with no prior right row keep nulls
+    (left-outer as-of semantics).
+
+    Ties on ``right_time`` within a key must be pre-resolved by the
+    caller (dedup the right side) for deterministic output.
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_payload],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).cast("timestamp").alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    # Right rows sort before left rows at equal time iff matching is
+    # inclusive (<=): last_value at a left row then sees the tied right
+    # row. Strict mode flips the tiebreak so it doesn't.
+    tiebreak = F.col("_is_left").asc() if not strict else F.col("_is_left").desc()
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_payload
+        ],
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        *lcols, *[F.col(f"_asof_{c}").alias(c) for c in right_payload]
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    lower_seconds: int,
+    upper_seconds: int,
+) -> DataFrame:
+    """Pairs (l, r) sharing ``on`` with
+    ``l.left_time + lower < r.right_time <= l.left_time + upper``.
+
+    Returns left columns + right columns (caller projects/aggregates).
+    Bucket width = the window span, so each left row explodes to at
+    most 2 buckets.
+    """
+    span = upper_seconds - lower_seconds
+    if span <= 0:
+        raise ValueError("upper_seconds must exceed lower_seconds")
+    l_us = F.unix_micros(F.col(left_time).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_time).cast("timestamp"))
+    bucket_us = span * 1_000_000
+
+    lo = l_us + lower_seconds * 1_000_000
+    hi = l_us + upper_seconds * 1_000_000
+    l_bucketed = left.withColumn(
+        "_b", F.explode(F.sequence(F.floor(lo / bucket_us), F.floor(hi / bucket_us)))
+    )
+    r_bucketed = right.withColumn("_b", F.floor(r_us / bucket_us))
+    joined = l_bucketed.join(
+        r_bucketed,
+        [
+            l_bucketed["_b"] == r_bucketed["_b"],
+            l_bucketed[on] == r_bucketed[on],
+        ],
+    )
+    lt = F.unix_micros(l_bucketed[left_time].cast("timestamp"))
+    rt = F.unix_micros(r_bucketed[right_time].cast("timestamp"))
+    return (
+        joined.filter(
+            (rt > lt + lower_seconds * 1_000_000)
+            & (rt <= lt + upper_seconds * 1_000_000)
+        )
+        .drop(l_bucketed["_b"])
+        .drop(r_bucketed["_b"])
+        .drop(r_bucketed[on])
+    )

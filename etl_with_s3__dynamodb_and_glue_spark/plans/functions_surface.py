@@ -1,0 +1,308 @@
+"""Engine-surface queries beyond the reference's operator set
+(SURVEY.md §2.4/§2.5/§2.7 "not present" lists): exact percentiles,
+rank-function flavors, RANGE frames, distinct/collection aggregates,
+string/conditional scalar functions, and the temporal joins
+(operators/temporal.py). Every query carries a DuckDB oracle and a
+deterministic ordering (Q4 discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.temporal import as_of_join, range_join
+from ..sources.readers import read_events
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+# --- exact percentiles / extremes per group ------------------------------
+
+
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _orders(spark, sf_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+            F.round(F.min("o_totalprice"), 6).alias("min_price"),
+            F.round(F.max("o_totalprice"), 6).alias("max_price"),
+            F.round(F.stddev("o_totalprice"), 6).alias("sd_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRICE_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6)  AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6)  AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99,
+       ROUND(MIN(o_totalprice), 6) AS min_price,
+       ROUND(MAX(o_totalprice), 6) AS max_price,
+       ROUND(stddev_samp(o_totalprice), 6) AS sd_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- rank-function flavors ----------------------------------------------
+
+
+def order_rank_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / ntile / percent_rank / first & last value over one
+    deterministic ordering, restricted to one month to keep output
+    compact."""
+    orders = _orders(spark, sf_dir).filter(
+        (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1998-02-01")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("price"),
+            F.dense_rank().over(w).alias("drank"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.first("o_orderkey").over(full).alias("best_order"),
+            F.last("o_orderkey").over(full).alias("worst_order"),
+        )
+        .orderBy("o_orderpriority", "drank", "o_orderkey")
+    )
+
+
+ORDER_RANK_FLAVORS_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       ROUND(o_totalprice, 6) AS price,
+       CAST(dense_rank()   OVER w AS INTEGER) AS drank,
+       CAST(ntile(4)       OVER w AS INTEGER) AS quartile,
+       ROUND(percent_rank() OVER w, 6)        AS prank,
+       first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS best_order,
+       last_value(o_orderkey)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS worst_order
+FROM orders
+WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1998-02-01'
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+ORDER BY o_orderpriority, drank, o_orderkey
+"""
+
+
+# --- RANGE frame: rolling 90-day spend per customer ----------------------
+
+
+def customer_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sum of each customer's orders in the 90 days up to and including
+    each order date — a true RANGE frame (value-based, handles gaps),
+    not a ROWS frame."""
+    orders = _orders(spark, sf_dir)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-90, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.round(F.sum("o_totalprice").over(w), 6).alias("spend_90d"),
+        )
+        .orderBy("o_custkey", "order_day", "o_orderkey")
+    )
+
+
+CUSTOMER_ROLLING_SPEND_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW), 6) AS spend_90d
+FROM orders
+ORDER BY o_custkey, order_day, o_orderkey
+"""
+
+
+# --- distinct & collection aggregates ------------------------------------
+
+
+def segment_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countDistinct + sorted collect_set (sorted for deterministic
+    hashing; collect_set order is undefined by contract)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SEGMENT_DISTINCT_STATS_SQL = """
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       list_sort(list(DISTINCT c_nationkey)) AS nations,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- string / conditional scalar functions -------------------------------
+
+
+def part_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    first_word = F.element_at(F.split("p_name", " "), 1)
+    return (
+        part.select(
+            "p_partkey",
+            F.upper(first_word).alias("first_word_upper"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.substring("p_type", 1, 5).alias("type_prefix"),
+            F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+            F.when(F.col("p_size") < 10, "small")
+            .when(F.col("p_size") < 30, "medium")
+            .otherwise("large")
+            .alias("size_class"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+PART_TEXT_FEATURES_SQL = """
+SELECT p_partkey,
+       upper(string_split(p_name, ' ')[1]) AS first_word_upper,
+       CAST(strlen(p_name) AS BIGINT) AS name_len,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       substring(p_type, 1, 5) AS type_prefix,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+       CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END AS size_class
+FROM part
+ORDER BY p_partkey
+"""
+
+
+# --- temporal joins ------------------------------------------------------
+
+
+def clicks_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click event joined to the user's most recent view event at
+    or before it (point-in-time join; operators/temporal.py)."""
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    # dedup views per (user, ts) so as-of ties are deterministic
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("event_id").alias("view_id"), F.round(F.max("value"), 6).alias("view_value"))
+    )
+    out = as_of_join(
+        clicks,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="view_ts",
+        right_payload=["view_id", "view_value"],
+    )
+    return out.select(
+        "user_id", "click_id", "view_id", "view_value"
+    ).orderBy("user_id", "click_id")
+
+
+CLICKS_ASOF_PRIOR_VIEW_SQL = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts
+  FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts AS view_ts, MAX(event_id) AS view_id,
+         ROUND(MAX(value), 6) AS view_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+)
+SELECT c.user_id, c.click_id, v.view_id, v.view_value
+FROM clicks c
+ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.view_ts
+ORDER BY c.user_id, c.click_id
+"""
+
+
+def error_followup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: how many events the same user produced in the
+    following 10 minutes (interval/range join; operators/temporal.py)."""
+    ev = read_events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "ts"
+    )
+    followups = ev.select("user_id", F.col("event_id").alias("f_id"), F.col("ts").alias("f_ts"))
+    pairs = range_join(
+        errors,
+        followups,
+        on="user_id",
+        left_time="ts",
+        right_time="f_ts",
+        lower_seconds=0,
+        upper_seconds=600,
+    )
+    return (
+        pairs.groupBy("user_id", "error_id")
+        .agg(F.count(F.lit(1)).alias("n_followups"))
+        .orderBy("user_id", "error_id")
+    )
+
+
+ERROR_FOLLOWUP_COUNTS_SQL = """
+SELECT e.user_id, e.event_id AS error_id, COUNT(*) AS n_followups
+FROM events e
+JOIN events f
+  ON e.user_id = f.user_id
+ AND f.ts > e.ts
+ AND f.ts <= e.ts + INTERVAL 600 SECOND
+WHERE e.event_type = 'error'
+GROUP BY e.user_id, e.event_id
+ORDER BY e.user_id, error_id
+"""
+
+
+QUERIES = {
+    "order_price_percentiles": order_price_percentiles,
+    "order_rank_flavors": order_rank_flavors,
+    "customer_rolling_spend": customer_rolling_spend,
+    "segment_distinct_stats": segment_distinct_stats,
+    "part_text_features": part_text_features,
+    "clicks_asof_prior_view": clicks_asof_prior_view,
+    "error_followup_counts": error_followup_counts,
+}
+
+ORACLE = {
+    "order_price_percentiles": ORDER_PRICE_PERCENTILES_SQL,
+    "order_rank_flavors": ORDER_RANK_FLAVORS_SQL,
+    "customer_rolling_spend": CUSTOMER_ROLLING_SPEND_SQL,
+    "segment_distinct_stats": SEGMENT_DISTINCT_STATS_SQL,
+    "part_text_features": PART_TEXT_FEATURES_SQL,
+    "clicks_asof_prior_view": CLICKS_ASOF_PRIOR_VIEW_SQL,
+    "error_followup_counts": ERROR_FOLLOWUP_COUNTS_SQL,
+}

