@@ -198,6 +198,101 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_clusters: int | None = None,
+    n_probe: int = 3,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other classic ANN
+    scale path (Jégou et al., IVF-Flat without product quantization):
+
+    1. Train a coarse quantizer: k-means over a sample of the corpus
+       (Spark ML KMeans — distributed, seeded, JVM-side).
+    2. Assign every corpus vector to its nearest centroid
+       (``model.transform`` — one narrow pass, no shuffle).
+    3. For each query, probe the ``n_probe`` nearest centroids
+       (centroids are driver-side literals — a few hundred × dim
+       doubles — so probing is a pure column expression).
+    4. Exact cosine only against the probed clusters' vectors: an
+       equi-join on cluster id with the tiny query side broadcast.
+
+    At 100 TB the partition-by-cluster layout means each query touches
+    ``n_probe / n_clusters`` of the corpus; recall is tuned by
+    ``n_probe``. Output is deterministic given the seed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    )
+    featured = c.withColumn("features", array_to_vector("cvec"))
+    train = featured if train_fraction >= 1.0 else featured.sample(
+        train_fraction, seed=7
+    )
+    if n_clusters is None:
+        n_clusters = max(4, int(math.sqrt(train.count())))
+    model = KMeans(k=n_clusters, seed=7, maxIter=10).fit(train.select("features"))
+    assigned = model.transform(featured).select(
+        "neighbor_id", "cvec", F.col("prediction").alias("cluster")
+    )
+
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    dist_structs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qvec"),
+                        F.array(*[F.lit(v) for v in ctr]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                F.lit(i).alias("cluster"),
+            )
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+    probed = q.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(dist_structs), 1, n_probe), lambda s: s.cluster
+            )
+        ).alias("cluster"),
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probed), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+        # each corpus vector lives in exactly one cluster and each
+        # (query, cluster) probe row is unique → no duplicate pairs
+    )
+    return top_k_per_group(
+        scored,
+        group_by=["query_id"],
+        order_by=[F.col("cos").desc(), F.col("neighbor_id").asc()],
+        k=k,
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
     """Fraction of exact top-k pairs recovered by the approximate
     result (evaluation helper for tests/benchmarks)."""

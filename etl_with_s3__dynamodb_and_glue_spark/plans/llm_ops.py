@@ -16,12 +16,14 @@ from ..operators import dedup, multimodal, similarity
 from ..operators.text import (
     LANG_PROFILES,
     avg_token_len,
+    bpe_ish_token_count,
     fingerprint,
     lang_id,
     punct_ratio,
     quality_score,
     stopword_ratio,
     tokens,
+    word_ngrams,
 )
 
 
@@ -147,6 +149,58 @@ FROM s ORDER BY doc_id
 """
 
 
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-flavored token-count estimate (whitespace + digit/punct
+    fracture points) — rows-only: the split regex uses lookarounds,
+    which DuckDB's RE2 engine cannot express; invariants (bpe >=
+    whitespace count) are asserted in tests instead."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def doc_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-containment pairs via rolling 8-token fingerprints
+    (winnowing-style): pairs of docs sharing >= 20 window hashes.
+    Catches copied passages that whole-doc Jaccard dilutes away."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(word_ngrams(tokens("text"), 8), F.md5))).alias("fp"),
+    )
+    a = grams.select(F.col("doc_id").alias("id_a"), "fp")
+    b = grams.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .filter(F.col("shared_windows") >= 20)
+        .orderBy("id_a", "id_b")
+    )
+
+
+DOC_NGRAM_CONTAINMENT_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
+  FROM t, UNNEST(range(1, GREATEST(len(toks) - 7, 0) + 1)) AS u(i)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_windows
+FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 20
+ORDER BY id_a, id_b
+"""
+
+
 # --- dedup ---------------------------------------------------------------
 
 
@@ -264,6 +318,14 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN, IVF path (k-means coarse quantizer + cluster
+    probing) — rows-only; recall vs brute force asserted in tests."""
+    return similarity.ivf_topk(
+        _emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5, n_probe=8
+    ).orderBy("query_id", "rank")
+
+
 # --- multimodal ----------------------------------------------------------
 
 
@@ -317,9 +379,12 @@ QUERIES = {
     "doc_jaccard_pairs": doc_jaccard_pairs,
     "doc_minhash_near_dups": doc_minhash_near_dups,
     "doc_simhash_near_dups": doc_simhash_near_dups,
+    "doc_bpe_token_counts": doc_bpe_token_counts,
+    "doc_ngram_containment": doc_ngram_containment,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_lsh_topk": embedding_lsh_topk,
+    "embedding_ivf_topk": embedding_ivf_topk,
     "asset_content_hashes": asset_content_hashes,
     "asset_features": asset_features,
 }
@@ -330,6 +395,7 @@ ORACLE = {
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
+    "doc_ngram_containment": DOC_NGRAM_CONTAINMENT_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,
     "asset_content_hashes": ASSET_CONTENT_HASHES_SQL,

@@ -57,6 +57,43 @@ def test_lsh_ann_recall_vs_bruteforce(emb):
     assert recall >= 0.5, f"LSH recall@5 {recall:.3f} < 0.5"
 
 
+def test_ivf_ann_recall_vs_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, n_probe=8)
+    recall = similarity.recall_at_k(approx, exact, k=5)
+    assert recall >= 0.5, f"IVF recall@5 {recall:.3f} < 0.5"
+
+
+def test_bpe_token_count_bounds(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain words only here"),
+            (2, "mixed123tokens, with-punct! and2more"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.ws, r.bpe)
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("ws"),
+            bpe_ish_token_count("text").alias("bpe"),
+        ).collect()
+    }
+    for ws, bpe in rows.values():
+        assert bpe >= ws  # fracturing only adds pieces
+    assert rows[1] == (4, 4)  # no fracture points in plain text
+    assert rows[2][1] > rows[2][0]
+
+
 def test_exact_dedup_finds_injected_duplicates(spark):
     df = spark.createDataFrame(
         [
