@@ -39,13 +39,19 @@ HEADLINE = [
     "shipping_priority",
     "nation_revenue",
     "customer_order_deltas",
+    "customer_rolling_spend",
     "returnflag_rollup",
     "events_json_extract",
+    "user_sessions",
+    "clicks_asof_prior_view",
+    "error_followup_counts",
     "doc_token_stats",
     "doc_exact_dedup",
     "doc_minhash_near_dups",
+    "doc_ngram_containment",
     "embedding_topk_bruteforce",
     "embedding_lsh_topk",
+    "embedding_ivf_topk",
     "asset_content_hashes",
 ]
 

@@ -80,12 +80,108 @@ ORDER BY day, event_type
 """
 
 
+def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` (the streaming-capable
+    construct) in batch mode. Boundary semantics differ from
+    operators/sessions.sessionize by design: the built-in closes a
+    session when the next event is >= gap away (half-open windows),
+    and the reported end is last_event + gap — the oracle mirrors
+    both."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end_padded"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+USER_SESSIONS_NATIVE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+         event_id
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM m
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end_padded,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM s
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_start
+"""
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day window sliding every 12 h per event_type — each event
+    lands in exactly 2 overlapping windows (window/slide = 2)."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day", "12 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_SLIDING_WINDOWS_SQL = """
+WITH w AS (
+  SELECT event_type, value,
+         make_timestamp((epoch_us(ts) // 43200000000) * 43200000000 - s.off) AS wstart
+  FROM events, (VALUES (CAST(0 AS BIGINT)), (CAST(43200000000 AS BIGINT))) s(off)
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM w
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
 QUERIES = {
     "user_sessions": user_sessions,
+    "user_sessions_native": user_sessions_native,
     "events_daily_tumbling": events_daily_tumbling,
+    "events_sliding_windows": events_sliding_windows,
 }
 
 ORACLE = {
     "user_sessions": USER_SESSIONS_SQL,
+    "user_sessions_native": USER_SESSIONS_NATIVE_SQL,
     "events_daily_tumbling": EVENTS_DAILY_TUMBLING_SQL,
+    "events_sliding_windows": EVENTS_SLIDING_WINDOWS_SQL,
 }

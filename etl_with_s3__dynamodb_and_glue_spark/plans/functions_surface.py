@@ -287,7 +287,60 @@ ORDER BY e.user_id, error_id
 """
 
 
+# --- SQL API: GROUPING SETS ----------------------------------------------
+
+
+def priority_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL entry point (the engine's second query API): GROUPING
+    SETS over a registered view — the generalization of the rollup/cube
+    queries in tpch_like.py."""
+    _orders(spark, sf_dir).createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 6) AS total_price,
+               CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT) AS gid
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, o_orderpriority, o_orderstatus
+        """
+    )
+
+
+PRIORITY_STATUS_GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 6) AS total_price,
+       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INTEGER) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY gid, o_orderpriority, o_orderstatus
+"""
+
+
+# --- approximate aggregates (rows-only: sketch implementations differ) ---
+
+
+def order_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct + quantile-sketch median per priority — the
+    constant-memory aggregates a 100 TB groupBy actually uses.
+    Rows-only for the driver (DuckDB's sketches differ); accuracy vs
+    the exact aggregates is asserted in tests."""
+    return (
+        _orders(spark, sf_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx_customers"),
+            F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
+    "priority_status_grouping_sets": priority_status_grouping_sets,
+    "order_approx_stats": order_approx_stats,
     "order_price_percentiles": order_price_percentiles,
     "order_rank_flavors": order_rank_flavors,
     "customer_rolling_spend": customer_rolling_spend,
@@ -298,6 +351,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "priority_status_grouping_sets": PRIORITY_STATUS_GROUPING_SETS_SQL,
+    # order_approx_stats: sketch-based → rows-only
     "order_price_percentiles": ORDER_PRICE_PERCENTILES_SQL,
     "order_rank_flavors": ORDER_RANK_FLAVORS_SQL,
     "customer_rolling_spend": CUSTOMER_ROLLING_SPEND_SQL,

@@ -1,0 +1,74 @@
+"""Salted-join correctness + approximate-aggregate accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_with_s3__dynamodb_and_glue_spark.operators.skew import salted_join
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavy-hitter: 90% of fact rows share key 1
+    fact = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    plain = {(r.k, r.payload, r.name) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r.k, r.payload, r.name)
+        for r in salted_join(fact, dim, ["k"], salt=8).collect()
+    }
+    assert salted == plain
+    assert len(salted) == 2000
+
+
+def test_salted_join_spreads_hot_key(spark):
+    fact = spark.range(0, 1000).select(F.lit(1).alias("k"), F.col("id").alias("p"))
+    dim = spark.range(0, 2).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    out = salted_join(fact, dim, ["k"], salt=8)
+    # the join's shuffle key includes _salt → the single hot key hashes
+    # to up to 8 distinct (k, salt) partitions; verify via the plan
+    plan = out.sparkSession._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "_salt" in plan
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    fact = spark.createDataFrame([(1, "a"), (99, "b")], "k long, p string")
+    dim = spark.createDataFrame([(1, "d1")], "k long, v string")
+    rows = {
+        (r.k, r.p, r.v)
+        for r in salted_join(fact, dim, ["k"], how="left", salt=4).collect()
+    }
+    assert rows == {(1, "a", "d1"), (99, "b", None)}
+
+
+def test_approx_stats_accuracy_vs_exact(spark):
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    exact = {
+        r.o_orderpriority: (r.nd, r.med)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("nd"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    approx = {
+        r.o_orderpriority: (r.approx_customers, r.approx_median_price)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx_customers"),
+            F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+        )
+        .collect()
+    }
+    for prio, (nd, med) in exact.items():
+        and_, amed = approx[prio]
+        assert abs(and_ - nd) / nd < 0.1, (prio, and_, nd)
+        assert abs(amed - med) / med < 0.1, (prio, amed, med)
