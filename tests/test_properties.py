@@ -1,0 +1,113 @@
+"""Property-based invariants (hypothesis) for the custom operators —
+SURVEY.md §5's property-style test tier."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_with_s3__dynamodb_and_glue_spark.operators.sessions import sessionize
+from etl_with_s3__dynamodb_and_glue_spark.operators.temporal import as_of_join
+from etl_with_s3__dynamodb_and_glue_spark.operators.windows import (
+    ranked_desc,
+    top_k_per_group,
+)
+
+BASE = datetime(2024, 1, 1)
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # user_id
+        st.integers(min_value=0, max_value=50_000),     # offset seconds
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(ev=_events)
+@_slow
+def test_sessionize_invariants(spark, ev):
+    rows = [
+        (u, BASE + timedelta(seconds=off), i, float(v))
+        for i, (u, off, v) in enumerate(ev)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    gap = 1800
+    sessions = sessionize(df, gap_seconds=gap).collect()
+
+    # every event lands in exactly one session
+    assert sum(s.n_events for s in sessions) == len(rows)
+    per_user = {}
+    for s in sessions:
+        per_user.setdefault(s.user_id, []).append(s)
+    for user_sessions in per_user.values():
+        user_sessions.sort(key=lambda s: s.session_seq)
+        for s in user_sessions:
+            assert s.session_start <= s.session_end
+        # consecutive sessions are separated by MORE than the gap
+        for a, b in zip(user_sessions, user_sessions[1:]):
+            assert (b.session_start - a.session_end).total_seconds() > gap
+
+
+@given(ev=_events, k=st.integers(min_value=1, max_value=4))
+@_slow
+def test_topk_bounds(spark, ev, k):
+    df = spark.createDataFrame(
+        [(u, off % 7, float(v)) for u, off, v in ev],
+        "grp long, item long, score double",
+    )
+    agg = df.groupBy("grp", "item").agg(F.sum("score").alias("total"))
+    top = top_k_per_group(
+        agg, group_by=["grp"], order_by=ranked_desc("total", ["item"]), k=k
+    ).collect()
+    by_grp = {}
+    for r in top:
+        by_grp.setdefault(r.grp, []).append(r)
+    n_items = {r.grp: 0 for r in agg.collect()}
+    for r in agg.collect():
+        n_items[r.grp] += 1
+    for grp, rows in by_grp.items():
+        assert len(rows) == min(k, n_items[grp])
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+        # scores are non-increasing with rank
+        ordered = sorted(rows, key=lambda r: r.rank)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.total >= b.total
+
+
+@given(ev=_events)
+@_slow
+def test_asof_result_is_latest_not_after(spark, ev):
+    left = spark.createDataFrame(
+        [(u, BASE + timedelta(seconds=off), i) for i, (u, off, _) in enumerate(ev)],
+        "k long, t timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [
+            (u, BASE + timedelta(seconds=(off * 7) % 50_000), i)
+            for i, (u, off, _) in enumerate(ev)
+        ],
+        "k long, rt timestamp, payload long",
+    ).groupBy("k", "rt").agg(F.max("payload").alias("payload"))
+    right_rows = right.collect()
+    out = as_of_join(left, right, "k", "t", "rt", ["payload"]).collect()
+    lookup = {(r.k, r.rt): r.payload for r in right_rows}
+    for row in out:
+        eligible = [
+            (rt, p) for (k, rt), p in lookup.items() if k == row.k and rt <= row.t
+        ]
+        expected = max(eligible)[1] if eligible else None
+        assert row.payload == expected, (row, eligible)
