@@ -166,11 +166,20 @@ def doc_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-containment pairs via rolling 8-token fingerprints
     (winnowing-style): pairs of docs sharing >= 20 window hashes.
     Catches copied passages that whole-doc Jaccard dilutes away."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs(spark, sf_dir)
+    # 64-bit window hashes (not md5 strings): an 8-byte shuffle key vs
+    # 32 bytes; the oracle twin hashes with md5 but only the PAIRS are
+    # compared, and both hashes group identical windows together.
     grams = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(F.transform(word_ngrams(tokens("text"), 8), F.md5))).alias("fp"),
-    )
+        F.explode(
+            F.array_distinct(
+                F.transform(word_ngrams(tokens("text"), 8), lambda g: F.xxhash64(g))
+            )
+        ).alias("fp"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # both sides of the self-join
     a = grams.select(F.col("doc_id").alias("id_a"), "fp")
     b = grams.select(F.col("doc_id").alias("id_b"), "fp")
     return (
