@@ -117,7 +117,11 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
 
 
 def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-random-projection bucket id: one bit per hyperplane."""
+    """Sign-random-projection bucket id: one bit per hyperplane.
+
+    Reference implementation (native expressions, LSB-first packing);
+    the hot path uses :func:`srp_signatures_udf` — tests assert the
+    two agree bit-for-bit."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(v) for v in plane])
@@ -158,7 +162,7 @@ def srp_signatures_udf(dim: int, n_planes: int, n_tables: int):
             for p in range(n_planes)
         ]
     )  # (n_tables*n_planes, dim)
-    weights = 2 ** np.arange(n_planes - 1, -1, -1)  # MSB-first packing
+    weights = 2 ** np.arange(n_planes)  # LSB-first, matches srp_signature
 
     def _sign_batch(vec):
         v = np.stack(vec.to_numpy())  # (batch, dim)

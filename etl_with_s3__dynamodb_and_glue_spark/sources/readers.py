@@ -44,6 +44,18 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Read newline-delimited JSON with an enforced schema (same
+    no-inference stance as CSV: schema inference on JSON is a full
+    extra pass and type-unstable across files)."""
+    return spark.read.schema(schema).option("mode", mode).json(path)
+
+
 def pin_naive_timestamp_semantics(spark: SparkSession) -> None:
     """Pin session confs so timestamp semantics are well-defined
     regardless of how the caller built the session.

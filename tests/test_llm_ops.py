@@ -157,3 +157,32 @@ def test_frame_sample_plan(spark, docs):
     row = plan.first()
     assert row.frame_ts_ms[0] == 0
     assert all(b - a == 1000 for a, b in zip(row.frame_ts_ms, row.frame_ts_ms[1:]))
+
+
+def test_srp_udf_matches_reference_expression(emb):
+    """The vectorized signature path must produce bit-identical
+    signatures to the unrolled native-expression reference."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.similarity import (
+        _hyperplanes,
+        as_double,
+        srp_signature,
+        srp_signatures_udf,
+    )
+
+    vecs = emb.limit(50).select("vec_id", as_double(F.col("embedding")).alias("v"))
+    n_planes, n_tables = 4, 8
+    via_expr = vecs.select(
+        "vec_id",
+        F.array(
+            *[
+                srp_signature(F.col("v"), _hyperplanes(64, n_planes, seed=100 + t))
+                for t in range(n_tables)
+            ]
+        ).alias("sigs"),
+    )
+    via_udf = vecs.select(
+        "vec_id", srp_signatures_udf(64, n_planes, n_tables)("v").alias("sigs")
+    )
+    a = {r.vec_id: r.sigs for r in via_expr.collect()}
+    b = {r.vec_id: r.sigs for r in via_udf.collect()}
+    assert a == b

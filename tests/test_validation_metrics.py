@@ -51,3 +51,23 @@ def test_stage_metrics_computed_during_action(spark):
     got = obs.get
     assert got["rows"] == 3
     assert got["null_v"] == 2
+
+
+def test_read_jsonl_enforced_schema(spark, tmp_path):
+    from etl_with_s3__dynamodb_and_glue_spark.sources.readers import read_jsonl
+    from pyspark.sql import types as T
+
+    p = tmp_path / "data.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a", "score": 1.5}\n'
+        '{"id": 2, "name": "b", "score": 2.5, "extra": "ignored"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    rows = {(r.id, r.name, r.score) for r in read_jsonl(spark, str(p), schema).collect()}
+    assert rows == {(1, "a", 1.5), (2, "b", 2.5)}
