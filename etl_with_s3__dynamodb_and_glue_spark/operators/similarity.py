@@ -242,26 +242,39 @@ def ivf_topk(
     n_clusters: int | None = None,
     n_probe: int = 3,
     train_fraction: float = 1.0,
+    max_iter: int = 5,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the other classic ANN
     scale path (Jégou et al., IVF-Flat without product quantization):
 
     1. Train a coarse quantizer: k-means over a sample of the corpus
-       (Spark ML KMeans — distributed, seeded, JVM-side).
+       (Spark ML KMeans — distributed, seeded, JVM-side). The training
+       set is persisted: k-means is iterative and would otherwise
+       re-derive scan→cast→vectorize per iteration.
     2. Assign every corpus vector to its nearest centroid
        (``model.transform`` — one narrow pass, no shuffle).
-    3. For each query, probe the ``n_probe`` nearest centroids
-       (centroids are driver-side literals — a few hundred × dim
-       doubles — so probing is a pure column expression).
+    3. For each query, probe the ``n_probe`` nearest centroids. The
+       centroid matrix is a closure constant of a vectorized Pandas
+       UDF (one ``(batch × dim) @ (dim × k)`` matmul per Arrow batch)
+       — same rationale as :func:`srp_signatures_udf`: n_clusters×dim
+       literals as native expressions cost seconds of Catalyst compile
+       and HOFs evaluate interpreted per element.
     4. Exact cosine only against the probed clusters' vectors: an
        equi-join on cluster id with the tiny query side broadcast.
 
     At 100 TB the partition-by-cluster layout means each query touches
     ``n_probe / n_clusters`` of the corpus; recall is tuned by
-    ``n_probe``. Output is deterministic given the seed.
+    ``n_probe``. A coarse quantizer does not need convergence — 5
+    Lloyd iterations over a sample places centroids well enough; pass
+    ``n_clusters`` explicitly to skip the sizing ``count()`` job.
+    Output is deterministic given the seed.
     """
+    import numpy as np
+    import pandas as pd
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.storagelevel import StorageLevel
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
@@ -270,42 +283,33 @@ def ivf_topk(
         F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
     )
     featured = c.withColumn("features", array_to_vector("cvec"))
-    train = featured if train_fraction >= 1.0 else featured.sample(
-        train_fraction, seed=7
-    )
+    train = (
+        featured if train_fraction >= 1.0 else featured.sample(train_fraction, seed=7)
+    ).select("features").persist(StorageLevel.MEMORY_AND_DISK)
     if n_clusters is None:
         n_clusters = max(4, int(math.sqrt(train.count())))
-    model = KMeans(k=n_clusters, seed=7, maxIter=10).fit(train.select("features"))
+    model = KMeans(k=n_clusters, seed=7, maxIter=max_iter).fit(train)
+    train.unpersist()
     assigned = model.transform(featured).select(
         "neighbor_id", "cvec", F.col("prediction").alias("cluster")
     )
 
-    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
-    dist_structs = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("qvec"),
-                        F.array(*[F.lit(v) for v in ctr]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("dist"),
-                F.lit(i).alias("cluster"),
-            )
-            for i, ctr in enumerate(centroids)
-        ]
-    )
+    centers = np.array([list(map(float, ctr)) for ctr in model.clusterCenters()])
+    center_sq = (centers**2).sum(axis=1)
+
+    def _probe_batch(vec):
+        v = np.stack(vec.to_numpy())  # (batch, dim)
+        # squared euclidean via ||q||² - 2q·c + ||c||²; ||q||² is
+        # constant per row so it can't change the argsort — drop it
+        d = center_sq[None, :] - 2.0 * (v @ centers.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype("int32")))
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's hint inference can't resolve
+    probe_udf = pandas_udf(_probe_batch, "array<int>")
     probed = q.select(
-        "query_id",
-        "qvec",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(dist_structs), 1, n_probe), lambda s: s.cluster
-            )
-        ).alias("cluster"),
+        "query_id", "qvec", F.explode(probe_udf("qvec")).alias("cluster")
     )
 
     scored = (

@@ -331,7 +331,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN, IVF path (k-means coarse quantizer + cluster
     probing) — rows-only; recall vs brute force asserted in tests."""
     return similarity.ivf_topk(
-        _emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5, n_probe=8
+        _emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5, n_probe=8, n_clusters=32
     ).orderBy("query_id", "rank")
 
 

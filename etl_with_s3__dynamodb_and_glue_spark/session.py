@@ -38,9 +38,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Local mode runs driver + all executor threads in ONE JVM; the
+    # 1g spark-submit default starves 32 task threads (observed
+    # GCLocker stalls and heap OOM on the LSH self-joins). Only
+    # effective at JVM launch — a no-op if a session already exists.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
