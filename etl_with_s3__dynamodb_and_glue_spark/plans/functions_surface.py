@@ -338,8 +338,129 @@ def order_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- pivot ---------------------------------------------------------------
+
+
+def returnflag_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot().agg() — wide KPI matrices without N scans.
+    Pivot values are declared explicitly: leaving Spark to discover
+    them costs an extra distinct-scan job and makes the output schema
+    data-dependent, which a 100 TB pipeline can't tolerate."""
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 6))
+        .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
+        .orderBy("l_returnflag")
+    )
+
+
+RETURNFLAG_STATUS_PIVOT_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(l_quantity) FILTER (l_linestatus = 'F'), 6) AS qty_f,
+       ROUND(SUM(l_quantity) FILTER (l_linestatus = 'O'), 6) AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- full outer join -----------------------------------------------------
+
+
+def eventers_orderers_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two activity profiles keyed by user: event
+    counts vs order counts, with exclusive keys surviving on either
+    side (the join flavor the reference never uses but a general
+    engine must ship)."""
+    ev = (
+        read_events(spark, sf_dir)
+        .groupBy(F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    od = (
+        _orders(spark, sf_dir)
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        ev.join(od, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTERS_ORDERERS_FULL_OUTER_SQL = """
+WITH ev AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+),
+od AS (
+  SELECT o_custkey AS user_id, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(ev.user_id, od.user_id) AS user_id,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(n_orders, 0) AS n_orders
+FROM ev FULL OUTER JOIN od ON ev.user_id = od.user_id
+ORDER BY user_id
+"""
+
+
+# --- array aggregation + higher-order functions --------------------------
+
+
+def order_quantity_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list → array_sort, then element_at / aggregate /
+    filter / exists over the array — the nested-type surface
+    (SURVEY.md §2.7 'not present' list). Arrays stay inside the row
+    (no explode shuffle); every output is a scalar so the oracle
+    hash-compares exactly."""
+    qtys = F.array_sort(F.collect_list("l_quantity"))
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(qtys.alias("qtys"))
+        .select(
+            "l_orderkey",
+            F.size("qtys").alias("n_items"),
+            F.round(F.element_at("qtys", 1), 6).alias("min_qty"),
+            F.round(F.element_at("qtys", -1), 6).alias("max_qty"),
+            F.round(
+                F.aggregate("qtys", F.lit(0.0), lambda acc, q: acc + q), 6
+            ).alias("total_qty"),
+            F.size(F.filter("qtys", lambda q: q >= 25.0)).alias("n_large"),
+            F.exists("qtys", lambda q: q > 49.0).alias("has_max_bucket"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+ORDER_QUANTITY_ARRAYS_SQL = """
+WITH a AS (
+  SELECT l_orderkey, list(l_quantity ORDER BY l_quantity) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(qtys) AS n_items,
+       ROUND(qtys[1], 6) AS min_qty,
+       ROUND(qtys[-1], 6) AS max_qty,
+       ROUND(list_sum(qtys), 6) AS total_qty,
+       len(list_filter(qtys, q -> q >= 25.0)) AS n_large,
+       len(list_filter(qtys, q -> q > 49.0)) > 0 AS has_max_bucket
+FROM a
+ORDER BY l_orderkey
+"""
+
+
 QUERIES = {
     "priority_status_grouping_sets": priority_status_grouping_sets,
+    "returnflag_status_pivot": returnflag_status_pivot,
+    "eventers_orderers_full_outer": eventers_orderers_full_outer,
+    "order_quantity_arrays": order_quantity_arrays,
     "order_approx_stats": order_approx_stats,
     "order_price_percentiles": order_price_percentiles,
     "order_rank_flavors": order_rank_flavors,
@@ -352,6 +473,9 @@ QUERIES = {
 
 ORACLE = {
     "priority_status_grouping_sets": PRIORITY_STATUS_GROUPING_SETS_SQL,
+    "returnflag_status_pivot": RETURNFLAG_STATUS_PIVOT_SQL,
+    "eventers_orderers_full_outer": EVENTERS_ORDERERS_FULL_OUTER_SQL,
+    "order_quantity_arrays": ORDER_QUANTITY_ARRAYS_SQL,
     # order_approx_stats: sketch-based → rows-only
     "order_price_percentiles": ORDER_PRICE_PERCENTILES_SQL,
     "order_rank_flavors": ORDER_RANK_FLAVORS_SQL,
