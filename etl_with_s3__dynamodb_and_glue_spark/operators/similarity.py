@@ -232,6 +232,57 @@ def lsh_topk(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 16,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold via SRP-LSH bucketing — the
+    scale path that :func:`embedding_near_dup_pairs` verifies.
+
+    Same shape as MinHash dedup: candidates are bucket collisions in
+    any of ``n_tables`` hash tables (an equi-join on (table, bucket) —
+    never an all-pairs comparison), then exact cosine over candidates
+    only, so precision is exact and only recall is approximate.
+    Candidates are deduped BEFORE vectors are re-attached: the
+    distinct shuffles 16-byte id pairs, not 512-byte vectors. Defaults
+    are tuned like :func:`lsh_topk` for near-uniform embeddings where
+    'near' means cosine ≈ 0.4-0.6; for clustered real-world embedding
+    spaces with tighter thresholds raise ``n_planes`` so buckets prune
+    harder."""
+    e = embeddings.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).persist()
+    sigs = srp_signatures_udf(dim, n_planes, n_tables)
+    banded = e.withColumn("sigs", sigs("v")).select(
+        "vid", F.posexplode("sigs").alias("table", "bucket")
+    )
+    a = banded.select(F.col("vid").alias("id_a"), "table", "bucket")
+    b = banded.select(F.col("vid").alias("id_b"), "table", "bucket")
+    candidates = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = e.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

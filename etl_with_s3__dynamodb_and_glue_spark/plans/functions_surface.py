@@ -319,6 +319,77 @@ ORDER BY gid, o_orderpriority, o_orderstatus
 """
 
 
+# --- SQL API: correlated subqueries --------------------------------------
+
+
+def priority_returns_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape): orders with at least one
+    returned line, counted per priority. Catalyst decorrelates this to
+    a left semi join — no per-row subquery execution survives in the
+    physical plan, which is what makes the construct usable at scale."""
+    _orders(spark, sf_dir).createOrReplaceTempView("orders_v")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_v o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem_v l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+PRIORITY_RETURNS_EXISTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): revenue from
+    lines under 20% of their part's average quantity. Decorrelates to
+    an aggregate-then-join — the per-part average is computed once,
+    not per probing row."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem_v"
+    )
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 6) AS avg_yearly
+        FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#11'
+          AND l.l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity)
+            FROM lineitem_v l2 WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
+SMALL_QTY_PART_REVENUE_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 6) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#11'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+
 # --- approximate aggregates (rows-only: sketch implementations differ) ---
 
 
@@ -461,6 +532,8 @@ QUERIES = {
     "returnflag_status_pivot": returnflag_status_pivot,
     "eventers_orderers_full_outer": eventers_orderers_full_outer,
     "order_quantity_arrays": order_quantity_arrays,
+    "priority_returns_exists": priority_returns_exists,
+    "small_qty_part_revenue": small_qty_part_revenue,
     "order_approx_stats": order_approx_stats,
     "order_price_percentiles": order_price_percentiles,
     "order_rank_flavors": order_rank_flavors,
@@ -476,6 +549,8 @@ ORACLE = {
     "returnflag_status_pivot": RETURNFLAG_STATUS_PIVOT_SQL,
     "eventers_orderers_full_outer": EVENTERS_ORDERERS_FULL_OUTER_SQL,
     "order_quantity_arrays": ORDER_QUANTITY_ARRAYS_SQL,
+    "priority_returns_exists": PRIORITY_RETURNS_EXISTS_SQL,
+    "small_qty_part_revenue": SMALL_QTY_PART_REVENUE_SQL,
     # order_approx_stats: sketch-based → rows-only
     "order_price_percentiles": ORDER_PRICE_PERCENTILES_SQL,
     "order_rank_flavors": ORDER_RANK_FLAVORS_SQL,

@@ -319,6 +319,15 @@ ORDER BY id_a, id_b
 """
 
 
+def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of embedding_near_dup_pairs (SRP-bucketed candidate
+    generation, exact cosine verify) — rows-only for the driver;
+    recall vs the brute-force twin asserted in tests."""
+    return similarity.embedding_near_dup_pairs_lsh(
+        _emb(spark, sf_dir), threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN — rows-only for the driver; recall vs brute
     force asserted in tests."""
@@ -392,6 +401,7 @@ QUERIES = {
     "doc_ngram_containment": doc_ngram_containment,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "embedding_near_dup_pairs_lsh": embedding_near_dup_pairs_lsh,
     "embedding_lsh_topk": embedding_lsh_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
     "asset_content_hashes": asset_content_hashes,

@@ -57,6 +57,22 @@ def test_lsh_ann_recall_vs_bruteforce(emb):
     assert recall >= 0.5, f"LSH recall@5 {recall:.3f} < 0.5"
 
 
+def test_embedding_near_dup_lsh_recall_vs_bruteforce(emb):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    assert exact, "brute-force near-dup set unexpectedly empty"
+    # exact-cosine verify step guarantees precision == 1.0
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.7, f"embedding LSH near-dup recall {recall:.3f} < 0.7"
+
+
 def test_ivf_ann_recall_vs_bruteforce(emb):
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
