@@ -141,3 +141,28 @@ def windowed_genre_kpis_stream(
             "total_listening_time",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once ingest dedup: drop redelivered rows whose keys
+    were already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark``).
+
+    This is the streaming twin of exact dedup (operators/dedup.py) for
+    at-least-once upstream delivery (S3 multi-upload, replayed queue
+    segments). The watermark bounds state: a plain streaming
+    ``dropDuplicates`` would keep every key forever — unbounded state
+    at 100 TB/day — while the within-watermark variant expires keys
+    once no duplicate can still arrive. Works on a batch DataFrame too
+    (plain ``dropDuplicates``), which is how tests establish parity.
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            id_cols
+        )
+    return events.dropDuplicates(id_cols)

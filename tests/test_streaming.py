@@ -154,3 +154,63 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
+    """dropDuplicatesWithinWatermark episode: duplicate keys across
+    files (redelivery) survive exactly once, matching the batch
+    dropDuplicates twin."""
+    from pyspark.sql import types as T
+
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.file_pipeline import (
+        dedup_stream,
+        stream_csv_source,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # file 2 redelivers ids 2,3 (same payload) and adds 4,5
+    (src / "f1.csv").write_text(
+        "event_id,ts,payload\n"
+        "1,2024-06-25 10:00:00,a\n"
+        "2,2024-06-25 10:00:05,b\n"
+        "3,2024-06-25 10:00:10,c\n"
+    )
+    (src / "f2.csv").write_text(
+        "event_id,ts,payload\n"
+        "2,2024-06-25 10:00:05,b\n"
+        "3,2024-06-25 10:00:10,c\n"
+        "4,2024-06-25 10:00:20,d\n"
+        "5,2024-06-25 10:00:25,e\n"
+    )
+
+    stream = dedup_stream(
+        stream_csv_source(spark, str(src), schema, max_files_per_trigger=1),
+        id_cols=["event_id"],
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    got = {
+        (r.event_id, r.payload)
+        for r in spark.sql("SELECT event_id, payload FROM dedup_mem").collect()
+    }
+    batch = dedup_stream(
+        read_csv(spark, str(src), schema), id_cols=["event_id"]
+    )
+    want = {(r.event_id, r.payload) for r in batch.collect()}
+    assert got == want == {(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")}
