@@ -319,6 +319,43 @@ ORDER BY gid, o_orderpriority, o_orderstatus
 """
 
 
+# --- salted join (skew mitigation, exact-result) -------------------------
+
+
+def segment_event_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join of the (skew-prone) event stream against the
+    customer dimension, aggregated per market segment. The salt
+    spreads any hot user key across 8 sub-partitions; the oracle is
+    the PLAIN join SQL — salting must be invisible in the result,
+    which is exactly what makes it safe to deploy reflexively on
+    skewed fact joins at scale."""
+    from ..operators.skew import salted_join
+
+    ev = read_events(spark, sf_dir).select("user_id", "value")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, cust, on=["user_id"], salt=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SEGMENT_EVENT_VALUE_SALTED_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 # --- SQL API: correlated subqueries --------------------------------------
 
 
@@ -534,6 +571,7 @@ QUERIES = {
     "order_quantity_arrays": order_quantity_arrays,
     "priority_returns_exists": priority_returns_exists,
     "small_qty_part_revenue": small_qty_part_revenue,
+    "segment_event_value_salted": segment_event_value_salted,
     "order_approx_stats": order_approx_stats,
     "order_price_percentiles": order_price_percentiles,
     "order_rank_flavors": order_rank_flavors,
@@ -551,6 +589,7 @@ ORACLE = {
     "order_quantity_arrays": ORDER_QUANTITY_ARRAYS_SQL,
     "priority_returns_exists": PRIORITY_RETURNS_EXISTS_SQL,
     "small_qty_part_revenue": SMALL_QTY_PART_REVENUE_SQL,
+    "segment_event_value_salted": SEGMENT_EVENT_VALUE_SALTED_SQL,
     # order_approx_stats: sketch-based → rows-only
     "order_price_percentiles": ORDER_PRICE_PERCENTILES_SQL,
     "order_rank_flavors": ORDER_RANK_FLAVORS_SQL,
