@@ -152,3 +152,31 @@ def rolling_fingerprints(col: Column | str, window_tokens: int = 16) -> Column:
     the building block for fuzzy containment / plagiarism sweeps."""
     grams = word_ngrams(tokens(col), window_tokens)
     return F.transform(grams, F.md5)
+
+
+def chunk_tokens(
+    toks: Column, chunk_size: int = 128, overlap: int = 16
+) -> Column:
+    """Overlapping token windows over a token array — the chunking
+    step every LLM training pipeline runs before tokenizer/packing.
+
+    Returns ``array<struct<start int, chunk array<string>>>``; window
+    starts advance by ``chunk_size - overlap`` and the final window may
+    be short (tail tokens are never dropped). Pure array expressions:
+    per-row map, no shuffle, no Python.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("start"),
+            F.slice(toks, s, chunk_size).alias("chunk"),
+        ),
+    )

@@ -210,6 +210,48 @@ ORDER BY id_a, id_b
 """
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (the pre-tokenizer step of a
+    training pipeline): 32-token windows, 8-token overlap, tail never
+    dropped. Native array expressions → per-row map, no shuffle."""
+    from ..operators.text import chunk_tokens, tokens
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(chunk_tokens(tokens("text"), 32, 8)).alias("chunk_id", "c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.col("c.start").alias("start"),
+            F.size("c.chunk").alias("n_tokens"),
+            F.concat_ws(" ", F.col("c.chunk")).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+DOC_CHUNKS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         CAST(u.s AS INTEGER) AS start,
+         CAST((u.s - 1) / 24 AS BIGINT) AS chunk_id
+  FROM t, UNNEST(range(1, GREATEST(len(toks) - 8, 1) + 1, 24)) AS u(s)
+)
+SELECT doc_id, chunk_id, start,
+       len(list_slice(toks, start, start + 31)) AS n_tokens,
+       array_to_string(list_slice(toks, start, start + 31), ' ') AS chunk_text
+FROM s
+ORDER BY doc_id, chunk_id
+"""
+
+
 # --- dedup ---------------------------------------------------------------
 
 
@@ -391,6 +433,7 @@ def asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "doc_token_stats": doc_token_stats,
+    "doc_chunks": doc_chunks,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
     "doc_exact_dedup": doc_exact_dedup,
@@ -410,6 +453,7 @@ QUERIES = {
 
 ORACLE = {
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,

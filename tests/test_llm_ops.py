@@ -202,3 +202,26 @@ def test_srp_udf_matches_reference_expression(emb):
     a = {r.vec_id: r.sigs for r in via_expr.collect()}
     b = {r.vec_id: r.sigs for r in via_udf.collect()}
     assert a == b
+
+
+def test_chunk_tokens_invariants(docs):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.text import (
+        chunk_tokens,
+        tokens,
+    )
+
+    rows = docs.select(
+        F.size(tokens("text")).alias("n"),
+        chunk_tokens(tokens("text"), 32, 8).alias("cs"),
+    ).collect()
+    assert rows
+    for r in rows:
+        starts = [c.start for c in r.cs]
+        assert starts[0] == 1
+        # fixed stride = chunk_size - overlap
+        assert all(b - a == 24 for a, b in zip(starts, starts[1:]))
+        # full windows everywhere except possibly the tail...
+        assert all(len(c.chunk) == 32 for c in r.cs[:-1])
+        # ...and the tail chunk always reaches the final token
+        last = r.cs[-1]
+        assert last.start + len(last.chunk) - 1 == r.n
