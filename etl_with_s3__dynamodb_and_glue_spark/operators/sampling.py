@@ -1,0 +1,80 @@
+"""Deterministic hash-based sampling: stable splits and source mixing
+for training-data pipelines.
+
+``df.sample``/``sampleBy`` draw per-row Bernoulli from a seeded RNG
+whose stream depends on partitioning — re-partition the input (or move
+it to a cluster with different parallelism) and the sample changes.
+Training pipelines need the opposite: membership decided by the ROW,
+not by where it landed. The standard fix is hash-mod sampling: a row is
+in the sample iff ``hash(salt | key) < fraction``, which is
+
+- deterministic across runs, partitionings, and engines (md5 is md5
+  everywhere — the DuckDB oracle checks these queries exactly);
+- stable under data growth: a row's membership never flips when other
+  rows arrive, so incremental pipelines don't churn their splits;
+- disjoint-composable: non-overlapping hash ranges give leak-free
+  train/test splits from one pass.
+
+The threshold comparison is done on the first 8 hex chars of the md5
+as a STRING — fixed-width lowercase hex compares lexicographically
+exactly like the number it encodes, sidestepping engine-specific
+hex→int conversion. Per-row map, no shuffle, codegen-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HEX_WIDTH = 8
+_HEX_SPACE = 16**_HEX_WIDTH
+
+
+def hex_threshold(fraction: float) -> str:
+    """The 8-hex-char string h such that P[bucket < h] = fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+
+
+def hash_bucket(key: Column | str, salt: str) -> Column:
+    """Uniform bucket id in hex-string space for a row key."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), c.cast("string"))), 1, _HEX_WIDTH
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, membership decided by the key alone."""
+    return df.filter(hash_bucket(key_col, salt) < F.lit(hex_threshold(fraction)))
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Leak-free (train, test): complementary hash ranges of one bucket
+    column — no row can be in both, every row is in one."""
+    th = F.lit(hex_threshold(test_fraction))
+    bucket = hash_bucket(key_col, salt)
+    return df.filter(bucket >= th), df.filter(bucket < th)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-stratum fractions (source/language mixing): each stratum
+    gets its own threshold; strata absent from ``fractions`` default to
+    ``default_fraction``. One when-chain, still a per-row map."""
+    th: Column = F.lit(hex_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        th = F.when(
+            F.col(strata_col) == value, F.lit(hex_threshold(frac))
+        ).otherwise(th)
+    return df.filter(hash_bucket(key_col, salt) < th)

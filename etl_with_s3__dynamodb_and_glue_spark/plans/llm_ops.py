@@ -252,6 +252,38 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source mixing (operators/sampling.py): per-lang
+    hash-sample fractions (en 30%, zh 100%, others 60%). Membership is
+    a pure function of (salt, doc_id), so the oracle checks it EXACTLY
+    — unlike RNG sampling, which depends on partitioning."""
+    from ..operators.sampling import stratified_hash_sample
+
+    return (
+        stratified_hash_sample(
+            _docs(spark, sf_dir),
+            key_col="doc_id",
+            strata_col="lang",
+            fractions={"en": 0.3, "zh": 1.0},
+            default_fraction=0.6,
+            salt="mix",
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+DOC_SOURCE_MIX_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'en' THEN '4ccccccc'
+                WHEN 'zh' THEN 'ffffffff'
+                ELSE '99999999' END
+ORDER BY doc_id
+"""
+
+
 # --- dedup ---------------------------------------------------------------
 
 
@@ -434,6 +466,7 @@ def asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_chunks": doc_chunks,
+    "doc_source_mix": doc_source_mix,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
     "doc_exact_dedup": doc_exact_dedup,
@@ -454,6 +487,7 @@ QUERIES = {
 ORACLE = {
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
+    "doc_source_mix": DOC_SOURCE_MIX_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,

@@ -225,3 +225,21 @@ def test_chunk_tokens_invariants(docs):
         # ...and the tail chunk always reaches the final token
         last = r.cs[-1]
         assert last.start + len(last.chunk) - 1 == r.n
+
+
+def test_hash_split_is_disjoint_exhaustive_and_stable(docs):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    train, test = train_test_split(docs, "doc_id", test_fraction=0.25)
+    train_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    test_ids = {r.doc_id for r in test.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert train_ids | test_ids == all_ids
+    assert not (train_ids & test_ids)
+    # roughly the requested fraction
+    assert 0.1 <= len(test_ids) / len(all_ids) <= 0.4
+    # stable under repartitioning — the property RNG sampling lacks
+    train2, test2 = train_test_split(docs.repartition(7), "doc_id", 0.25)
+    assert {r.doc_id for r in test2.select("doc_id").collect()} == test_ids
