@@ -1,0 +1,60 @@
+"""Curated-dataset writer: the layout decisions that make a 100 TB
+table cheap to read later.
+
+``df.write.parquet(path)`` at scale produces the two classic failure
+modes: thousands of tiny files (one per task per partition value) and
+unclustered data (every later range scan reads everything). This
+writer fixes the layout at land time:
+
+- **Hive partitioning** on low-cardinality columns → partition pruning
+  for free on every later read (the serving pattern of SURVEY.md §3
+  entry point 3).
+- **Range-clustering** inside partitions: ``repartitionByRange`` on
+  the sort key bounds files per partition-value and gives min/max
+  parquet row-group statistics real pruning power (a time-range scan
+  over a date-partitioned, ts-clustered table touches only matching
+  row groups).
+- **zstd** — better ratio than the snappy default at similar decode
+  cost; at 100 TB the storage/network delta dominates.
+
+The reference's only layout decision is "CSV files in a folder"
+(reference glue_job.py:51-53); everything here is what that leaves on
+the table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    cluster_by: Sequence[str] = (),
+    target_files: int = 32,
+    compression: str = "zstd",
+    mode: str = "overwrite",
+) -> None:
+    """Land ``df`` as a partitioned, range-clustered parquet dataset.
+
+    ``cluster_by`` drives both the pre-write range shuffle and a
+    within-partition sort, so parquet row-group min/max stats line up
+    with the expected scan predicates. ``target_files`` is the total
+    range-slice count across the dataset — size it as
+    ``dataset_bytes / desired_file_bytes`` (desired ≈ 128 MB-1 GB),
+    not by task count; a range slice usually spans one partition value,
+    so file counts stay decoupled from write parallelism.
+    """
+    out = df
+    if cluster_by:
+        keys = [df[c] for c in (*partition_by, *cluster_by)]
+        out = df.repartitionByRange(
+            max(target_files, 1), *keys
+        ).sortWithinPartitions(*[df[c] for c in cluster_by])
+    writer = out.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

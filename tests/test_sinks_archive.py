@@ -5,9 +5,13 @@ from __future__ import annotations
 
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 from etl_with_s3__dynamodb_and_glue_spark.plans import music_pipeline as mp
 from etl_with_s3__dynamodb_and_glue_spark.sources.archive import archive_files
+from etl_with_s3__dynamodb_and_glue_spark.sources.readers import read_events
 from etl_with_s3__dynamodb_and_glue_spark.sources.sinks import ParquetKeyValueSink
+from tests.conftest import SF_SMOKE
 from tests.fixtures_gen import generate
 
 
@@ -66,3 +70,35 @@ def test_archive_preserves_subfolders(spark, tmp_path):
     assert len(moved) == 2
     assert (tmp_path / "arch" / "2024-06-25" / "a.csv").exists()
     assert (tmp_path / "arch" / "2024-06-25" / "sub" / "b.csv").exists()
+
+
+def test_write_dataset_layout(spark, tmp_path):
+    """Partitioned + range-clustered landing: hive dirs exist, files
+    are zstd, row groups are sorted on the cluster key, and file count
+    tracks target_files rather than input task count."""
+    from pathlib import Path
+
+    from etl_with_s3__dynamodb_and_glue_spark.sources.dataset import write_dataset
+
+    events = read_events(spark, SF_SMOKE).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = tmp_path / "ds"
+    write_dataset(
+        events.repartition(16),  # deliberately fragmented input
+        str(out),
+        partition_by=["day"],
+        cluster_by=["ts"],
+        target_files=4,
+    )
+    files = list(Path(out).rglob("*.parquet"))
+    assert files
+    assert len(files) <= 4 + len(list(Path(out).glob("day=*")))
+    assert all("day=" in str(f.parent) for f in files)
+
+    back = spark.read.parquet(str(out))
+    assert back.count() == events.count()
+    # per-file sortedness on the cluster key
+    one = spark.read.parquet(str(files[0]))
+    ts = [r.ts for r in one.select("ts").collect()]
+    assert ts == sorted(ts)
