@@ -180,3 +180,34 @@ def chunk_tokens(
             F.slice(toks, s, chunk_size).alias("chunk"),
         ),
     )
+
+
+def pack_chunks(
+    chunks,
+    budget: int,
+    partition_cols: list[str],
+    order_cols: list[str],
+    tokens_col: str = "n_tokens",
+):
+    """Streaming sequence packing: assign ordered chunks to packs of
+    ~``budget`` tokens via a running-total window — the step between
+    chunking and the trainer's fixed-length batches.
+
+    ``pack_id = floor(running_total_before_this_chunk / budget)`` is
+    the one-pass approximation of bin packing: deterministic given the
+    ordering, one window shuffle per partition group, no Python. Packs
+    average ≈ budget; a chunk whose tokens straddle a boundary stays
+    whole in the earlier pack (packs can overshoot by < one chunk),
+    which trainers prefer over splitting a chunk across packs.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return chunks.withColumn(
+        "pack_id", F.floor(before / F.lit(budget)).cast("long")
+    )

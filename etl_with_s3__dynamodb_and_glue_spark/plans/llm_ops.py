@@ -252,6 +252,62 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def doc_chunk_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the chunk stream: per-lang running-total
+    pack assignment at a 256-token budget, summarized per pack. The
+    window cumsum is the whole algorithm — deterministic, one shuffle
+    per lang group."""
+    from ..operators.text import chunk_tokens, pack_chunks, tokens
+
+    docs = _docs(spark, sf_dir)
+    chunks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(chunk_tokens(tokens("text"), 32, 8)).alias("chunk_id", "c"),
+    ).select("doc_id", "lang", "chunk_id", F.size("c.chunk").alias("n_tokens"))
+    packed = pack_chunks(
+        chunks,
+        budget=256,
+        partition_cols=["lang"],
+        order_cols=["doc_id", "chunk_id"],
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+DOC_CHUNK_PACKS_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, lang,
+         CAST((u.s - 1) / 24 AS BIGINT) AS chunk_id,
+         len(list_slice(toks, CAST(u.s AS INTEGER), CAST(u.s AS INTEGER) + 31)) AS n_tokens
+  FROM t, UNNEST(range(1, GREATEST(len(toks) - 8, 1) + 1, 24)) AS u(s)
+),
+packed AS (
+  SELECT lang,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0) AS BIGINT)
+           AS pack_id,
+         n_tokens
+  FROM chunks
+)
+SELECT lang, pack_id, COUNT(*) AS n_chunks, SUM(n_tokens) AS pack_tokens
+FROM packed
+GROUP BY lang, pack_id
+ORDER BY lang, pack_id
+"""
+
+
 def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic source mixing (operators/sampling.py): per-lang
     hash-sample fractions (en 30%, zh 100%, others 60%). Membership is
@@ -467,6 +523,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_chunks": doc_chunks,
     "doc_source_mix": doc_source_mix,
+    "doc_chunk_packs": doc_chunk_packs,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
     "doc_exact_dedup": doc_exact_dedup,
@@ -488,6 +545,7 @@ ORACLE = {
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "doc_source_mix": DOC_SOURCE_MIX_SQL,
+    "doc_chunk_packs": DOC_CHUNK_PACKS_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,

@@ -243,3 +243,37 @@ def test_hash_split_is_disjoint_exhaustive_and_stable(docs):
     # stable under repartitioning — the property RNG sampling lacks
     train2, test2 = train_test_split(docs.repartition(7), "doc_id", 0.25)
     assert {r.doc_id for r in test2.select("doc_id").collect()} == test_ids
+
+
+def test_pack_chunks_invariants(docs):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.text import (
+        chunk_tokens,
+        pack_chunks,
+        tokens,
+    )
+
+    chunks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(chunk_tokens(tokens("text"), 32, 8)).alias("chunk_id", "c"),
+    ).select("doc_id", "lang", "chunk_id", F.size("c.chunk").alias("n_tokens"))
+    packed = pack_chunks(
+        chunks, budget=256, partition_cols=["lang"], order_cols=["doc_id", "chunk_id"]
+    )
+    rows = packed.orderBy("lang", "doc_id", "chunk_id").collect()
+    assert rows
+    # pack ids are monotone in stream order and every non-final pack
+    # holds >= budget - (max_chunk - 1) tokens (no premature cuts)
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang_rows in by_lang.values():
+        ids = [r.pack_id for r in lang_rows]
+        assert ids == sorted(ids)
+        totals: dict = {}
+        for r in lang_rows:
+            totals[r.pack_id] = totals.get(r.pack_id, 0) + r.n_tokens
+        last = max(totals)
+        for pid, tot in totals.items():
+            if pid != last:
+                assert tot >= 256 - 31, (pid, tot)
