@@ -319,6 +319,50 @@ ORDER BY gid, o_orderpriority, o_orderstatus
 """
 
 
+# --- unionByName with schema drift ---------------------------------------
+
+
+def activity_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unionByName(allowMissingColumns=True)`` — the schema-drift
+    union a multi-source ingest needs (positional ``union`` silently
+    mismatches columns; by-name fills absent columns with null).
+    Orders lack ``user_id``; the null-fill is visible in the per-kind
+    ``n_with_user`` count."""
+    ev = read_events(spark, sf_dir).select(
+        F.col("event_id").alias("id"),
+        F.lit("event").alias("kind"),
+        F.col("value").alias("amount"),
+        "user_id",
+    )
+    od = _orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("id"),
+        F.lit("order").alias("kind"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    return (
+        ev.unionByName(od, allowMissingColumns=True)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("user_id").alias("n_with_user"),
+            F.round(F.sum("amount"), 6).alias("total_amount"),
+        )
+        .orderBy("kind")
+    )
+
+
+ACTIVITY_UNION_BY_NAME_SQL = """
+WITH u AS (
+  SELECT event_id AS id, 'event' AS kind, value AS amount, user_id FROM events
+  UNION ALL BY NAME
+  SELECT o_orderkey AS id, 'order' AS kind, o_totalprice AS amount FROM orders
+)
+SELECT kind, COUNT(*) AS n_rows, COUNT(user_id) AS n_with_user,
+       ROUND(SUM(amount), 6) AS total_amount
+FROM u GROUP BY kind ORDER BY kind
+"""
+
+
 # --- salted join (skew mitigation, exact-result) -------------------------
 
 
@@ -572,6 +616,7 @@ QUERIES = {
     "priority_returns_exists": priority_returns_exists,
     "small_qty_part_revenue": small_qty_part_revenue,
     "segment_event_value_salted": segment_event_value_salted,
+    "activity_union_by_name": activity_union_by_name,
     "order_approx_stats": order_approx_stats,
     "order_price_percentiles": order_price_percentiles,
     "order_rank_flavors": order_rank_flavors,
@@ -590,6 +635,7 @@ ORACLE = {
     "priority_returns_exists": PRIORITY_RETURNS_EXISTS_SQL,
     "small_qty_part_revenue": SMALL_QTY_PART_REVENUE_SQL,
     "segment_event_value_salted": SEGMENT_EVENT_VALUE_SALTED_SQL,
+    "activity_union_by_name": ACTIVITY_UNION_BY_NAME_SQL,
     # order_approx_stats: sketch-based → rows-only
     "order_price_percentiles": ORDER_PRICE_PERCENTILES_SQL,
     "order_rank_flavors": ORDER_RANK_FLAVORS_SQL,
