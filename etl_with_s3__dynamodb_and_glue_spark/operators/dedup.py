@@ -208,6 +208,93 @@ def minhash_near_dups(
     return verified
 
 
+# --- cluster resolution --------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pair output: (id, cluster_id)
+    where cluster_id is the component's minimum vertex id.
+
+    Iterative min-label propagation: every vertex starts labeled with
+    itself; each round a vertex takes the min of its own and all
+    neighbors' labels; fixpoint = components. Rounds needed = graph
+    diameter — near-dup clusters are small and dense (a cluster of
+    copies is near-complete), so this converges in 2-3 rounds in
+    practice; ``max_iterations`` is a loud safety bound, not a budget.
+
+    Scale shape per round: one equi-join (edges ⋈ labels, shuffle on
+    vertex id) + one min-aggregate — no collect, no driver-side graph.
+    ``localCheckpoint`` truncates the growing lineage each round so the
+    plan stays constant-size, and the convergence check is a
+    ``limit(1).count()`` on changed labels (early-exits the scan).
+    Vertices without any pair keep themselves as singleton clusters.
+    """
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges_sym = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    try:
+        for _ in range(max_iterations):
+            neighbor_labels = edges_sym.join(
+                labels, edges_sym["u"] == labels["vid"]
+            ).select(F.col("v").alias("vid"), F.col("label"))
+            new_labels = (
+                labels.union(neighbor_labels)
+                .groupBy("vid")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "vid")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "iterations — graph diameter exceeds the bound"
+            )
+    finally:
+        edges_sym.unpersist()
+    return labels.select(F.col("vid").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def resolve_near_dups(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup CLUSTER resolution: pairs → equivalence classes →
+    deterministic survivor (minimum id) per class.
+
+    This is the step that turns any pair-producing dedup path (exact,
+    MinHash-LSH, SimHash, embedding-cosine) into an actual dedup
+    decision: pairs alone can't drop rows, because transitive
+    duplicates (A~B, B~C but not A~C in the pair list) must land in
+    ONE cluster with ONE survivor. Returns every input row as
+    (id, cluster_id, is_survivor ∈ {0,1}); filter is_survivor == 1
+    for the kept set.
+    """
+    comps = connected_components(pairs, df.select(id_col), id_col=id_col)
+    return comps.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_survivor"),
+    )
+
+
 # --- SimHash -------------------------------------------------------------
 
 

@@ -30,10 +30,18 @@ _HEX_SPACE = 16**_HEX_WIDTH
 
 
 def hex_threshold(fraction: float) -> str:
-    """The 8-hex-char string h such that P[bucket < h] = fraction."""
+    """The 8-hex-char string h such that P[bucket < h] = fraction.
+
+    fraction == 1.0 returns the sentinel ``"g"`` — lexicographically
+    above every hex string — so every row (including the ~1-in-2^32
+    bucket ``ffffffff``) satisfies ``bucket < h`` and the contract
+    "fraction 1.0 keeps every row" holds exactly.
+    """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * _HEX_SPACE), "08x")
 
 
 def hash_bucket(key: Column | str, salt: str) -> Column:

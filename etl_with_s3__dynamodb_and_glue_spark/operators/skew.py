@@ -32,9 +32,23 @@ def salted_join(
 
     The salt is derived from the skewed side's full row hash —
     deterministic, uniform, and independent of the join key (salting
-    by the key itself would keep the hot key together)."""
+    by the key itself would keep the hot key together).
+
+    ``how`` is restricted to joins that never preserve unmatched
+    small-side rows: the small side is replicated once per salt value,
+    so any small-side-preserving join ('right', 'full') would emit
+    each unmatched small-side row ``salt`` times."""
     if salt < 2:
         raise ValueError("salt must be >= 2")
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the small side is "
+            "replicated per salt value, so small-side-preserving joins "
+            "would duplicate unmatched small-side rows. Use one of "
+            "inner/left/left_semi/left_anti."
+        )
     skew_salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt)
     ).cast("int")

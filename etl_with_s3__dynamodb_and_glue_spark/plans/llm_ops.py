@@ -162,10 +162,24 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Winnowing-style containment: fingerprints seen in more than this many
+# documents are boilerplate (headers, licenses, navigation chrome) and
+# are dropped BEFORE the self-join — a fingerprint shared by k docs
+# otherwise produces k^2 join rows, the classic skew blow-up at scale.
+HOT_FP_MAX_DF = 50
+
+
 def doc_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-containment pairs via rolling 8-token fingerprints
     (winnowing-style): pairs of docs sharing >= 20 window hashes.
-    Catches copied passages that whole-doc Jaccard dilutes away."""
+    Catches copied passages that whole-doc Jaccard dilutes away.
+
+    Skew safety: fingerprints with document-frequency > HOT_FP_MAX_DF
+    are dropped before the self-join (standard winnowing hot-hash cap).
+    The df computation is a window over the same hash partitioning the
+    self-join needs, so the cap costs no extra shuffle of the big side.
+    """
+    from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
     docs = _docs(spark, sf_dir)
@@ -179,9 +193,15 @@ def doc_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(word_ngrams(tokens("text"), 8), lambda g: F.xxhash64(g))
             )
         ).alias("fp"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # both sides of the self-join
-    a = grams.select(F.col("doc_id").alias("id_a"), "fp")
-    b = grams.select(F.col("doc_id").alias("id_b"), "fp")
+    )
+    kept = (
+        grams.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= HOT_FP_MAX_DF)
+        .drop("df")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # both sides of the self-join
+    )
+    a = kept.select(F.col("doc_id").alias("id_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fp")
     return (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -201,9 +221,14 @@ g AS (
   SELECT DISTINCT doc_id,
          md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS fp
   FROM t, UNNEST(range(1, GREATEST(len(toks) - 7, 0) + 1)) AS u(i)
+),
+kept AS (
+  SELECT doc_id, fp
+  FROM (SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM g)
+  WHERE df <= 50
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_windows
-FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= 20
 ORDER BY id_a, id_b
@@ -301,7 +326,8 @@ packed AS (
          n_tokens
   FROM chunks
 )
-SELECT lang, pack_id, COUNT(*) AS n_chunks, SUM(n_tokens) AS pack_tokens
+SELECT lang, pack_id, COUNT(*) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
 FROM packed
 GROUP BY lang, pack_id
 ORDER BY lang, pack_id
@@ -334,7 +360,7 @@ SELECT doc_id, lang
 FROM documents
 WHERE substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) <
       CASE lang WHEN 'en' THEN '4ccccccc'
-                WHEN 'zh' THEN 'ffffffff'
+                WHEN 'zh' THEN 'g'
                 ELSE '99999999' END
 ORDER BY doc_id
 """
@@ -376,6 +402,54 @@ FROM t a JOIN t b ON a.doc_id < b.doc_id
 WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
             / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.95
 ORDER BY id_a, id_b
+"""
+
+
+def doc_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution end-to-end: exact-Jaccard pairs →
+    connected components (iterative min-label propagation,
+    operators/dedup.py) → deterministic min-id survivor per cluster.
+    Every document appears once, singletons are their own cluster.
+
+    The oracle computes the same transitive closure with a recursive
+    CTE — exact at sf0.01 where the pair graph is brute-force
+    enumerable. At scale the same clustering operator runs unchanged
+    over the MinHash-LSH pair output (tests assert that equivalence).
+    """
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.95)
+    return dedup.resolve_near_dups(docs, pairs).orderBy("doc_id")
+
+
+DOC_DEDUP_FINAL_SQL = """
+WITH RECURSIVE
+t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.95
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+walk (vid, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.vid
+)
+SELECT vid AS doc_id,
+       MIN(label) AS cluster_id,
+       CAST(vid = MIN(label) AS INTEGER) AS is_survivor
+FROM walk
+GROUP BY vid
+ORDER BY doc_id
 """
 
 
@@ -528,6 +602,7 @@ QUERIES = {
     "doc_lang_id": doc_lang_id,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_jaccard_pairs": doc_jaccard_pairs,
+    "doc_dedup_final": doc_dedup_final,
     "doc_minhash_near_dups": doc_minhash_near_dups,
     "doc_simhash_near_dups": doc_simhash_near_dups,
     "doc_bpe_token_counts": doc_bpe_token_counts,
@@ -550,6 +625,7 @@ ORACLE = {
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
+    "doc_dedup_final": DOC_DEDUP_FINAL_SQL,
     "doc_ngram_containment": DOC_NGRAM_CONTAINMENT_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,

@@ -152,7 +152,7 @@ SEGMENT_KPIS_COMPAT_SQL = f"""
     SELECT date, segment,
            COUNT(*)                                       AS listen_count,
            COUNT(user_id)                                 AS unique_listeners,
-           SUM(listen_seconds)                            AS total_listening_time,
+           CAST(SUM(listen_seconds) AS BIGINT)            AS total_listening_time,
            CAST(SUM(listen_seconds) AS DOUBLE) / COUNT(*) AS avg_listening_time
     FROM ({_ENRICHED_SQL})
     WHERE NOT regexp_matches(segment, '{NUMERIC_RE_SQL}')
@@ -178,7 +178,7 @@ SEGMENT_KPIS_INTENDED_SQL = f"""
     SELECT date, segment,
            COUNT(*)                                       AS listen_count,
            COUNT(DISTINCT user_id)                        AS unique_listeners,
-           SUM(listen_seconds)                            AS total_listening_time,
+           CAST(SUM(listen_seconds) AS BIGINT)            AS total_listening_time,
            CAST(SUM(listen_seconds) AS DOUBLE) / COUNT(*) AS avg_listening_time
     FROM ({_ENRICHED_SQL})
     WHERE NOT regexp_matches(segment, '{NUMERIC_RE_SQL}')

@@ -37,24 +37,35 @@ def _dec(col, scale: int = 4):
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape with decimal-EXACT arithmetic.
+
+    The measures are 2-decimal business values stored as doubles. Each
+    *input* is cast to DECIMAL(10,2) first (exact: a double that is a
+    2-decimal value is never a round-half tie at scale 2), then all
+    derived expressions are exact decimal multiplies — scale grows
+    2→4→6 and precision stays under 38, so neither Spark nor the
+    DuckDB oracle ever rounds a per-row value. Per-row rounding was
+    round-1's one genuine divergence: Spark rounds double→decimal
+    half-up, DuckDB half-even, and the drift accumulated over ~20k
+    rows (VERDICT r1 "What's wrong" §2).
+    """
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-    disc_price = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    charge = _dec(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    )
+    one = F.lit("1").cast("decimal(3,2)")
+    ep = F.col("l_extendedprice").cast("decimal(10,2)")
+    disc = F.col("l_discount").cast("decimal(10,2)")
+    tax = F.col("l_tax").cast("decimal(10,2)")
+    qty = F.col("l_quantity").cast("decimal(10,2)")
+    disc_price = ep * (one - disc)          # exact, scale 4
+    charge = disc_price * (one + tax)       # exact, scale 6
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
-            (
-                F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))
-            ).alias("avg_qty"),
-            (
-                F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1))
-            ).alias("avg_price"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(ep).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -62,16 +73,24 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PRICING_SUMMARY_SQL = """
+WITH d AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(l_quantity AS DECIMAL(10,2))      AS qty,
+           CAST(l_extendedprice AS DECIMAL(10,2)) AS ep,
+           CAST(l_discount AS DECIMAL(10,2))      AS disc,
+           CAST(l_tax AS DECIMAL(10,2))           AS tax
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)      AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1-l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1-l_discount) * (1+l_tax) AS DECIMAL(28,4))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)      AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+       CAST(SUM(ep) AS DOUBLE)  AS sum_base_price,
+       CAST(SUM(ep * (CAST(1 AS DECIMAL(3,2)) - disc)) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(ep * (CAST(1 AS DECIMAL(3,2)) - disc) * (CAST(1 AS DECIMAL(3,2)) + tax)) AS DOUBLE) AS sum_charge,
+       CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(ep) AS DOUBLE) / COUNT(*)  AS avg_price,
        COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+FROM d
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
@@ -373,7 +392,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSON_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events

@@ -80,13 +80,22 @@ class DynamoDBSink(KeyValueSink):
         n = min(df.rdd.getNumPartitions(), self.max_parallelism)
 
         def write_partition(rows):  # pragma: no cover - needs AWS
+            from decimal import Decimal
+
             import boto3
 
             resource = boto3.resource("dynamodb", region_name=region)
             ddb_table = resource.Table(table)
             with ddb_table.batch_writer(overwrite_by_pkeys=[key]) as writer:
                 for row in rows:
-                    item = {k: v for k, v in row.asDict().items() if v is not None}
+                    # boto3's DynamoDB resource rejects Python float —
+                    # numbers must be Decimal (str-roundtripped so the
+                    # stored value is the literal, not the binary rep).
+                    item = {
+                        k: Decimal(str(v)) if isinstance(v, float) else v
+                        for k, v in row.asDict().items()
+                        if v is not None
+                    }
                     writer.put_item(Item=item)
 
         df.coalesce(n).foreachPartition(write_partition)

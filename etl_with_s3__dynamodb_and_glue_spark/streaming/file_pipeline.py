@@ -97,7 +97,17 @@ def run_streaming_episode(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    finished = query.awaitTermination(timeout_sec)
+    if not finished:
+        # The episode boundary must be deterministic: callers treat the
+        # return as "episode complete" and may read sinks or start the
+        # next episode. Stop the straggler and fail loudly rather than
+        # return with the query still writing.
+        query.stop()
+        raise TimeoutError(
+            f"streaming episode did not finish within {timeout_sec}s; "
+            "query stopped to keep the episode boundary deterministic"
+        )
     return query
 
 

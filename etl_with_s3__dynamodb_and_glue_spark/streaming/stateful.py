@@ -56,6 +56,28 @@ def _fold_sessions(
     gap_us: int,
 ) -> Iterator[pd.DataFrame]:
     user_id = key[0]
+    if state.hasTimedOut:
+        # A full gap of processing-time silence elapsed: the stored
+        # session is final. Emit it once more (final totals win under
+        # the overwrite-by-key sink contract), FREE the state, and do
+        # not re-arm the timer — otherwise state grows with every user
+        # ever seen and idle users re-emit forever.
+        seq, start_us, end_us, n_events, total_value = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                (
+                    user_id,
+                    seq,
+                    pd.Timestamp(start_us, unit="us"),
+                    pd.Timestamp(end_us, unit="us"),
+                    n_events,
+                    round(total_value, 6),
+                )
+            ],
+            columns=[f.name for f in OUTPUT_SCHEMA.fields],
+        )
+        return
     if state.exists:
         seq, start_us, end_us, n_events, total_value = state.get
     else:

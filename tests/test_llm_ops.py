@@ -277,3 +277,80 @@ def test_pack_chunks_invariants(docs):
         for pid, tot in totals.items():
             if pid != last:
                 assert tot >= 256 - 31, (pid, tot)
+
+
+# --- cluster resolution ---------------------------------------------------
+
+
+def test_connected_components_crafted_graph(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    vertices = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], ["doc_id"])
+    comps = dedup.connected_components(pairs, vertices)
+    got = {r.doc_id: r.cluster_id for r in comps.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # diameter-19 path graph: exercises the iteration loop, not just
+    # the 1-hop case near-dup clusters usually need
+    n = 20
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    vertices = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    comps = dedup.connected_components(pairs, vertices)
+    assert {r.cluster_id for r in comps.collect()} == {0}
+
+
+def test_resolve_near_dups_equivalence_classes(docs):
+    from collections import defaultdict
+
+    pairs = dedup.minhash_near_dups(docs, threshold=0.95).select("id_a", "id_b")
+    resolved = dedup.resolve_near_dups(docs, pairs)
+    rows = resolved.collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids)) == docs.count()  # partition of the corpus
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r.cluster_id].append(r)
+    for cid, members in clusters.items():
+        assert cid == min(m.doc_id for m in members)  # survivor = min id
+        assert sum(m.is_survivor for m in members) == 1
+    label = {r.doc_id: r.cluster_id for r in rows}
+    for p in pairs.collect():  # every pair ended up co-clustered
+        assert label[p.id_a] == label[p.id_b]
+
+
+def test_containment_hot_fingerprint_cap(spark, tmp_path):
+    """A boilerplate passage shared by >HOT_FP_MAX_DF docs must NOT
+    produce pairs (k^2 skew guard); a passage shared by 2 docs must."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.llm_ops import (
+        HOT_FP_MAX_DF,
+        doc_ngram_containment,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(30))
+    unique_passage = " ".join(f"secret{i}" for i in range(30))
+    rows = [
+        (i, f"{boiler} filler{i}a filler{i}b", "en", "web", 0)
+        for i in range(HOT_FP_MAX_DF + 10)
+    ]
+    rows.append((1000, f"{unique_passage} tail1000", "en", "web", 0))
+    rows.append((1001, f"{unique_passage} tail1001", "en", "web", 0))
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r.id_a, r.id_b) for r in doc_ngram_containment(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1000, 1001)}
+
+
+def test_hash_sample_fraction_one_keeps_every_row(docs):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.sampling import (
+        hash_sample,
+        hex_threshold,
+    )
+
+    assert hex_threshold(1.0) == "g"  # sentinel above every hex bucket
+    assert hash_sample(docs, "doc_id", 1.0).count() == docs.count()
+    assert hash_sample(docs, "doc_id", 0.0).count() == 0

@@ -72,3 +72,13 @@ def test_approx_stats_accuracy_vs_exact(spark):
         and_, amed = approx[prio]
         assert abs(and_ - nd) / nd < 0.1, (prio, and_, nd)
         assert abs(amed - med) / med < 0.1, (prio, amed, med)
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    import pytest
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, on=["k"], how=how)
