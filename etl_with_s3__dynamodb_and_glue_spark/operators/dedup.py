@@ -324,49 +324,111 @@ def simhash_fingerprints(
     return per_doc.select(F.col(id_col), fp.alias("simhash"))
 
 
+def _simhash_block_exprs(blocks: int, bits: int = 64):
+    """Split the fingerprint into ``blocks`` nearly-equal bit ranges and
+    return one extraction expression per block."""
+    base, extra = divmod(bits, blocks)
+    exprs, offset = [], 0
+    for b in range(blocks):
+        width = base + (1 if b < extra else 0)
+        exprs.append(
+            F.shiftright(F.col("simhash"), offset).bitwiseAND(F.lit((1 << width) - 1))
+        )
+        offset += width
+    return exprs
+
+
+def simhash_banded(
+    fps: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    blocks: int = 6,
+) -> DataFrame:
+    """Block-combination banding (Manku et al., WWW'07 — the Google
+    web-crawl simhash construction): split 64 bits into ``blocks``
+    blocks; a pair within ``max_hamming`` differs in at most
+    ``max_hamming`` blocks, so it must agree EXACTLY on some
+    combination of ``blocks - max_hamming`` blocks. One table (= one
+    exploded row) per combination, keyed by the concatenated block
+    values of that combination.
+
+    Why combinations and not single chunks: with the naive
+    (max_hamming+1)-chunk split the bucket key is only
+    64/(max_hamming+1) bits (16 bits at k=3 → 65,536 buckets), so at
+    10⁹ docs every bucket holds ~15k docs and the candidate self-join
+    degenerates toward quadratic. Here the key covers
+    ``64·(blocks-k)/blocks`` bits (32 bits at blocks=6, k=3) — bucket
+    population stays sparse at web scale, at the cost of C(blocks, k)
+    tables (20 at 6/3) instead of k+1.
+    """
+    from itertools import combinations
+
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks ({blocks}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole guarantee to hold"
+        )
+    block_exprs = _simhash_block_exprs(blocks)
+    combos = list(combinations(range(blocks), blocks - max_hamming))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.xxhash64(F.lit(t), *[block_exprs[b] for b in combo]).alias("key"),
+            )
+            for t, combo in enumerate(combos)
+        ]
+    )
+    return fps.select(F.col(id_col), F.col("simhash"), F.explode(tables).alias("tk")).select(
+        id_col, "simhash", F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key")
+    )
+
+
+def simhash_candidate_pairs(
+    fps: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    blocks: int = 6,
+) -> DataFrame:
+    """Candidate (id_a, id_b, sh_a, sh_b) pairs colliding in ≥1
+    block-combination table. Complete within the Hamming budget;
+    precision comes from the popcount verify that follows."""
+    banded = simhash_banded(fps, max_hamming, id_col=id_col, blocks=blocks)
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "tbl", "key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "tbl", "key"
+    )
+    return (
+        left.join(right, ["tbl", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    blocks: int = 6,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks — a
-    pair within the distance budget must agree exactly on ≥1 chunk, so
-    candidates come from an equi-join on (chunk index, chunk value),
-    then a cheap popcount filter. Fingerprints are persisted: both
-    sides of the banding self-join consume them."""
-    n_chunks = max_hamming + 1
-    chunk_bits = 64 // n_chunks
+    Block-combination banding (see ``simhash_banded``) generates
+    candidates via an equi-join on (table index, combined block key),
+    then a cheap popcount filter verifies the exact distance.
+    Fingerprints are persisted: both sides of the banding self-join
+    consume them. Result is EXACT within the Hamming budget regardless
+    of ``blocks`` — the parameter only trades table count against
+    bucket sparsity."""
     fps = simhash_fingerprints(df, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    chunks = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * chunk_bits)
-                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                .alias("val"),
-            )
-            for c in range(n_chunks)
-        ]
-    )
-    banded = fps.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("cc")).select(
-        id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val")
-    )
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "val"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "val"
-    )
     return (
-        left.join(right, ["chunk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
+        simhash_candidate_pairs(fps, max_hamming, id_col=id_col, blocks=blocks)
         .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )

@@ -47,6 +47,40 @@ def test_simhash_pairs_are_close(docs):
     assert all(r.hamming <= 3 for r in rows)
 
 
+def test_simhash_block_combination_exact_and_sparser(docs):
+    """The block-combination construction is exact within the Hamming
+    budget for ANY blocks > k (same final pairs), while wider bucket
+    keys generate no more candidates than the naive (k+1)-chunk split."""
+    fps = dedup.simhash_fingerprints(docs).cache()
+    naive = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_candidate_pairs(fps, 3, blocks=4).collect()
+    }
+    combo = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_candidate_pairs(fps, 3, blocks=6).collect()
+    }
+    # completeness: every true pair survives in both (verify is a subset op)
+    pairs4 = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_dups(docs, max_hamming=3, blocks=4).collect()
+    }
+    pairs6 = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_dups(docs, max_hamming=3, blocks=6).collect()
+    }
+    assert pairs4 == pairs6
+    # sparsity: 32-bit keys collide no more than 16-bit keys
+    assert len(combo) <= len(naive)
+    fps.unpersist()
+
+
+def test_simhash_blocks_must_exceed_budget(docs):
+    fps = dedup.simhash_fingerprints(docs)
+    with pytest.raises(ValueError):
+        dedup.simhash_candidate_pairs(fps, 3, blocks=3)
+
+
 def test_lsh_ann_recall_vs_bruteforce(emb):
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
