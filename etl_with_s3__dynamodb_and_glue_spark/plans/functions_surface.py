@@ -608,6 +608,61 @@ ORDER BY l_orderkey
 """
 
 
+# --- row-level corrupt-record quarantine ---------------------------------
+
+
+def csv_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level corrupt-record quarantine (SURVEY.md §1.2): parse
+    CSV-shaped lines against a declared schema in PERMISSIVE mode with
+    ``columnNameOfCorruptRecord``, then count clean vs quarantined rows
+    per source — the engine answer to the reference's misaligned
+    songs.csv rows, which it only patches downstream with a regex
+    filter (reference glue_job.py:83).
+
+    Lines are synthesized deterministically from ``documents`` (docs
+    whose n_chars % 7 == 0 get text in the numeric slot, mimicking
+    column misalignment) so the DuckDB oracle can mirror the predicate.
+    The file-based path (``read_csv_quarantine``/``split_quarantine``)
+    is exercised against a malformed on-disk fixture in
+    tests/test_quarantine.py.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    line = F.when(
+        F.col("n_chars") % 7 == 0,
+        F.concat_ws(",", F.col("doc_id"), F.col("lang"), F.lit("garbled")),
+    ).otherwise(F.concat_ws(",", F.col("doc_id"), F.col("lang"), F.col("n_chars")))
+    parsed = docs.select(
+        "source",
+        F.from_csv(
+            line,
+            "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("p"),
+    )
+    return (
+        parsed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("p._corrupt_record").alias("n_quarantined"),
+            F.sum(
+                F.when(F.col("p._corrupt_record").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_clean"),
+        )
+        .orderBy("source")
+    )
+
+
+CSV_QUARANTINE_COUNTS_SQL = """
+SELECT source,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN n_chars % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       CAST(SUM(CASE WHEN n_chars % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "priority_status_grouping_sets": priority_status_grouping_sets,
     "returnflag_status_pivot": returnflag_status_pivot,
@@ -625,6 +680,7 @@ QUERIES = {
     "part_text_features": part_text_features,
     "clicks_asof_prior_view": clicks_asof_prior_view,
     "error_followup_counts": error_followup_counts,
+    "csv_quarantine_counts": csv_quarantine_counts,
 }
 
 ORACLE = {
@@ -644,4 +700,5 @@ ORACLE = {
     "part_text_features": PART_TEXT_FEATURES_SQL,
     "clicks_asof_prior_view": CLICKS_ASOF_PRIOR_VIEW_SQL,
     "error_followup_counts": ERROR_FOLLOWUP_COUNTS_SQL,
+    "csv_quarantine_counts": CSV_QUARANTINE_COUNTS_SQL,
 }

@@ -40,6 +40,60 @@ def read_csv(
     )
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    corrupt_col: str = CORRUPT_COL,
+) -> DataFrame:
+    """PERMISSIVE CSV read that captures malformed rows instead of
+    silently nulling or dropping them.
+
+    The reference's songs.csv contains misaligned rows (numeric garbage
+    in ``track_genre``) that it only handles *after* the fact with a
+    regex filter (reference glue_job.py:83). The engine-quality answer
+    is row-level quarantine at the read boundary: any line that fails to
+    parse against the declared schema lands with its raw text in
+    ``corrupt_col`` and NULLs in the typed columns, so downstream code
+    can split clean rows from quarantined ones without losing evidence.
+    Scales trivially — the corrupt column is a per-row map, no shuffle.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    )
+
+
+def split_quarantine(
+    df: DataFrame, corrupt_col: str = CORRUPT_COL
+) -> tuple[DataFrame, DataFrame]:
+    """Split a quarantine-read DataFrame into (clean, quarantined).
+
+    Clean rows drop the corrupt column; quarantined rows keep the raw
+    line for forensics / reprocessing. The input is cached because
+    Spark disallows queries that reference ONLY the internal corrupt
+    column over a raw file scan (the parser prunes columns and the
+    corrupt record would be vacuous), and because both halves consume
+    the same scan.
+    """
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = df.filter(F.col(corrupt_col).isNotNull())
+    return clean, quarantined
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
