@@ -84,6 +84,34 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # IVF index amortization (not part of the headline total): build the
+    # index once as a persisted artifact, then time probe-only re-query —
+    # the repeated-query-batch cost the index design exists to amortize.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators import similarity
+
+    spark.catalog.clearCache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx_dir = tempfile.mkdtemp(prefix="ivf_bench_")
+    try:
+        t0 = time.perf_counter()
+        similarity.build_ivf_index(emb, path=idx_dir)
+        build_sec = round(time.perf_counter() - t0, 3)
+        index = similarity.load_ivf_index(spark, idx_dir)
+        t0 = time.perf_counter()
+        similarity.ivf_probe(index, queries_df, k=5).collect()
+        requery_sec = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -92,6 +120,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "extra": {
+                    "embedding_ivf_index_build": build_sec,
+                    "embedding_ivf_requery": requery_sec,
+                },
             }
         )
     )

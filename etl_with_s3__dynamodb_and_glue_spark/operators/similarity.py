@@ -283,55 +283,67 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
-def ivf_topk(
+class IvfIndex:
+    """A built IVF index: the coarse-quantizer centroid matrix
+    (driver-side numpy, n_clusters × dim — a few KB) plus the
+    cluster-assigned corpus (a DataFrame: neighbor_id, cvec, cluster).
+
+    This is a first-class artifact, not a by-product of one query:
+    k-means fitting is the expensive step, so repeated query batches
+    must probe a prebuilt index instead of re-fitting. ``write`` lands
+    the assignment table as parquet **partitioned by cluster**, which
+    is the 100 TB layout: a probe join on ``cluster`` against a
+    broadcast probe side triggers dynamic partition pruning, so each
+    query batch reads only the ``n_probe``-probed clusters' files —
+    ``n_probe / n_clusters`` of the corpus — instead of scanning it.
+    """
+
+    def __init__(self, centers, assignments: DataFrame):
+        self.centers = centers
+        self.assignments = assignments
+
+    def write(self, path: str) -> "IvfIndex":
+        import numpy as np  # noqa: F401
+
+        spark = self.assignments.sparkSession
+        (
+            self.assignments.write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{path}/assignments")
+        )
+        centroid_rows = [
+            (i, [float(x) for x in ctr]) for i, ctr in enumerate(self.centers)
+        ]
+        spark.createDataFrame(centroid_rows, "cluster int, center array<double>") \
+            .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        return self
+
+
+def build_ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "query_id",
     n_clusters: int | None = None,
-    n_probe: int = 3,
     train_fraction: float = 1.0,
     max_iter: int = 5,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k — the other classic ANN
-    scale path (Jégou et al., IVF-Flat without product quantization):
+    path: str | None = None,
+) -> IvfIndex:
+    """Build (and optionally persist) the IVF coarse quantizer.
 
-    1. Train a coarse quantizer: k-means over a sample of the corpus
-       (Spark ML KMeans — distributed, seeded, JVM-side). The training
-       set is persisted: k-means is iterative and would otherwise
-       re-derive scan→cast→vectorize per iteration.
-    2. Assign every corpus vector to its nearest centroid
-       (``model.transform`` — one narrow pass, no shuffle).
-    3. For each query, probe the ``n_probe`` nearest centroids. The
-       centroid matrix is a closure constant of a vectorized Pandas
-       UDF (one ``(batch × dim) @ (dim × k)`` matmul per Arrow batch)
-       — same rationale as :func:`srp_signatures_udf`: n_clusters×dim
-       literals as native expressions cost seconds of Catalyst compile
-       and HOFs evaluate interpreted per element.
-    4. Exact cosine only against the probed clusters' vectors: an
-       equi-join on cluster id with the tiny query side broadcast.
-
-    At 100 TB the partition-by-cluster layout means each query touches
-    ``n_probe / n_clusters`` of the corpus; recall is tuned by
-    ``n_probe``. A coarse quantizer does not need convergence — 5
-    Lloyd iterations over a sample places centroids well enough; pass
-    ``n_clusters`` explicitly to skip the sizing ``count()`` job.
-    Output is deterministic given the seed.
+    Spark ML KMeans — distributed, seeded, JVM-side. The training set
+    is persisted: k-means is iterative and would otherwise re-derive
+    scan→cast→vectorize per Lloyd iteration. A coarse quantizer does
+    not need convergence — 5 iterations over a sample places centroids
+    well enough; pass ``n_clusters`` explicitly to skip the sizing
+    ``count()`` job. Deterministic given the seed.
     """
     import numpy as np
-    import pandas as pd
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.storagelevel import StorageLevel
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
     )
     featured = c.withColumn("features", array_to_vector("cvec"))
     train = (
@@ -344,16 +356,65 @@ def ivf_topk(
     assigned = model.transform(featured).select(
         "neighbor_id", "cvec", F.col("prediction").alias("cluster")
     )
-
     centers = np.array([list(map(float, ctr)) for ctr in model.clusterCenters()])
+    index = IvfIndex(centers, assigned)
+    if path is not None:
+        index.write(path)
+        # probe the on-disk partitioned layout, not the in-memory lineage
+        return load_ivf_index(corpus.sparkSession, path)
+    return index
+
+
+def load_ivf_index(spark, path: str) -> IvfIndex:
+    """Read a persisted IVF index. Centroids collect to the driver
+    (tiny); the assignment table stays a lazy partitioned scan so
+    probes prune to the clusters they touch."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    centers = np.array(
+        [r.center for r in sorted(rows, key=lambda r: r.cluster)]
+    )
+    assignments = spark.read.parquet(f"{path}/assignments")
+    return IvfIndex(centers, assignments)
+
+
+def ivf_probe(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_probe: int = 3,
+) -> DataFrame:
+    """Probe a built IVF index: nearest ``n_probe`` centroids per
+    query, then exact cosine against only those clusters' vectors.
+
+    The centroid matrix is a closure constant of a vectorized Pandas
+    UDF (one ``(batch × dim) @ (dim × k)`` matmul per Arrow batch) —
+    same rationale as :func:`srp_signatures_udf`: n_clusters×dim
+    literals as native expressions cost seconds of Catalyst compile
+    and HOFs evaluate interpreted per element. The probe side is tiny
+    and broadcast; against a partitioned on-disk index the cluster
+    equi-join prunes the assignment scan to the probed partitions.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    )
+    centers = index.centers
     center_sq = (centers**2).sum(axis=1)
+    n_probe_eff = min(n_probe, len(centers))
 
     def _probe_batch(vec):
         v = np.stack(vec.to_numpy())  # (batch, dim)
         # squared euclidean via ||q||² - 2q·c + ||c||²; ||q||² is
         # constant per row so it can't change the argsort — drop it
         d = center_sq[None, :] - 2.0 * (v @ centers.T)
-        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe_eff]
         return pd.Series(list(idx.astype("int32")))
 
     # no type hints: `from __future__ import annotations` stringifies
@@ -364,7 +425,7 @@ def ivf_topk(
     )
 
     scored = (
-        assigned.join(F.broadcast(probed), "cluster")
+        index.assignments.join(F.broadcast(probed), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -379,6 +440,42 @@ def ivf_topk(
         group_by=["query_id"],
         order_by=[F.col("cos").desc(), F.col("neighbor_id").asc()],
         k=k,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_clusters: int | None = None,
+    n_probe: int = 3,
+    train_fraction: float = 1.0,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other classic ANN
+    scale path (Jégou et al., IVF-Flat without product quantization):
+    build the coarse quantizer (:func:`build_ivf_index`), then probe
+    it (:func:`ivf_probe`). One-shot convenience; repeated query
+    batches should build once with ``path=`` and probe the persisted
+    index."""
+    index = build_ivf_index(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_clusters=n_clusters,
+        train_fraction=train_fraction,
+        max_iter=max_iter,
+    )
+    return ivf_probe(
+        index,
+        queries,
+        k=k,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        n_probe=n_probe,
     )
 
 

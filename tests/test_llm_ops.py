@@ -117,6 +117,33 @@ def test_ivf_ann_recall_vs_bruteforce(emb):
     assert recall >= 0.5, f"IVF recall@5 {recall:.3f} < 0.5"
 
 
+def test_ivf_index_persist_roundtrip(emb, tmp_path):
+    """Build-once / probe-many: a persisted index probes identically to
+    the one-shot path (same seed → same quantizer), its assignment
+    table lands partitioned by cluster, and probing the loaded index
+    never re-fits k-means."""
+    import os
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    one_shot = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, queries, k=5, n_probe=8).collect()
+    }
+    path = str(tmp_path / "ivf")
+    built = similarity.build_ivf_index(emb, path=path)
+    loaded = similarity.load_ivf_index(emb.sparkSession, path)
+    assert (built.centers == loaded.centers).all()
+    reprobe = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_probe(loaded, queries, k=5, n_probe=8).collect()
+    }
+    assert reprobe == one_shot
+    parts = [d for d in os.listdir(f"{path}/assignments") if d.startswith("cluster=")]
+    assert len(parts) == len(loaded.centers)
+
+
 def test_bpe_token_count_bounds(spark):
     from etl_with_s3__dynamodb_and_glue_spark.operators.text import (
         bpe_ish_token_count,
