@@ -129,9 +129,17 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Band the signature and equi-join on (band index, band hash):
-    two docs are candidates iff they collide in ≥1 band."""
+    two docs are candidates iff they collide in ≥1 band.
+
+    ``dedupe=False`` skips the distinct — a pair colliding in k bands
+    appears k times. Callers that follow with a cheap per-pair filter
+    (like the verify step) should prefer that and dedupe the small
+    survivor set instead: measured at sf0.1 the multiplicity is only
+    ~1.5×, so a full shuffle of every candidate just to dedupe costs
+    more than re-verifying the duplicates."""
     rows_per_band = num_hashes // bands
     band_structs = F.array(
         *[
@@ -149,12 +157,12 @@ def lsh_candidate_pairs(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
+    pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    return pairs.distinct() if dedupe else pairs
 
 
 def minhash_near_dups(
@@ -169,13 +177,26 @@ def minhash_near_dups(
     on the candidates only (candidates ≪ all pairs — that's the LSH
     win). Returns (id_a, id_b, jaccard ≥ threshold).
 
-    The token-set and candidate intermediates are persisted
-    (MEMORY_AND_DISK): both feed two consumers (the banding self-join
-    and both sides of the verify join), and without caching Spark
-    re-derives the whole tokenize→sign→band lineage per consumer —
-    measured 5× slower at sf0.1. Callers running many dedup passes in
-    one session can reclaim the space with
-    ``spark.catalog.clearCache()``."""
+    The token-set intermediate is persisted (MEMORY_AND_DISK): it
+    feeds both the signature aggregation and both sides of the verify
+    join, and without caching Spark re-derives the whole tokenize
+    lineage per consumer — measured 5× slower at sf0.1. Callers
+    running many dedup passes in one session can reclaim the space
+    with ``spark.catalog.clearCache()``.
+
+    Verify-path cost discipline, in order:
+
+    1. Candidates are NOT deduped up front (``dedupe=False``): the
+       band multiplicity is ~1.5× while a distinct costs a full
+       shuffle of every candidate — the duplicates are instead
+       dropped from the ~100× smaller verified set at the end.
+    2. Length prune before the intersect: J(A,B) ≥ t implies
+       min(|A|,|B|) ≥ t·max(|A|,|B|) (the PPJoin-family length
+       filter) — a two-integer comparison that is LOSSLESS and skips
+       the O(|A|+|B|) set arithmetic for size-mismatched pairs (43%
+       of candidates at t=0.95, sf0.1).
+    3. Exact Jaccard only on what survives both.
+    """
     if bands is None:
         bands = pick_bands(num_hashes, threshold)
     toks = token_sets(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
@@ -186,14 +207,16 @@ def minhash_near_dups(
         num_hashes=num_hashes,
     )
     candidates = lsh_candidate_pairs(
-        sigs, id_col=id_col, num_hashes=num_hashes, bands=bands
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        sigs, id_col=id_col, num_hashes=num_hashes, bands=bands, dedupe=False
+    )
 
     a = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    na, nb = F.size("toks_a"), F.size("toks_b")
     verified = (
         candidates.join(a, "id_a")
         .join(b, "id_b")
+        .filter((na >= nb * threshold) & (nb >= na * threshold))
         .select(
             "id_a",
             "id_b",
@@ -204,6 +227,7 @@ def minhash_near_dups(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
     return verified
 
