@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import dedup, multimodal, similarity
+from ..operators import dedup, multimodal, similarity, terms
 from ..operators.text import (
     LANG_PROFILES,
     avg_token_len,
@@ -593,6 +593,61 @@ def asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+# --- corpus term statistics ---------------------------------------------
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed TF-IDF (keyword
+    extraction / relevance weighting over the corpus)."""
+    return terms.tfidf_top_terms(_docs(spark, sf_dir), k=3).orderBy("doc_id", "term")
+
+
+DOC_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rank FROM ranked
+WHERE rank <= 3 ORDER BY doc_id, term
+"""
+
+
+def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-50 tokens by occurrences (vocabulary head profile
+    for tokenizer design)."""
+    return terms.top_tokens(_docs(spark, sf_dir), n=50)
+
+
+DOC_TOP_TOKENS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM toks GROUP BY term
+ORDER BY n_occurrences DESC, term ASC LIMIT 50
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_chunks": doc_chunks,
@@ -607,6 +662,8 @@ QUERIES = {
     "doc_simhash_near_dups": doc_simhash_near_dups,
     "doc_bpe_token_counts": doc_bpe_token_counts,
     "doc_ngram_containment": doc_ngram_containment,
+    "doc_tfidf_top_terms": doc_tfidf_top_terms,
+    "doc_top_tokens": doc_top_tokens,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_near_dup_pairs_lsh": embedding_near_dup_pairs_lsh,
@@ -627,6 +684,8 @@ ORACLE = {
     "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
     "doc_dedup_final": DOC_DEDUP_FINAL_SQL,
     "doc_ngram_containment": DOC_NGRAM_CONTAINMENT_SQL,
+    "doc_tfidf_top_terms": DOC_TFIDF_SQL,
+    "doc_top_tokens": DOC_TOP_TOKENS_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,
     "asset_content_hashes": ASSET_CONTENT_HASHES_SQL,

@@ -415,3 +415,48 @@ def test_hash_sample_fraction_one_keeps_every_row(docs):
     assert hex_threshold(1.0) == "g"  # sentinel above every hex bucket
     assert hash_sample(docs, "doc_id", 1.0).count() == docs.count()
     assert hash_sample(docs, "doc_id", 0.0).count() == 0
+
+
+def test_tfidf_top_terms_invariants(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.terms import (
+        tfidf_top_terms,
+        top_tokens,
+    )
+
+    rows = [
+        (1, "apple apple banana shared shared shared"),
+        (2, "banana cherry shared shared shared shared"),
+        (3, "durian durian durian shared apple cherry"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    top = tfidf_top_terms(docs, k=2).collect()
+
+    # ≤ k rows per doc, ranks are 1..k, tfidf non-negative and
+    # non-increasing within a doc.
+    by_doc: dict[int, list] = {}
+    for r in top:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2, 3}
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in doc_rows] == list(range(1, len(doc_rows) + 1))
+        assert len(doc_rows) <= 2
+        assert all(r.tfidf >= 0 for r in doc_rows)
+        assert all(
+            a.tfidf >= b.tfidf for a, b in zip(doc_rows, doc_rows[1:])
+        )
+    # 'shared' in every doc → smoothed idf bottoms out at ln(1)+1 = 1,
+    # so doc 1's 'shared' (tf=3 · 1.0 = 3.0) still edges out 'apple'
+    # (2 · (ln(4/3)+1) ≈ 2.58) — but doc 3's rare repeated 'durian'
+    # (3 · (ln(2)+1) ≈ 5.08) beats its 'shared' (tf=1).
+    assert by_doc[3][0].term == "durian"
+    assert by_doc[1][0].term == "shared" and by_doc[1][0].tfidf == 3.0
+    assert by_doc[1][1].term == "apple"
+
+    # top_tokens: counts sum to the total token count, ordering is
+    # count-desc then term-asc.
+    toks = top_tokens(docs, n=100).collect()
+    assert sum(r.n_occurrences for r in toks) == 18
+    assert toks[0].term == "shared" and toks[0].n_occurrences == 8
+    keys = [(-r.n_occurrences, r.term) for r in toks]
+    assert keys == sorted(keys)
