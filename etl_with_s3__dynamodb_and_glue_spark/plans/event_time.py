@@ -14,9 +14,7 @@ from ..sources.readers import read_events
 
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-min-gap sessions per user (declarative batch path)."""
-    return sessionize(read_events(spark, sf_dir), gap_seconds=1800).orderBy(
-        "user_id", "session_seq"
-    )
+    return sessionize(read_events(spark, sf_dir), gap_seconds=1800)
 
 
 USER_SESSIONS_SQL = """
@@ -65,7 +63,6 @@ def events_daily_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("day", "event_type")
     )
 
 
@@ -101,7 +98,6 @@ def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -152,7 +148,6 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("window_start", "event_type")
     )
 
 

@@ -33,7 +33,6 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 6).alias("max_price"),
             F.round(F.stddev("o_totalprice"), 6).alias("sd_price"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -76,7 +75,6 @@ def order_rank_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("o_orderkey").over(full).alias("best_order"),
             F.last("o_orderkey").over(full).alias("worst_order"),
         )
-        .orderBy("o_orderpriority", "drank", "o_orderkey")
     )
 
 
@@ -119,7 +117,6 @@ def customer_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
             F.round(F.sum("o_totalprice").over(w), 6).alias("spend_90d"),
         )
-        .orderBy("o_custkey", "order_day", "o_orderkey")
     )
 
 
@@ -149,7 +146,6 @@ def segment_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
             F.count(F.lit(1)).alias("n_customers"),
         )
-        .orderBy("c_mktsegment")
     )
 
 
@@ -183,7 +179,6 @@ def part_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("large")
             .alias("size_class"),
         )
-        .orderBy("p_partkey")
     )
 
 
@@ -228,7 +223,7 @@ def clicks_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "user_id", "click_id", "view_id", "view_value"
-    ).orderBy("user_id", "click_id")
+    )
 
 
 CLICKS_ASOF_PRIOR_VIEW_SQL = """
@@ -270,7 +265,6 @@ def error_followup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.groupBy("user_id", "error_id")
         .agg(F.count(F.lit(1)).alias("n_followups"))
-        .orderBy("user_id", "error_id")
     )
 
 
@@ -347,7 +341,6 @@ def activity_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("user_id").alias("n_with_user"),
             F.round(F.sum("amount"), 6).alias("total_amount"),
         )
-        .orderBy("kind")
     )
 
 
@@ -386,7 +379,6 @@ def segment_event_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 6).alias("total_value"),
         )
-        .orderBy("c_mktsegment")
     )
 
 
@@ -486,7 +478,6 @@ def order_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("o_custkey").alias("approx_customers"),
             F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -504,7 +495,6 @@ def returnflag_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["F", "O"])
         .agg(F.round(F.sum("l_quantity"), 6))
         .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
-        .orderBy("l_returnflag")
     )
 
 
@@ -543,7 +533,6 @@ def eventers_orderers_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -587,7 +576,6 @@ def order_quantity_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter("qtys", lambda q: q >= 25.0)).alias("n_large"),
             F.exists("qtys", lambda q: q > 49.0).alias("has_max_bucket"),
         )
-        .orderBy("l_orderkey")
     )
 
 
@@ -648,7 +636,6 @@ def csv_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("p._corrupt_record").isNull(), 1).otherwise(0)
             ).cast("long").alias("n_clean"),
         )
-        .orderBy("source")
     )
 
 

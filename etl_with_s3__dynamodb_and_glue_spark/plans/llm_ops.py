@@ -48,7 +48,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
         F.round(avg_token_len(toks), 6).alias("avg_token_len"),
         F.length("text").cast("long").alias("n_chars_actual"),
-    ).orderBy("doc_id")
+    )
 
 
 DOC_TOKEN_STATS_SQL = """
@@ -75,7 +75,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stopword_ratio(toks, LANG_PROFILES["en"]), 6).alias("stopword_ratio"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(quality_score("text"), 6).alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 _EN_SW = "['the','and','of','to','a','in','is','that','it','for']"
@@ -112,7 +112,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", "lang", lang_id("text").alias("predicted_lang")
-    ).orderBy("doc_id")
+    )
 
 
 _PROFILE_SQL = {
@@ -159,7 +159,7 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(tokens("text")).alias("n_ws_tokens"),
         bpe_ish_token_count("text").alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 # Winnowing-style containment: fingerprints seen in more than this many
@@ -208,7 +208,6 @@ def doc_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_windows"))
         .filter(F.col("shared_windows") >= 20)
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -254,7 +253,6 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("c.chunk").alias("n_tokens"),
             F.concat_ws(" ", F.col("c.chunk")).alias("chunk_text"),
         )
-        .orderBy("doc_id", "chunk_id")
     )
 
 
@@ -302,7 +300,6 @@ def doc_chunk_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("n_tokens").alias("pack_tokens"),
         )
-        .orderBy("lang", "pack_id")
     )
 
 
@@ -351,7 +348,6 @@ def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             salt="mix",
         )
         .select("doc_id", "lang")
-        .orderBy("doc_id")
     )
 
 
@@ -370,7 +366,7 @@ ORDER BY doc_id
 
 
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+    return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
 DOC_EXACT_DEDUP_SQL = """
@@ -384,9 +380,7 @@ ORDER BY doc_id
 
 
 def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.95).orderBy(
-        "id_a", "id_b"
-    )
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.95)
 
 
 DOC_JACCARD_PAIRS_SQL = """
@@ -418,7 +412,7 @@ def doc_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     pairs = dedup.jaccard_pairs(docs, threshold=0.95)
-    return dedup.resolve_near_dups(docs, pairs).orderBy("doc_id")
+    return dedup.resolve_near_dups(docs, pairs)
 
 
 DOC_DEDUP_FINAL_SQL = """
@@ -456,16 +450,12 @@ ORDER BY doc_id
 def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (LSH) — rows-only for the driver; recall vs the
     exact twin is asserted in tests."""
-    return dedup.minhash_near_dups(_docs(spark, sf_dir), threshold=0.95).orderBy(
-        "id_a", "id_b"
-    )
+    return dedup.minhash_near_dups(_docs(spark, sf_dir), threshold=0.95)
 
 
 def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (Hamming banding) — rows-only for the driver."""
-    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
+    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
 
 
 # --- similarity search ---------------------------------------------------
@@ -482,7 +472,7 @@ def _queries_df(spark: SparkSession, sf_dir: str, n: int = 10) -> DataFrame:
 def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(
         _emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5
-    ).orderBy("query_id", "rank")
+    )
 
 
 EMBEDDING_TOPK_SQL = """
@@ -508,7 +498,7 @@ WHERE rank <= 5 ORDER BY query_id, rank
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
         _emb(spark, sf_dir), threshold=0.4
-    ).orderBy("id_a", "id_b")
+    )
 
 
 EMBEDDING_NEAR_DUP_SQL = """
@@ -529,7 +519,7 @@ def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs the brute-force twin asserted in tests."""
     return similarity.embedding_near_dup_pairs_lsh(
         _emb(spark, sf_dir), threshold=0.4
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,7 +527,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     force asserted in tests."""
     return similarity.lsh_topk(
         _emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5
-    ).orderBy("query_id", "rank")
+    )
 
 
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,7 +535,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing) — rows-only; recall vs brute force asserted in tests."""
     return similarity.ivf_topk(
         _emb(spark, sf_dir), _queries_df(spark, sf_dir), k=5, n_probe=8, n_clusters=32
-    ).orderBy("query_id", "rank")
+    )
 
 
 # --- multimodal ----------------------------------------------------------
@@ -563,7 +553,6 @@ def asset_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_sha",
             F.length("content").cast("long").alias("n_bytes"),
         )
-        .orderBy("asset_id")
     )
 
 
@@ -590,7 +579,7 @@ def asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")), 6
         ).alias("feature_sum"),
-    ).orderBy("asset_id")
+    )
 
 
 # --- corpus term statistics ---------------------------------------------
@@ -599,7 +588,7 @@ def asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per document by smoothed TF-IDF (keyword
     extraction / relevance weighting over the corpus)."""
-    return terms.tfidf_top_terms(_docs(spark, sf_dir), k=3).orderBy("doc_id", "term")
+    return terms.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
 DOC_TFIDF_SQL = """

@@ -68,7 +68,6 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(ep).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -156,7 +155,6 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
 
@@ -185,7 +183,6 @@ def customers_with_events_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(events, cust.c_custkey == events.user_id, "left_semi")
         .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
     )
 
 
@@ -204,7 +201,6 @@ def customers_without_events_anti(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         cust.join(events, cust.c_custkey == events.user_id, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
     )
 
 
@@ -223,7 +219,7 @@ def active_user_ids_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION (distinct) of two id sets."""
     buyers = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
     eventers = read_events(spark, sf_dir).select(F.col("user_id").alias("id"))
-    return buyers.union(eventers).distinct().orderBy("id")
+    return buyers.union(eventers).distinct()
 
 
 UNION_SQL = """
@@ -237,7 +233,7 @@ ORDER BY id
 def buyer_eventer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     buyers = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
     eventers = read_events(spark, sf_dir).select(F.col("user_id").alias("id"))
-    return buyers.intersect(eventers).orderBy("id")
+    return buyers.intersect(eventers)
 
 
 INTERSECT_SQL = """
@@ -252,7 +248,7 @@ def buyers_not_eventers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     buyers = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
     eventers = read_events(spark, sf_dir).select(F.col("user_id").alias("id"))
     # subtract == SQL EXCEPT (set semantics, distinct result)
-    return buyers.subtract(eventers).orderBy("id")
+    return buyers.subtract(eventers)
 
 
 EXCEPT_SQL = """
@@ -275,10 +271,6 @@ def returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
         )
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
-        )
     )
 
 
@@ -297,10 +289,6 @@ def returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
-        )
     )
 
 
@@ -385,7 +373,6 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -415,7 +402,7 @@ def part_scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("small"))
         .alias("size_class"),
         F.round(F.col("p_retailprice"), 1).alias("price_rounded"),
-    ).orderBy("p_partkey")
+    )
 
 
 PART_SCALAR_SQL = """
@@ -443,7 +430,6 @@ def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("yr", "mo")
         .agg(F.count(F.lit(1)).alias("n_orders"), F.max("dom").alias("max_dom"))
-        .orderBy("yr", "mo")
     )
 
 
