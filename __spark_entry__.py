@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_with_s3__dynamodb_and_glue_spark.plans import (
+    curation,
     event_time,
     functions_surface,
     llm_ops,
@@ -23,7 +24,7 @@ from etl_with_s3__dynamodb_and_glue_spark.plans import (
     tpch_like,
 )
 
-_MODULES = [star_queries, tpch_like, llm_ops, event_time, functions_surface]
+_MODULES = [star_queries, tpch_like, llm_ops, event_time, functions_surface, curation]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,156 @@
+"""Training-corpus curation operators: repetition-based quality
+signals, PII scrubbing, and benchmark decontamination.
+
+These are the standard web-corpus filters from the public literature
+(repetition signals per Rae et al.'s Gopher quality heuristics;
+n-gram-overlap decontamination as practiced for public benchmark
+hygiene) re-expressed as native DataFrame plans.
+
+Scale design (100 TB):
+
+- Within-doc repetition ratios are pure per-row array expressions —
+  no shuffle at all.
+- The top-n-gram fraction needs a per-(doc, gram) count: one explode
+  + one hash aggregate keyed (doc, gram) — map-side partial
+  aggregation absorbs the fan-out — then a per-doc max/sum. Two
+  shuffles, both keyed by doc-sized keys, no joins.
+- PII scrubbing is a per-row regexp chain (JVM-side, codegen) — no
+  shuffle, no Python.
+- Decontamination joins the corpus's exploded distinct n-gram hashes
+  against the eval-benchmark n-gram set. The eval set is tiny by
+  construction (benchmarks are KBs; the corpus is TBs), so it is
+  BROADCAST — the corpus never shuffles, and the only aggregate is
+  the per-doc overlap count. 64-bit n-gram hashes keep the join key
+  at 8 B instead of shipping gram strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens, word_ngrams
+
+# RE2-safe patterns (no lookaround / backrefs) so the same pattern
+# text runs under Java regex (Spark) and RE2-family engines. Order
+# matters when scrubbing: SSN before generic phone (a dashed SSN also
+# matches loose phone shapes).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def _dup_fraction(arr: Column) -> Column:
+    """1 - distinct/total over an array — fraction of entries that are
+    repeats of an earlier value. 0 for empty arrays."""
+    total = F.size(arr)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(arr)).cast("double") / total
+    )
+
+
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition quality signals (Gopher-style):
+
+    - ``dup_word_frac``: fraction of tokens that repeat an earlier
+      token (1 - distinct/total) — pure per-row expression.
+    - ``dup_3gram_frac``: same over word 3-grams — per-row.
+    - ``top_2gram_frac``: occurrences of the single most frequent
+      2-gram over total 2-grams — the explode + two-aggregate path.
+
+    High values flag boilerplate/spam; typical filter thresholds are
+    applied downstream (this operator only measures).
+    """
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.round(_dup_fraction(toks), 6).alias("dup_word_frac"),
+        F.round(_dup_fraction(word_ngrams(toks, 3)), 6).alias("dup_3gram_frac"),
+        word_ngrams(toks, 2).alias("grams2"),
+    )
+    gram_counts = (
+        base.select(F.col(id_col), F.explode_outer("grams2").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top_frac = gram_counts.groupBy(id_col).agg(
+        F.round(
+            F.when(
+                F.max(F.when(F.col("gram").isNotNull(), F.col("n"))).isNull(),
+                F.lit(0.0),
+            ).otherwise(
+                F.max(F.when(F.col("gram").isNotNull(), F.col("n"))).cast("double")
+                / F.sum(F.when(F.col("gram").isNotNull(), F.col("n")).otherwise(0))
+            ),
+            6,
+        ).alias("top_2gram_frac")
+    )
+    return base.drop("grams2").join(top_frac, id_col)
+
+
+def pii_count_cols(text_col: str = "text") -> list[Column]:
+    """One ``n_<pattern>`` count column per PII pattern (match counts
+    on the raw text, independent of any scrubbing)."""
+    return [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+
+
+def pii_scrub_col(text_col: str = "text") -> Column:
+    """The scrubbed-text column: every PII pattern replaced with a
+    ``<NAME>`` placeholder, applied in declaration order (SSN before
+    phone, so dashed SSNs don't half-match as phones)."""
+    scrubbed = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return scrubbed
+
+
+def pii_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII match counts, one column per pattern
+    (``n_email``, ``n_ssn``, ``n_phone``, ``n_ipv4``)."""
+    return docs.select(F.col(id_col), *pii_count_cols(text_col))
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact PII in ``text_col`` → ``scrubbed`` with ``<NAME>``
+    placeholders."""
+    return docs.select(F.col(id_col), pii_scrub_col(text_col).alias("scrubbed"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of
+    distinct word ``n``-grams it shares with the eval benchmark set.
+    Docs with no overlap are absent (filter the returned ids out of
+    the corpus to decontaminate it).
+
+    The eval n-gram set is deduped and BROADCAST — benchmarks are KBs
+    while the corpus is TBs, so the corpus-side explode never
+    shuffles; the per-doc count aggregates map-side first. Grams
+    travel as 64-bit xxhash64 keys (8 B vs the gram string).
+    """
+    def gram_hashes(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        exploded = df.select(
+            *cols, F.explode(word_ngrams(tokens(text_col), n)).alias("gram")
+        )
+        return exploded.select(*cols, F.xxhash64("gram").alias("gram_h"))
+
+    eval_grams = gram_hashes(eval_docs, keep_id=False).distinct()
+    corpus_grams = gram_hashes(corpus, keep_id=True).distinct()
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "gram_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlapping_ngrams"))
+    )

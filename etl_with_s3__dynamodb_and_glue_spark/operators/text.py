@@ -39,11 +39,18 @@ def tokens(col: Column | str) -> Column:
 
 def word_ngrams(toks: Column, n: int) -> Column:
     """Word n-grams from a token array, as space-joined strings.
-    Pure array expression: slice a sliding window per position."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    Pure array expression: slice a sliding window per position.
+    Arrays shorter than ``n`` yield an empty gram list (a bare
+    ``sequence(1, size-n+1)`` would count DOWN to 0 and make
+    ``slice`` throw on start=0)."""
+    count = F.size(toks) - (n - 1)
+    return F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def char_shingles(col: Column | str, k: int = 5) -> Column:

@@ -1,0 +1,109 @@
+"""Curation operators: repetition signals, PII scrub, decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_with_s3__dynamodb_and_glue_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_signals_known_values(spark):
+    docs = _docs(
+        spark,
+        [
+            # 4 tokens, all distinct -> dup_word 0; 2 3-grams distinct;
+            # 3 2-grams distinct -> top 1/3
+            (1, "a b c d"),
+            # "x x x x": dup_word 0.75; 3-grams ["x x x"]x2 -> dup 0.5;
+            # 2-grams ["x x"]x3 -> top 1.0
+            (2, "x x x x"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.repetition_signals(docs).collect()
+    }
+    assert out[1]["dup_word_frac"] == 0.0
+    assert out[1]["dup_3gram_frac"] == 0.0
+    assert abs(out[1]["top_2gram_frac"] - 1 / 3) < 1e-6
+    assert out[2]["dup_word_frac"] == 0.75
+    assert out[2]["dup_3gram_frac"] == 0.5
+    assert out[2]["top_2gram_frac"] == 1.0
+
+
+def test_repetition_signals_every_doc_present(spark):
+    # single-token doc has zero 2-grams/3-grams: signals are 0, not
+    # a dropped row
+    docs = _docs(spark, [(1, "only"), (2, "a a")])
+    rows = {r["doc_id"]: r for r in curation.repetition_signals(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["top_2gram_frac"] == 0.0
+    assert rows[1]["dup_3gram_frac"] == 0.0
+
+
+def test_pii_counts_and_scrub(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail bob@example.com and sue@test.org now"),
+            (2, "ssn 123-45-6789 phone 555-867-5309 ip 10.0.0.7"),
+            (3, "clean text with no pii at all"),
+        ],
+    )
+    counts = {r["doc_id"]: r for r in curation.pii_counts(docs).collect()}
+    assert counts[1]["n_email"] == 2
+    assert counts[1]["n_ssn"] == 0
+    assert counts[2]["n_ssn"] == 1
+    assert counts[2]["n_phone"] == 1
+    assert counts[2]["n_ipv4"] == 1
+    assert all(counts[3][c] == 0 for c in ("n_email", "n_ssn", "n_phone", "n_ipv4"))
+
+    scrubbed = {r["doc_id"]: r["scrubbed"] for r in curation.pii_scrub(docs).collect()}
+    assert scrubbed[1] == "mail <EMAIL> and <EMAIL> now"
+    assert scrubbed[2] == "ssn <SSN> phone <PHONE> ip <IPV4>"
+    assert scrubbed[3] == "clean text with no pii at all"
+
+
+def test_pii_ssn_scrubbed_before_phone(spark):
+    # a dashed SSN must become <SSN>, never a half-matched <PHONE>
+    docs = _docs(spark, [(1, "id 987-65-4321 ok")])
+    [row] = curation.pii_scrub(docs).collect()
+    assert row["scrubbed"] == "id <SSN> ok"
+
+
+def test_decontaminate_counts_and_plan(spark):
+    eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    corpus = _docs(
+        spark,
+        [
+            (1, eight + " extra tail tokens here"),  # shares the 8-gram
+            (2, "totally different words " + "z1 z2 z3 z4 z5 z6 z7 z8"),
+            (3, eight),  # the eval doc itself
+        ],
+    )
+    eval_docs = corpus.filter(F.col("doc_id") == 3)
+    out = {
+        r["doc_id"]: r["n_overlapping_ngrams"]
+        for r in curation.decontaminate(corpus, eval_docs, n=8).collect()
+    }
+    assert out[1] == 1
+    assert out[3] == 1
+    assert 2 not in out
+
+    plan = curation.decontaminate(corpus, eval_docs, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "eval n-gram set must broadcast"
+
+
+def test_scrub_plan_is_pure_map(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "c d")])
+    plan = (
+        curation.pii_scrub(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, "PII scrub must not shuffle"
