@@ -26,6 +26,63 @@ from etl_with_s3__dynamodb_and_glue_spark.plans import (
 
 _MODULES = [star_queries, tpch_like, llm_ops, event_time, functions_surface, curation]
 
+# The driver's correctness harness checks the FIRST 50 registry entries
+# per round; the registry is larger than that, so ordering is coverage
+# policy. Queries that have not yet earned a green CORRECTNESS row (plus
+# anything changed this round) go first; long-stable showcases that have
+# been hash-green in multiple prior rounds absorb the overflow at the
+# tail.
+_CHECK_FIRST = [
+    # never driver-checked before round 4 (registry overflow in r2/r3)
+    "doc_repetition_signals",
+    "doc_pii_scrub",
+    "doc_decontamination",
+    "csv_quarantine_counts",
+    "clicks_asof_prior_view",
+    "error_followup_counts",
+    "customer_rolling_spend",
+    "priority_returns_exists",
+    "small_qty_part_revenue",
+    "segment_event_value_salted",
+    "activity_union_by_name",
+    "order_approx_stats",
+    "order_price_percentiles",
+    "order_rank_flavors",
+    "segment_distinct_stats",
+    "part_text_features",
+    # new / fixed this round
+    "doc_dedup_final_lsh",
+    "user_sessions",
+]
+_CHECK_LAST = [
+    # hash-green in rounds 2 AND 3; safe to rotate out of the window
+    "segment_kpis_intended",
+    "top_segments_per_day_intended",
+    "part_scalar_showcase",
+    "order_date_parts",
+    "active_user_ids_union",
+    "buyer_eventer_intersect",
+    "buyers_not_eventers_except",
+    "customers_with_events_semi",
+    "customers_without_events_anti",
+    "events_json_extract",
+    "returnflag_cube",
+    "top_orders_global",
+    "priority_status_grouping_sets",
+    "returnflag_status_pivot",
+    "eventers_orderers_full_outer",
+    "order_quantity_arrays",
+    "doc_chunk_packs",
+]
+
+
+def _reorder(merged: dict) -> dict:
+    middle = [
+        k for k in merged if k not in _CHECK_FIRST and k not in _CHECK_LAST
+    ]
+    ordered = _CHECK_FIRST + middle + _CHECK_LAST
+    return {k: merged[k] for k in ordered if k in merged}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -36,7 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         merged.update(mod.QUERIES)
-    return merged
+    return _reorder(merged)
 
 
 def oracle_sql() -> dict[str, str]:

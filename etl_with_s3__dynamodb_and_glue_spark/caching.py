@@ -1,0 +1,43 @@
+"""Cache-lifetime discipline for lazily-returned plans.
+
+Operators that persist an intermediate consumed by multiple branches of
+the plan they RETURN face a lifecycle problem: the cache must outlive
+the (lazy) result — any action on the result re-reads it — but nothing
+in the caller's hands references the intermediate, so it can never be
+released and leaks for the rest of the session. ``clearCache()``
+workarounds punish unrelated queries.
+
+:func:`unpersist_on_release` ties the intermediate's storage to the
+result's own lifetime: when the caller drops the result DataFrame (its
+Python object is garbage-collected), the caches are unpersisted. While
+the result is reachable it can still be recomputed cheaply; the moment
+it isn't, the memory is handed back. Same discipline as
+``plans.music_pipeline.unpersist_all``, without requiring the caller to
+know the operator's internals.
+"""
+
+from __future__ import annotations
+
+import weakref
+
+from pyspark.sql import DataFrame
+
+
+def unpersist_on_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Unpersist ``cached`` intermediates when ``result`` is
+    garbage-collected. Returns ``result`` for chaining.
+
+    The finalizer is a no-op on a stopped SparkContext (session
+    shutdown races GC at interpreter exit) and ``unpersist`` is
+    idempotent, so double-release is safe.
+    """
+
+    def _release() -> None:
+        for df in cached:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — context may already be gone
+                pass
+
+    weakref.finalize(result, _release)
+    return result

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..caching import unpersist_on_release
 from .text import fingerprint, normalize
 
 
@@ -181,9 +182,10 @@ def minhash_near_dups(
     The token-set intermediate is persisted (MEMORY_AND_DISK): it
     feeds both the signature aggregation and both sides of the verify
     join, and without caching Spark re-derives the whole tokenize
-    lineage per consumer — measured 5× slower at sf0.1. Callers
-    running many dedup passes in one session can reclaim the space
-    with ``spark.catalog.clearCache()``.
+    lineage per consumer — measured 5× slower at sf0.1. The cache is
+    released automatically when the returned DataFrame is dropped
+    (``caching.unpersist_on_release``), so repeated dedup passes in
+    one session don't accumulate storage.
 
     Verify-path cost discipline, in order:
 
@@ -257,7 +259,7 @@ def minhash_near_dups(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified
+    return unpersist_on_release(verified, toks)
 
 
 # --- cluster resolution --------------------------------------------------

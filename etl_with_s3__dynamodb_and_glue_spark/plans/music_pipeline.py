@@ -216,6 +216,7 @@ def run_batch_episode(
     date: the serving query (README.md:69-75) filters on date, so date
     partitioning is what prunes. Returns per-table row counts.
     """
+    from ..functions.metrics import with_stage_metrics
     from ..sources.archive import archive_files
 
     result = run_pipeline(spark, users_path, songs_path, streams_path)
@@ -226,8 +227,13 @@ def run_batch_episode(
             ("TopSongs", result.top_songs),
             ("TopGenres", result.top_genres),
         ):
-            sink.write(df, table, key="date")
-            counts[table] = df.count()
+            # observe() computes the row count DURING the sink write's
+            # own job — one action per table, no second pass over the
+            # lineage (the reference logs counts the same single-pass
+            # way via Glue job metrics).
+            instrumented, obs = with_stage_metrics(df)
+            sink.write(instrumented, table, key="date")
+            counts[table] = int(obs.get["rows"])
     finally:
         unpersist_all(result)
     if archive_root is not None:

@@ -124,21 +124,33 @@ def pin_naive_timestamp_semantics(spark: SparkSession) -> None:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events fact table.
+    """Read the events fact table, normalizing ``ts`` to TIMESTAMP.
 
-    The driver testdata writes ``events.ts`` as parquet
-    TIMESTAMP(NANOS), which Spark cannot map to TimestampType natively;
-    with ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
-    nanoseconds-since-epoch LongType and we truncate to microseconds
-    (integer ``div`` — same truncation DuckDB applies when it reads the
-    ns column as its µs TIMESTAMP, so oracle comparisons agree).
+    Parquet writers vary in how they store timestamps, and a general
+    engine must accept every flavor and present ONE session type:
+
+    - TIMESTAMP(NANOS): Spark cannot map it to TimestampType natively;
+      with ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives
+      as nanoseconds-since-epoch LongType and we truncate to
+      microseconds (integer ``div`` — same truncation DuckDB applies
+      when it reads the ns column as its µs TIMESTAMP, so oracle
+      comparisons agree).
+    - TIMESTAMP(isAdjustedToUTC=false): arrives as TIMESTAMP_NTZ,
+      which many timestamp functions (``unix_micros``, ``window``
+      pre-3.4) reject. Cast to TIMESTAMP — value-preserving under the
+      pinned UTC session zone (the faithful reading of a naive
+      timestamp, and the one the DuckDB oracle uses).
+    - TIMESTAMP(isAdjustedToUTC=true): already TimestampType; no-op.
     """
     pin_naive_timestamp_semantics(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     from pyspark.sql import functions as F
 
-    if dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

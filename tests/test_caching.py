@@ -1,0 +1,53 @@
+"""Cache-lifetime discipline: persisted intermediates inside operators
+are released when the returned result is dropped."""
+
+from __future__ import annotations
+
+import gc
+import time
+
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from etl_with_s3__dynamodb_and_glue_spark.caching import unpersist_on_release
+
+_NONE = StorageLevel(False, False, False, False, 1)
+
+
+def _n_cached(spark) -> int:
+    # NOTE: includes localCheckpoint RDDs from other tests in the shared
+    # session (released asynchronously by the ContextCleaner) — use
+    # deltas/polling, never absolute counts.
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_unpersist_on_release_frees_cache_when_result_dropped(spark):
+    base = spark.range(1000).withColumn("v", F.col("id") * 2).persist()
+    result = unpersist_on_release(base.groupBy().sum("v"), base)
+    assert result.collect()[0][0] == 999000
+    assert base.storageLevel != _NONE  # alive while the result is reachable
+    del result
+    gc.collect()  # finalizer fires on refcount; collect() for safety
+    assert base.storageLevel == _NONE
+
+
+def test_operator_persists_do_not_outlive_results(spark):
+    """The operators that persist internally (minhash dedup, tf-idf,
+    ngram containment) leave NOTHING cached once their results are
+    dropped — repeated passes in one session don't accumulate storage."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
+    from tests.conftest import SF_SMOKE
+
+    gc.collect()
+    n0 = _n_cached(spark)
+    for name in (
+        "doc_minhash_near_dups",
+        "doc_tfidf_top_terms",
+        "doc_ngram_containment",
+    ):
+        llm_ops.QUERIES[name](spark, SF_SMOKE).collect()
+    gc.collect()
+    deadline = time.time() + 30  # ContextCleaner races other tests' RDDs
+    while time.time() < deadline and _n_cached(spark) > n0:
+        time.sleep(0.5)
+    assert _n_cached(spark) <= n0

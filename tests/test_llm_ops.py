@@ -460,3 +460,38 @@ def test_tfidf_top_terms_invariants(spark):
     assert toks[0].term == "shared" and toks[0].n_occurrences == 8
     keys = [(-r.n_occurrences, r.term) for r in toks]
     assert keys == sorted(keys)
+
+
+def test_dedup_final_lsh_refines_exact_composition(spark):
+    """The declared scale path (MinHash-LSH pairs → clustering,
+    ``doc_dedup_final_lsh``) agrees with the exact-pair composition
+    (``doc_dedup_final``) at oracle scale up to LSH recall:
+
+    - every doc appears exactly once in both outputs;
+    - the LSH clustering REFINES the exact clustering (verify-join
+      precision is 1.0, so LSH pairs ⊆ exact pairs and no LSH cluster
+      can straddle two exact clusters);
+    - ≥98% of docs get the identical (cluster_id, is_survivor)
+      decision (the residue is missed-pair singletons).
+    """
+    from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
+    from tests.conftest import SF_ORACLE
+
+    exact = {r.doc_id: r for r in llm_ops.doc_dedup_final(spark, SF_ORACLE).collect()}
+    lsh = {
+        r.doc_id: r for r in llm_ops.doc_dedup_final_lsh(spark, SF_ORACLE).collect()
+    }
+    assert exact and set(lsh) == set(exact)
+    exact_of = {d: r.cluster_id for d, r in exact.items()}
+    for d, r in lsh.items():
+        # refinement: docs the LSH path clusters together are clustered
+        # together by the exact path (cluster reps map consistently)
+        assert exact_of[r.cluster_id] == exact_of[d], d
+    same = sum(
+        1
+        for d in exact
+        if (exact[d].cluster_id, exact[d].is_survivor)
+        == (lsh[d].cluster_id, lsh[d].is_survivor)
+    )
+    agreement = same / len(exact)
+    assert agreement >= 0.98, f"agreement {agreement:.3f} < 0.98"

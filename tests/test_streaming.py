@@ -214,3 +214,70 @@ def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
     )
     want = {(r.event_id, r.payload) for r in batch.collect()}
     assert got == want == {(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")}
+
+
+def test_sessionize_stream_timeout_emits_final_session_once(spark, tmp_path):
+    """The ProcessingTimeTimeout path of the stateful operator: after a
+    full gap of processing-time silence the stored session is emitted
+    exactly ONCE more (final totals) and the state is FREED — an idle
+    user neither re-emits on later triggers nor leaks state.
+
+    Two emissions total for the user: the open-session update from the
+    data batch, then the timeout finalization from a no-data batch
+    (``shouldRunAnotherBatch`` keeps triggers firing while processing-
+    time timeouts are armed).
+    """
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [
+            (1, datetime(2024, 6, 25, 10, 0, 0), 10, 1.0),
+            (1, datetime(2024, 6, 25, 10, 0, 1), 11, 2.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        sessionize_stream(stream, gap_seconds=2)
+        .writeStream.format("memory")
+        .queryName("sess_timeout")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+
+        def rows():
+            return spark.sql(
+                "SELECT * FROM sess_timeout WHERE user_id = 1"
+            ).collect()
+
+        deadline = time.time() + 60
+        while time.time() < deadline and len(rows()) < 2:
+            time.sleep(0.5)
+        got = rows()
+        assert len(got) == 2, got  # open-session update + timeout final
+        # both carry the complete session (update semantics: the final
+        # overwrite equals the last update since no events intervened)
+        assert {(r.session_seq, r.n_events, r.total_value) for r in got} == {
+            (1, 2, 3.0)
+        }
+        # state was removed and the timer disarmed: several more gap
+        # windows of triggers must produce NO further emissions
+        time.sleep(5)
+        assert len(rows()) == 2
+    finally:
+        q.stop()
