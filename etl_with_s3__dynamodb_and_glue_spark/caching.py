@@ -41,3 +41,25 @@ def unpersist_on_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
 
     weakref.finalize(result, _release)
     return result
+
+
+def unpersist_on_release_all(
+    results: list[DataFrame], *cached: DataFrame
+) -> list[DataFrame]:
+    """Unpersist ``cached`` only after EVERY DataFrame in ``results``
+    has been garbage-collected (for operators that return multiple
+    views over one cached scan, e.g. a clean/quarantine split)."""
+    remaining = {"n": len(results)}
+
+    def _one_down() -> None:
+        remaining["n"] -= 1
+        if remaining["n"] == 0:
+            for df in cached:
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001
+                    pass
+
+    for r in results:
+        weakref.finalize(r, _one_down)
+    return results

@@ -84,13 +84,17 @@ def split_quarantine(
     Spark disallows queries that reference ONLY the internal corrupt
     column over a raw file scan (the parser prunes columns and the
     corrupt record would be vacuous), and because both halves consume
-    the same scan.
+    the same scan. The cache is released once BOTH halves have been
+    dropped by the caller (no session-lifetime leak).
     """
     from pyspark.sql import functions as F
+
+    from ..caching import unpersist_on_release_all
 
     df = df.cache()
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     quarantined = df.filter(F.col(corrupt_col).isNotNull())
+    unpersist_on_release_all([clean, quarantined], df)
     return clean, quarantined
 
 

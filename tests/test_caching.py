@@ -51,3 +51,21 @@ def test_operator_persists_do_not_outlive_results(spark):
     while time.time() < deadline and _n_cached(spark) > n0:
         time.sleep(0.5)
     assert _n_cached(spark) <= n0
+
+
+def test_unpersist_on_release_all_waits_for_both_halves(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.caching import (
+        unpersist_on_release_all,
+    )
+
+    base = spark.range(100).withColumn("flag", F.col("id") % 2 == 0).persist()
+    a = base.filter("flag")
+    b = base.filter("NOT flag")
+    unpersist_on_release_all([a, b], base)
+    assert a.count() == 50 and b.count() == 50
+    del a
+    gc.collect()
+    assert base.storageLevel != _NONE  # one half still alive
+    del b
+    gc.collect()
+    assert base.storageLevel == _NONE
