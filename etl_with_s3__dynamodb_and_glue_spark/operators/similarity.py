@@ -203,26 +203,36 @@ def lsh_topk(
         F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
     )
 
+    # Candidate generation carries ONLY ids through the explode/join:
+    # posexploding the vectors themselves would materialize n_tables
+    # copies of every corpus vector (dim×8 doubles per row) purely to
+    # ship them to a collision check that never reads them. Ids-only
+    # candidates are a few bytes per row; the distinct is a shuffle of
+    # 16-byte pairs; vectors re-attach afterwards — one hash join on
+    # the (much smaller) deduped candidate set, the same shape
+    # :func:`embedding_near_dup_pairs_lsh` uses. Same result set as
+    # score-then-distinct (cosine is deterministic per pair).
     sigs = srp_signatures_udf(dim, n_planes, n_tables)
-    c_sig = c.withColumn("sigs", sigs("cvec")).select(
-        "neighbor_id", "cvec", F.posexplode("sigs").alias("table", "bucket")
+    c_sig = c.select(
+        "neighbor_id", F.posexplode(sigs("cvec")).alias("table", "bucket")
     )
-    q_sig = q.withColumn("sigs", sigs("qvec")).select(
-        "query_id", "qvec", F.posexplode("sigs").alias("table", "bucket")
+    q_sig = q.select(
+        "query_id", F.posexplode(sigs("qvec")).alias("table", "bucket")
     )
-
-    # Score before dedup: a candidate pair can collide in up to
-    # n_tables tables; recomputing cosine per collision is cheaper than
-    # a distinct() that shuffles both 64-double vectors per pair.
-    scored = (
+    candidates = (
         c_sig.join(F.broadcast(q_sig), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        candidates.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
         )
-        .distinct()
     )
     return top_k_per_group(
         scored,
