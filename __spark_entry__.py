@@ -52,6 +52,7 @@ _CHECK_FIRST = [
     "part_text_features",
     # new / fixed this round
     "doc_dedup_final_lsh",
+    "weekly_user_sketch_rollup",
     "user_sessions",
 ]
 _CHECK_LAST = [
@@ -73,6 +74,7 @@ _CHECK_LAST = [
     "eventers_orderers_full_outer",
     "order_quantity_arrays",
     "doc_chunk_packs",
+    "doc_chunks",
 ]
 
 

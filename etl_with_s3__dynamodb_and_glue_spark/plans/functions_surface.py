@@ -481,6 +481,48 @@ def order_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weekly_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the pattern that makes
+    distinct counting tractable at 100 TB: aggregate each day's events
+    into a fixed-size HLL sketch (Datasketches binary, a few KB), then
+    answer coarser-grain questions by UNIONING the daily sketches —
+    never re-touching raw events. Exact distinct is holistic (can't
+    pre-aggregate: a day-level distinct can't roll up to months because
+    users repeat across days); sketches restore the map-side-combine /
+    incremental-view shape with a known ~1.6% error (lgConfigK=12).
+
+    The two-level plan here (events → daily sketches → weekly merge)
+    is the batch analog of a streaming/incremental rollup: day sketches
+    are what you'd persist in a metrics store and re-merge on demand.
+    Rows-only for the driver (estimates are sketch-parameterized);
+    tests assert the estimate lands within error bounds of exact.
+    """
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").alias("week"),
+        F.to_date("ts").alias("day"),
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("user_sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("user_sketch"))
+            .cast("long")
+            .alias("est_distinct_users"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            F.to_date("week").alias("week"),
+            "est_distinct_users",
+            "n_days",
+            "n_events",
+        )
+    )
+
+
 # --- pivot ---------------------------------------------------------------
 
 
@@ -660,6 +702,7 @@ QUERIES = {
     "segment_event_value_salted": segment_event_value_salted,
     "activity_union_by_name": activity_union_by_name,
     "order_approx_stats": order_approx_stats,
+    "weekly_user_sketch_rollup": weekly_user_sketch_rollup,
     "order_price_percentiles": order_price_percentiles,
     "order_rank_flavors": order_rank_flavors,
     "customer_rolling_spend": customer_rolling_spend,
@@ -679,7 +722,8 @@ ORACLE = {
     "small_qty_part_revenue": SMALL_QTY_PART_REVENUE_SQL,
     "segment_event_value_salted": SEGMENT_EVENT_VALUE_SALTED_SQL,
     "activity_union_by_name": ACTIVITY_UNION_BY_NAME_SQL,
-    # order_approx_stats: sketch-based → rows-only
+    # order_approx_stats, weekly_user_sketch_rollup: sketch-based →
+    # rows-only (accuracy vs exact asserted in tests)
     "order_price_percentiles": ORDER_PRICE_PERCENTILES_SQL,
     "order_rank_flavors": ORDER_RANK_FLAVORS_SQL,
     "customer_rolling_spend": CUSTOMER_ROLLING_SPEND_SQL,
