@@ -40,13 +40,18 @@ def sessionize(
     ``id_col`` breaks timestamp ties deterministically (SURVEY.md Q4
     discipline). Output: one row per (user, session_seq) with start,
     end, event count and summed value.
+
+    Accepts TIMESTAMP or TIMESTAMP_NTZ input: ``unix_micros`` requires
+    TIMESTAMP, so NTZ is cast first (value-preserving under the UTC
+    session zone the readers pin) — the operator must not depend on
+    which parquet timestamp flavor the source happened to use.
     """
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     order = [F.col(ts_col).asc(), F.col(id_col).asc()]
     w = Window.partitionBy(user_col).orderBy(*order)
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    prev_us = F.lag(ts_us).over(w)
     is_new = (
-        prev_us.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - prev_us) > gap_seconds * 1_000_000)
+        prev_us.isNull() | ((ts_us - prev_us) > gap_seconds * 1_000_000)
     ).cast("long")
     running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
