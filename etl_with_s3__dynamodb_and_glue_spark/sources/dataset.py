@@ -58,3 +58,39 @@ def write_dataset(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_sized_parquet(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int | None = None,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with RUNTIME-sized files — the AQE companion to
+    :func:`write_dataset` for when there is no clustering key and no
+    good a-priori ``target_files`` estimate (intermediate hand-offs,
+    un-profiled inputs):
+
+    - the ``rebalance`` hint inserts a shuffle whose output partitions
+      AQE coalesces to ``advisoryPartitionSizeInBytes`` and skew-splits
+      when oversized — write-task sizing comes from runtime statistics
+      instead of a static count;
+    - ``maxRecordsPerFile`` bounds the large end within a task.
+
+    ``partition_by`` columns are both the directory partitioning and
+    the rebalance keys, so each output directory is written by tasks
+    holding only its rows (without this, every task can hold rows of
+    every partition value and sprays a small file into each directory
+    it touches). Prefer :func:`write_dataset` for curated final tables
+    where a clustering key gives row-group pruning on later scans.
+    """
+    balanced = df.hint("rebalance", *partition_by) if partition_by else df.hint(
+        "rebalance"
+    )
+    writer = balanced.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

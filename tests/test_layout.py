@@ -7,7 +7,7 @@ from pathlib import Path
 
 from pyspark.sql import functions as F
 
-from etl_with_s3__dynamodb_and_glue_spark.sources.layout import write_sized_parquet
+from etl_with_s3__dynamodb_and_glue_spark.sources.dataset import write_sized_parquet
 
 
 def _parquet_files(path: str) -> list[Path]:
