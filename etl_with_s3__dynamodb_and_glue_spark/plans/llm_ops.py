@@ -40,13 +40,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    toks = tokens("text")
-    return docs.select(
+    # Stage the token array once: inlining `tokens("text")` into all
+    # three consumers would embed three copies of the split/regex tree
+    # in one Project — HOF-bearing subtrees dodge subexpression
+    # elimination and the generated code triples (measured ~4× slower
+    # cold at sf0.1, dominated by codegen compile).
+    staged = docs.select("doc_id", "lang", "text", tokens("text").alias("tk"))
+    return staged.select(
         "doc_id",
         "lang",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        F.round(avg_token_len(toks), 6).alias("avg_token_len"),
+        F.size("tk").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).alias("n_unique_tokens"),
+        F.round(avg_token_len(F.col("tk")), 6).alias("avg_token_len"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )
 
