@@ -65,12 +65,16 @@ def repetition_signals(
     High values flag boilerplate/spam; typical filter thresholds are
     applied downstream (this operator only measures).
     """
-    toks = tokens(text_col)
-    base = docs.select(
+    # tokenize once; inlining the tokenizer into the three gram
+    # consumers embeds its split/regex tree per consumer (HOF subtrees
+    # dodge subexpression elimination → codegen blowup)
+    staged = docs.select(F.col(id_col), tokens(text_col).alias("tk"))
+    tk = F.col("tk")
+    base = staged.select(
         F.col(id_col),
-        F.round(_dup_fraction(toks), 6).alias("dup_word_frac"),
-        F.round(_dup_fraction(word_ngrams(toks, 3)), 6).alias("dup_3gram_frac"),
-        word_ngrams(toks, 2).alias("grams2"),
+        F.round(_dup_fraction(tk), 6).alias("dup_word_frac"),
+        F.round(_dup_fraction(word_ngrams(tk, 3)), 6).alias("dup_3gram_frac"),
+        word_ngrams(tk, 2).alias("grams2"),
     )
     gram_counts = (
         base.select(F.col(id_col), F.explode_outer("grams2").alias("gram"))

@@ -121,13 +121,24 @@ def avg_token_len(toks: Column) -> Column:
     return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
 
 
-def quality_score(col: Column | str, stopwords: list[str] | None = None) -> Column:
+def quality_score(
+    col: Column | str,
+    stopwords: list[str] | None = None,
+    toks: Column | None = None,
+) -> Column:
     """Composite [0,1] quality heuristic in the spirit of public
     pretraining-data filters (length, word shape, symbol load,
     stopword presence). Fixed deterministic arithmetic — ideal for an
-    oracle check; thresholds are tuning parameters, not truths."""
+    oracle check; thresholds are tuning parameters, not truths.
+
+    Pass ``toks`` (a pre-staged token-array column) when composing
+    with other token consumers in one Project: inlining the tokenizer
+    here embeds its split/regex tree into three sub-scores, and
+    HOF-bearing subtrees dodge common-subexpression elimination —
+    the generated code balloons and cold codegen compile dominates."""
     stopwords = stopwords or LANG_PROFILES["en"]
-    toks = tokens(col)
+    if toks is None:
+        toks = tokens(col)
     len_score = F.least(F.size(toks).cast("double") / F.lit(20.0), F.lit(1.0))
     word_len = avg_token_len(toks)
     word_len_score = F.when((word_len >= 2.0) & (word_len <= 12.0), 1.0).otherwise(0.3)

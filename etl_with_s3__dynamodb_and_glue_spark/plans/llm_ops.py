@@ -74,12 +74,14 @@ FROM t ORDER BY doc_id
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    toks = tokens("text")
-    return docs.select(
+    # tokenize once (see doc_token_stats — codegen blowup otherwise)
+    staged = docs.select("doc_id", "text", tokens("text").alias("tk"))
+    tk = F.col("tk")
+    return staged.select(
         "doc_id",
-        F.round(stopword_ratio(toks, LANG_PROFILES["en"]), 6).alias("stopword_ratio"),
+        F.round(stopword_ratio(tk, LANG_PROFILES["en"]), 6).alias("stopword_ratio"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(quality_score("text"), 6).alias("quality"),
+        F.round(quality_score("text", toks=tk), 6).alias("quality"),
     )
 
 
