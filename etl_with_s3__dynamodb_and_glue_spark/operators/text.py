@@ -154,20 +154,32 @@ def quality_score(
     )
 
 
-def lang_scores(col: Column | str, profiles: dict[str, list[str]] | None = None) -> dict[str, Column]:
+def lang_scores(
+    col: Column | str,
+    profiles: dict[str, list[str]] | None = None,
+    toks: Column | None = None,
+) -> dict[str, Column]:
     """Per-language stopword-overlap ratios (n-gram-profile heuristic
-    reduced to unigram profiles)."""
+    reduced to unigram profiles). Pass a pre-staged ``toks`` column
+    when possible — inlined tokenization is copied into every
+    language's ratio (2 HOF references each) and the codegen tree
+    balloons (see ``quality_score``)."""
     profiles = profiles or LANG_PROFILES
-    toks = tokens(col)
+    if toks is None:
+        toks = tokens(col)
     return {lang: stopword_ratio(toks, words) for lang, words in profiles.items()}
 
 
-def lang_id(col: Column | str, profiles: dict[str, list[str]] | None = None) -> Column:
+def lang_id(
+    col: Column | str,
+    profiles: dict[str, list[str]] | None = None,
+    toks: Column | None = None,
+) -> Column:
     """argmax over the language scores; 'und' (undetermined) when no
     profile matches at all. Ties break by language code order —
     deterministic."""
     profiles = profiles or LANG_PROFILES
-    scores = lang_scores(col, profiles)
+    scores = lang_scores(col, profiles, toks=toks)
     pairs = F.array(
         *[
             F.struct(score.alias("score"), F.lit(lang).alias("lang"))

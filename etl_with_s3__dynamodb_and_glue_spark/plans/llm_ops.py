@@ -117,8 +117,10 @@ FROM feat ORDER BY doc_id
 
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id", "lang", lang_id("text").alias("predicted_lang")
+    # tokenize once across all four language profiles
+    staged = docs.select("doc_id", "lang", tokens("text").alias("tk"))
+    return staged.select(
+        "doc_id", "lang", lang_id("tk", toks=F.col("tk")).alias("predicted_lang")
     )
 
 
