@@ -155,3 +155,23 @@ def test_cobucketed_join_has_no_exchange_or_sort(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_lsh_topk_candidates_carry_ids_not_vectors(spark):
+    """The SRP-LSH candidate join must move only (id, table, bucket)
+    rows — posexploding the corpus VECTORS n_tables times re-creates
+    the dim×n_tables-per-row blow-up the operator exists to avoid.
+    Guard: no generator (explode) node in the plan outputs the vector
+    column; vectors re-attach only after the candidate distinct."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_str(lsh_topk(emb, queries, k=5))
+    # formatted mode: "Arguments: posexplode(...), [<carried cols>], ..."
+    explode_lines = [ln for ln in plan.splitlines() if "posexplode(" in ln]
+    assert explode_lines  # the banding explode exists
+    for line in explode_lines:
+        assert "cvec" not in line and "qvec" not in line, line
