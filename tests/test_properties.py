@@ -111,3 +111,34 @@ def test_asof_result_is_latest_not_after(spark, ev):
         ]
         expected = max(eligible)[1] if eligible else None
         assert row.payload == expected, (row, eligible)
+
+
+def test_word_ngram_hashes_groups_like_string_grams(spark):
+    """The array-slice hash construction groups windows exactly like
+    the space-joined-string construction (whitespace tokens make the
+    join injective): per document, the gram count and the equal-window
+    partition must match on real corpus text."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.text import (
+        tokens,
+        word_ngram_hashes,
+        word_ngrams,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = tokens("text")
+    both = docs.select(
+        "doc_id",
+        F.transform(word_ngrams(toks, 8), lambda g: F.xxhash64(g)).alias("s"),
+        word_ngram_hashes(toks, 8).alias("h"),
+    ).collect()
+    assert both
+    for row in both:
+        assert len(row.s) == len(row.h), row.doc_id
+        # identical equal-window partition: positions that collide
+        # under one hashing collide under the other
+        def groups(xs):
+            seen: dict = {}
+            return tuple(seen.setdefault(x, len(seen)) for x in xs)
+
+        assert groups(row.s) == groups(row.h), row.doc_id
