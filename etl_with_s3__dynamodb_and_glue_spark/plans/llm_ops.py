@@ -627,8 +627,13 @@ ORDER BY asset_id
 
 
 def asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction (deterministic fake decoder) —
-    rows-only for the driver; schema/shape asserted in tests."""
+    """mapInPandas feature extraction. The fake decoder is
+    deterministic arithmetic on the content digest (sha256 bytes
+    / 255 as float32), so unlike a real codec it supports a FULL
+    value oracle: DuckDB reconstructs each digest byte from the hex
+    characters and replays the same float32 scaling — the whole
+    Arrow-batched mapInPandas lane (schema, batching, byte handling)
+    is hash-checked end-to-end, not just row-counted."""
     assets = multimodal.make_asset_table(_docs(spark, sf_dir))
     feats = multimodal.extract_features(assets, fake=True)
     return feats.select(
@@ -640,6 +645,23 @@ def asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")), 6
         ).alias("feature_sum"),
     )
+
+
+ASSET_FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id AS asset_id,
+         sha256(text) AS content_sha,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT asset_id, content_sha, n_bytes,
+       CAST(16 AS INTEGER) AS n_features,
+       ROUND(list_sum(list_transform(range(0, 16), i ->
+         CAST(CAST(((strpos('0123456789abcdef', substr(content_sha, 2*i+1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(content_sha, 2*i+2, 1)) - 1)) / 255.0
+              AS FLOAT) AS DOUBLE))), 6) AS feature_sum
+FROM b ORDER BY asset_id
+"""
 
 
 # --- corpus term statistics ---------------------------------------------
@@ -739,7 +761,7 @@ ORACLE = {
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,
     "asset_content_hashes": ASSET_CONTENT_HASHES_SQL,
+    "asset_features": ASSET_FEATURES_SQL,
     # doc_minhash_near_dups, doc_simhash_near_dups, doc_dedup_final_lsh,
-    # embedding_lsh_topk, asset_features: approximate /
-    # non-SQL-expressible → rows-only.
+    # embedding_lsh_topk: approximate → rows-only.
 }
