@@ -1,0 +1,103 @@
+"""Incremental sketch maintenance over a stream — the streaming twin
+of ``plans.functions_surface.weekly_user_sketch_rollup``.
+
+Exact distinct counts cannot be maintained incrementally (state would
+have to hold every id ever seen). HLL sketches can: each micro-batch
+aggregates its NEW events into per-day sketches, which merge into the
+persisted store by sketch union — constant-size state per day, and the
+store answers distinct-count questions at any grain, any time, without
+re-reading events. This is the metrics-store pattern a 100 TB ingest
+pipeline runs: the raw firehose is touched once, per batch, at
+arrival.
+
+``foreachBatch`` is the right harness (not a streaming aggregation):
+the store is a queryable table between batches, merge semantics are by
+sketch-union not row-overwrite, and the same code path serves batch
+backfills. The store itself is metrics-sized (one row per day: a date,
+a few-KB sketch, a count) so the read-merge-rewrite cycle costs
+nothing next to the batch scan; the merged rows pass through the
+driver only because parquet cannot be atomically self-overwritten —
+same trade as the IVF centroid load (similarity.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+SKETCH_SCHEMA = "day date, user_sketch binary, n_events long"
+
+
+def _day_sketches(events: DataFrame) -> DataFrame:
+    return events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("user_sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def merge_day_sketches(spark: SparkSession, batch: DataFrame, store_dir: str) -> None:
+    """Merge one batch's per-day sketches into the persisted store:
+    union-by-day of (existing ∪ batch) via ``hll_union_agg``. Works
+    for the first batch (empty store) and for backfills alike."""
+    incoming = _day_sketches(batch)
+    if os.path.isdir(store_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(store_dir)
+    ):
+        existing = spark.read.schema(SKETCH_SCHEMA).parquet(store_dir)
+        merged = (
+            existing.unionByName(incoming)
+            .groupBy("day")
+            .agg(
+                F.hll_union_agg("user_sketch").alias("user_sketch"),
+                F.sum("n_events").alias("n_events"),
+            )
+        )
+    else:
+        merged = incoming
+    # parquet can't be read and overwritten in one job — land the new
+    # generation beside the store, then swap. The store is one row per
+    # day, so the rewrite is O(days), never O(events).
+    tmp = tempfile.mkdtemp(prefix="sketch_store_", dir=os.path.dirname(store_dir) or ".")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(store_dir):
+        shutil.rmtree(store_dir)
+    os.replace(tmp, store_dir)
+
+
+def sketch_store_stream(
+    events: DataFrame, store_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Maintain the per-day user-sketch store from an events stream
+    (columns: ts, user_id). Each micro-batch touches only its own
+    rows; the store absorbs them by sketch union."""
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        merge_day_sketches(batch.sparkSession, batch, store_dir)
+
+    return (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def estimate_distinct_users(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Read the store and answer: distinct users per day, and the
+    merged total across all days — no event data touched."""
+    store = spark.read.schema(SKETCH_SCHEMA).parquet(store_dir)
+    per_day = store.select(
+        "day",
+        F.hll_sketch_estimate("user_sketch").cast("long").alias("est_users"),
+        "n_events",
+    )
+    total = store.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("user_sketch"))
+        .cast("long")
+        .alias("est_users_total")
+    )
+    return per_day, total

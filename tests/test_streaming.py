@@ -281,3 +281,49 @@ def test_sessionize_stream_timeout_emits_final_session_once(spark, tmp_path):
         assert len(rows()) == 2
     finally:
         q.stop()
+
+
+def test_sketch_store_stream_matches_batch_estimates(spark, tmp_path):
+    """Incremental sketch maintenance: events split across files and
+    processed one file per micro-batch (maxFilesPerTrigger=1) must
+    yield a store whose estimates EQUAL the single-pass batch
+    sketches — sketch union is associative over arbitrary batching —
+    and land within the HLL error envelope of exact distinct counts."""
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.sketches import (
+        _day_sketches,
+        estimate_distinct_users,
+        sketch_store_stream,
+    )
+
+    events = read_events(spark, SF_SMOKE).select("ts", "user_id")
+    src = tmp_path / "events_src"
+    # two files -> two micro-batches with overlapping users/days
+    events.filter(F.col("user_id") % 2 == 0).write.parquet(str(src / "f0"))
+    events.filter(F.col("user_id") % 2 == 1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    store = str(tmp_path / "sketch_store")
+    q = sketch_store_stream(stream, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    per_day, total = estimate_distinct_users(spark, store)
+    got_days = {r.day: (r.est_users, r.n_events) for r in per_day.collect()}
+
+    batch_ref = _day_sketches(events)
+    want_days = {
+        r.day: (r.est, r.n_events)
+        for r in batch_ref.select(
+            "day",
+            F.hll_sketch_estimate("user_sketch").cast("long").alias("est"),
+            "n_events",
+        ).collect()
+    }
+    assert got_days == want_days and len(got_days) >= 2
+
+    exact_total = events.select("user_id").distinct().count()
+    est_total = total.first().est_users_total
+    assert abs(est_total - exact_total) / exact_total <= 0.05
