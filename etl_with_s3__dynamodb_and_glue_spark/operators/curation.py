@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .text import tokens, word_ngrams
+from .text import tokens, word_ngram_hashes, word_ngrams
 
 # RE2-safe patterns (no lookaround / backrefs) so the same pattern
 # text runs under Java regex (Spark) and RE2-family engines. Order
@@ -140,21 +140,28 @@ def decontaminate(
     the corpus to decontaminate it).
 
     The eval n-gram set is deduped and BROADCAST — benchmarks are KBs
-    while the corpus is TBs, so the corpus-side explode never
-    shuffles; the per-doc count aggregates map-side first. Grams
-    travel as 64-bit xxhash64 keys (8 B vs the gram string).
+    while the corpus is TBs, so the corpus side NEVER shuffles its
+    grams: per-doc gram dedup happens in-row (``array_distinct``
+    before the explode — a distinct over exploded (doc, gram) rows
+    would be a full corpus-gram shuffle), the broadcast join filters
+    at the scan, and the per-doc count aggregates map-side. Grams
+    travel as 64-bit xxhash64 keys (8 B, hashed straight off the
+    token window — no gram-string construction).
     """
+
     def gram_hashes(df: DataFrame, keep_id: bool) -> DataFrame:
         cols = [F.col(id_col)] if keep_id else []
-        exploded = df.select(
-            *cols, F.explode(word_ngrams(tokens(text_col), n)).alias("gram")
+        return df.select(
+            *cols,
+            F.explode(
+                F.array_distinct(word_ngram_hashes(tokens(text_col), n))
+            ).alias("gram_h"),
         )
-        return exploded.select(*cols, F.xxhash64("gram").alias("gram_h"))
 
     eval_grams = gram_hashes(eval_docs, keep_id=False).distinct()
-    corpus_grams = gram_hashes(corpus, keep_id=True).distinct()
     return (
-        corpus_grams.join(F.broadcast(eval_grams), "gram_h")
+        gram_hashes(corpus, keep_id=True)
+        .join(F.broadcast(eval_grams), "gram_h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlapping_ngrams"))
     )
