@@ -102,6 +102,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolving(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Read a parquet dataset whose files were written under EVOLVING
+    schemas (long-lived landing zones gain columns over time).
+
+    With an explicit ``schema`` (preferred — one source of truth, no
+    footer pass): files missing a column yield NULLs for it, extra
+    on-disk columns are ignored — the standard parquet projection
+    contract. Without one, ``mergeSchema`` unions the footers of ALL
+    files; correct, but a full footer sweep per query — at 100 TB pin
+    the schema instead (or let a table catalog own it).
+    """
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

@@ -35,3 +35,13 @@ def test_entry_runs_at_smoke_scale(spark):
     qs = entry_mod.queries()
     for name, fn in qs.items():
         assert fn(spark, SF_SMOKE).count() >= 0, name
+
+
+def test_bench_headline_names_are_declared():
+    """Every name bench.py times must exist in the registry — a rename
+    must fail here, not as a KeyError mid-bench-run."""
+    import bench
+
+    qs = entry_mod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing

@@ -58,3 +58,40 @@ def test_quarantine_clean_file_has_empty_quarantine(spark, tmp_path):
     clean, quarantined = split_quarantine(read_csv_quarantine(spark, str(p), SCHEMA))
     assert clean.count() == 2
     assert quarantined.count() == 0
+
+
+def test_read_parquet_evolving_across_schema_generations(spark, tmp_path):
+    """Files written before a column existed read back with NULLs for
+    it; mergeSchema unions footers when no schema is pinned."""
+    from pyspark.sql import types as T
+
+    from etl_with_s3__dynamodb_and_glue_spark.sources.readers import (
+        read_parquet_evolving,
+    )
+
+    out = tmp_path / "evolving"
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        str(out / "gen1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(str(out / "gen2"))
+
+    pinned = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    got = {
+        (r.id, r.name, r.score)
+        for r in read_parquet_evolving(
+            spark, f"{out}/gen*", schema=pinned
+        ).collect()
+    }
+    assert got == {(1, "a", None), (2, "b", 9.5)}
+
+    merged = read_parquet_evolving(spark, f"{out}/gen*")
+    assert set(merged.columns) == {"id", "name", "score"}
+    assert merged.count() == 2
