@@ -65,10 +65,14 @@ def repetition_signals(
     High values flag boilerplate/spam; typical filter thresholds are
     applied downstream (this operator only measures).
     """
+    from ..caching import unpersist_on_release
+
     # tokenize once; inlining the tokenizer into the three gram
     # consumers embeds its split/regex tree per consumer (HOF subtrees
-    # dodge subexpression elimination → codegen blowup)
-    staged = docs.select(F.col(id_col), tokens(text_col).alias("tk"))
+    # dodge subexpression elimination → codegen blowup). Persisted:
+    # the per-row signals branch and the gram-count branch would each
+    # re-run scan+tokenize otherwise (released with the result).
+    staged = docs.select(F.col(id_col), tokens(text_col).alias("tk")).persist()
     tk = F.col("tk")
     base = staged.select(
         F.col(id_col),
@@ -93,7 +97,8 @@ def repetition_signals(
             6,
         ).alias("top_2gram_frac")
     )
-    return base.drop("grams2").join(top_frac, id_col)
+    result = base.drop("grams2").join(top_frac, id_col)
+    return unpersist_on_release(result, staged)
 
 
 def pii_count_cols(text_col: str = "text") -> list[Column]:
