@@ -114,6 +114,71 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _fake_resize(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode: a stable
+    function of (content digest, target dims) with output length
+    scaled to the target pixel count, so size-dependent downstream
+    behavior (batching, memory accounting) is exercisable."""
+    digest = hashlib.sha256(content + f"{width}x{height}".encode()).digest()
+    n = max(1, (width * height) // 64)
+    return (digest * (n // len(digest) + 1))[:n]
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Resize the image assets to (width, height) — same asset-table
+    schema out, with ``content`` re-encoded and ``meta`` dims updated.
+
+    Same plumbing contract as :func:`extract_features`: Arrow-batched
+    ``mapInPandas``, per-partition, no shuffle, binary payload never
+    leaves its partition. The pixel work is stubbed (no codecs in
+    this container): ``fake=True`` runs a deterministic stand-in,
+    ``fake=False`` raises at the decode boundary exactly where a real
+    Pillow/libvips call slots in.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs not available in this environment; "
+                    "use fake=True"
+                )
+            out = pdf.copy()
+            out["content"] = out["content"].map(
+                lambda b: _fake_resize(bytes(b), width, height)
+            )
+            out["meta"] = out["meta"].map(
+                lambda m: {**m, "width": width, "height": height}
+            )
+            yield out
+
+    return df.filter(F.col("modality") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: computes per-asset frame timestamps
     (native array expression) without decoding — the decode of each

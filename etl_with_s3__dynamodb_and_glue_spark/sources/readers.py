@@ -181,3 +181,21 @@ def load_star_tables(
 ) -> dict[str, DataFrame]:
     """Load the driver testdata tables for one scale factor."""
     return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
+
+
+def register_star_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = STAR_TABLES
+) -> None:
+    """Register every star table as a temp view so ad-hoc
+    ``spark.sql(...)`` works against the dataset — the SQL half of the
+    engine's surface (same declarative plans, same Catalyst
+    optimizations; views are lazy scans, so unused tables cost
+    nothing). Events get the same timestamp normalization as
+    :func:`read_events`."""
+    for name in names:
+        df = (
+            read_events(spark, sf_dir)
+            if name == "events"
+            else spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        )
+        df.createOrReplaceTempView(name)

@@ -45,3 +45,32 @@ def test_bench_headline_names_are_declared():
     qs = entry_mod.queries()
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, missing
+
+
+def test_sql_surface_matches_dataframe_plan(spark):
+    """register_star_views exposes the SQL half of the API: the same
+    query written in SQL equals its DataFrame twin (and events.ts is
+    normalized for both)."""
+    from pyspark.sql import functions as F
+
+    from etl_with_s3__dynamodb_and_glue_spark.sources.readers import (
+        read_events,
+        register_star_views,
+    )
+
+    register_star_views(spark, SF_SMOKE)
+    got = {
+        (r.day, r.n, round(r.total, 6))
+        for r in spark.sql(
+            "SELECT to_date(ts) AS day, COUNT(*) AS n, SUM(value) AS total "
+            "FROM events GROUP BY to_date(ts)"
+        ).collect()
+    }
+    want = {
+        (r.day, r.n, round(r.total, 6))
+        for r in read_events(spark, SF_SMOKE)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want and len(got) > 0

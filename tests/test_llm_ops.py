@@ -495,3 +495,28 @@ def test_dedup_final_lsh_refines_exact_composition(spark):
     )
     agreement = same / len(exact)
     assert agreement >= 0.98, f"agreement {agreement:.3f} < 0.98"
+
+
+def test_resize_images_plumbing(docs):
+    """Resize keeps the asset-table schema, updates meta dims, scales
+    the payload with the target pixel count, and is deterministic —
+    the mapInPandas lane is real even though the pixel work is a
+    stub."""
+    assets = multimodal.make_asset_table(docs)
+    small = multimodal.resize_images(assets, 64, 64).collect()
+    large = {
+        r.asset_id: r for r in multimodal.resize_images(assets, 256, 256).collect()
+    }
+    assert len(small) == len(large) == assets.count()
+    for r in small:
+        assert r.meta.width == 64 and r.meta.height == 64
+        assert len(r.content) == (64 * 64) // 64
+        bigger = large[r.asset_id]
+        assert bigger.meta.width == 256
+        assert len(bigger.content) == (256 * 256) // 64
+        assert r.content != bigger.content  # dims feed the fake encode
+    again = {
+        r.asset_id: bytes(r.content)
+        for r in multimodal.resize_images(assets, 64, 64).collect()
+    }
+    assert {r.asset_id: bytes(r.content) for r in small} == again
