@@ -529,7 +529,7 @@ def simhash_near_dups(
     fps = simhash_fingerprints(df, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    return (
+    result = (
         simhash_candidate_pairs(fps, max_hamming, id_col=id_col, blocks=blocks)
         .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -537,3 +537,4 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return unpersist_on_release(result, fps)

@@ -25,6 +25,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..caching import unpersist_on_release
 from .windows import top_k_per_group
 
 
@@ -281,7 +282,7 @@ def embedding_near_dup_pairs_lsh(
     )
     va = e.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
     vb = e.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
-    return (
+    result = (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
         .select(
@@ -291,6 +292,7 @@ def embedding_near_dup_pairs_lsh(
         )
         .filter(F.col("cos") >= threshold)
     )
+    return unpersist_on_release(result, e)
 
 
 class IvfIndex:
