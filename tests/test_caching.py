@@ -35,17 +35,21 @@ def test_operator_persists_do_not_outlive_results(spark):
     """The operators that persist internally (minhash dedup, tf-idf,
     ngram containment) leave NOTHING cached once their results are
     dropped — repeated passes in one session don't accumulate storage."""
-    from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
+    from etl_with_s3__dynamodb_and_glue_spark.plans import curation, llm_ops
     from tests.conftest import SF_SMOKE
 
     gc.collect()
     n0 = _n_cached(spark)
     for name in (
         "doc_minhash_near_dups",
+        "doc_simhash_near_dups",
         "doc_tfidf_top_terms",
         "doc_ngram_containment",
+        "doc_repetition_signals",
+        "embedding_near_dup_pairs_lsh",
     ):
-        llm_ops.QUERIES[name](spark, SF_SMOKE).collect()
+        registry = {**llm_ops.QUERIES, **curation.QUERIES}
+        registry[name](spark, SF_SMOKE).collect()
     gc.collect()
     deadline = time.time() + 30  # ContextCleaner races other tests' RDDs
     while time.time() < deadline and _n_cached(spark) > n0:
