@@ -520,3 +520,16 @@ def test_resize_images_plumbing(docs):
         for r in multimodal.resize_images(assets, 64, 64).collect()
     }
     assert {r.asset_id: bytes(r.content) for r in small} == again
+
+
+def test_declared_ivf_query_recall_with_sampled_build(spark):
+    """The declared query probes the build-once index whose quantizer
+    trains on a 25% sample — recall vs brute force must hold for THAT
+    path, not just the full-train operator."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
+    from tests.conftest import SF_SMOKE
+
+    approx = llm_ops.embedding_ivf_topk(spark, SF_SMOKE)
+    exact = llm_ops.embedding_topk_bruteforce(spark, SF_SMOKE)
+    recall = similarity.recall_at_k(approx, exact, k=5)
+    assert recall >= 0.5, f"declared IVF recall@5 {recall:.3f} < 0.5"
