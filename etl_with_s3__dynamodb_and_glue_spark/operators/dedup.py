@@ -82,6 +82,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     shingle_col: str = "shingles",
     num_hashes: int = 32,
+    include_set_size: bool = False,
 ) -> DataFrame:
     """H-permutation MinHash signature per document.
 
@@ -104,6 +105,12 @@ def minhash_signatures(
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
+    if include_set_size:
+        # shingle arrays are distinct by construction (token_sets), so
+        # a plain count IS the set size — rides the same aggregate,
+        # costing nothing, and spares downstream consumers (the PPJoin
+        # length prune) a separate per-doc size join.
+        aggs.append(F.count(F.lit(1)).alias("n_set"))
     return exploded.groupBy(id_col).agg(*aggs)
 
 
@@ -252,34 +259,34 @@ def minhash_near_dups(
     if bands is None:
         bands = pick_bands(num_hashes, threshold)
     toks = token_sets(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # include_set_size: the set size rides the signature aggregation
+    # itself (same groupBy, zero extra shuffle or join).
     sigs = minhash_signatures(
         toks.withColumnRenamed("toks", "shingles"),
         id_col=id_col,
         shingle_col="shingles",
         num_hashes=num_hashes,
+        include_set_size=True,
     )
-    # Set sizes ride through the banding join (carry_cols) so the
+    # Set sizes then ride through the banding join (carry_cols) so the
     # length prune (#2 above) fires on the RAW band collisions —
     # before the distinct shuffles them and long before the verify
     # join attaches token arrays. Measured at sf0.1/t=0.95 the bound
     # discards 43% of candidates (1.07M → 0.61M): that many fewer
     # rows through distinct, two array attachments, and set-intersects,
-    # for four extra bytes per banded row and zero extra joins. The
-    # sizes join onto sigs reuses the signature aggregation's
-    # partitioning (both keyed by doc id) — no added exchange.
-    sized = sigs.join(toks.select(id_col, F.size("toks").alias("n_toks")), id_col)
+    # for four extra bytes per banded row and zero extra joins.
     raw = lsh_candidate_pairs(
-        sized,
+        sigs,
         id_col=id_col,
         num_hashes=num_hashes,
         bands=bands,
         dedupe=False,
-        carry_cols=("n_toks",),
+        carry_cols=("n_set",),
     )
-    na, nb = F.col("n_toks_a"), F.col("n_toks_b")
+    na, nb = F.col("n_set_a"), F.col("n_set_b")
     candidates = (
         raw.filter((na >= nb * threshold) & (nb >= na * threshold))
-        .select("id_a", "id_b", "n_toks_a", "n_toks_b")
+        .select("id_a", "id_b", "n_set_a", "n_set_b")
         .distinct()
     )
 
