@@ -136,14 +136,18 @@ ORDER BY o_custkey, order_day, o_orderkey
 
 
 def segment_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """countDistinct + sorted collect_set (sorted for deterministic
-    hashing; collect_set order is undefined by contract)."""
+    """countDistinct + sorted collect_set, emitted as a canonical
+    comma-joined string (sorted for determinism; a string rather than an
+    array column because the driver's hash-compare harness cannot hash
+    Python lists — r4's one red row)."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return (
         cust.groupBy("c_mktsegment")
         .agg(
             F.countDistinct("c_nationkey").alias("n_nations"),
-            F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set("c_nationkey"))
+            ).alias("nations"),
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
@@ -152,7 +156,7 @@ def segment_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEGMENT_DISTINCT_STATS_SQL = """
 SELECT c_mktsegment,
        COUNT(DISTINCT c_nationkey) AS n_nations,
-       list_sort(list(DISTINCT c_nationkey)) AS nations,
+       array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
        COUNT(*) AS n_customers
 FROM customer
 GROUP BY c_mktsegment

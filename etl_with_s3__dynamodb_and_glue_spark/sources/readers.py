@@ -61,17 +61,35 @@ def read_csv_quarantine(
     ``corrupt_col`` and NULLs in the typed columns, so downstream code
     can split clean rows from quarantined ones without losing evidence.
     Scales trivially — the corrupt column is a per-row map, no shuffle.
+
+    Implementation: a ``text`` scan parsed with :func:`from_csv` rather
+    than the CSV file source. The file source forbids plans whose only
+    referenced column is the internal corrupt column (its parser prunes
+    columns, so the corrupt record would be vacuous) — making every
+    derived plan's legality depend on a cache being alive. ``from_csv``
+    is an ordinary expression with no such restriction: any projection
+    of the parsed struct is legal on a cold plan. Header lines (one per
+    file in a folder scan) are dropped by exact match against the
+    schema's comma-joined field names.
     """
+    from pyspark.sql import functions as F
+
     full = T.StructType(
         list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
     )
-    return (
-        spark.read.schema(full)
-        .option("header", header)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .csv(path)
+    lines = spark.read.text(path)
+    if header:
+        header_line = ",".join(f.name for f in schema.fields)
+        lines = lines.filter(F.col("value") != header_line)
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in full.fields
     )
+    parsed = F.from_csv(
+        F.col("value"),
+        ddl,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+    )
+    return lines.select(parsed.alias("r")).select("r.*")
 
 
 def split_quarantine(
@@ -80,12 +98,14 @@ def split_quarantine(
     """Split a quarantine-read DataFrame into (clean, quarantined).
 
     Clean rows drop the corrupt column; quarantined rows keep the raw
-    line for forensics / reprocessing. The input is cached because
-    Spark disallows queries that reference ONLY the internal corrupt
-    column over a raw file scan (the parser prunes columns and the
-    corrupt record would be vacuous), and because both halves consume
-    the same scan. The cache is released once BOTH halves have been
-    dropped by the caller (no session-lifetime leak).
+    line for forensics / reprocessing. The input is cached only so both
+    halves share one parse of the underlying scan — since the read path
+    is ``from_csv`` over a text scan (see :func:`read_csv_quarantine`),
+    a released cache means recompute, never an illegal plan. The cache
+    is released once BOTH halves have been dropped by the caller (no
+    session-lifetime leak); each half also keeps a strong reference to
+    the cached input, so the release cannot fire while either half is
+    still reachable.
     """
     from pyspark.sql import functions as F
 

@@ -52,6 +52,24 @@ def test_quarantine_splits_clean_from_malformed(spark, tmp_path):
     }
 
 
+def test_derived_corrupt_only_plan_survives_cache_release(spark, tmp_path):
+    """A corrupt-column-only projection derived from the quarantined
+    half must execute even after both returned halves are dropped and
+    the shared cache released (the CSV file source forbids that plan on
+    a cold scan; the from_csv read path must not)."""
+    import gc
+
+    df = read_csv_quarantine(spark, _write_fixture(tmp_path), SCHEMA)
+    clean, quarantined = split_quarantine(df)
+    raw_only = quarantined.select("_corrupt_record")
+    del clean, quarantined, df
+    gc.collect()  # finalizer unpersists the shared cache
+    assert {r["_corrupt_record"] for r in raw_only.collect()} == {
+        "t3,Misaligned Row,not_a_number",
+        "t5,Another Bad One,12.5x",
+    }
+
+
 def test_quarantine_clean_file_has_empty_quarantine(spark, tmp_path):
     p = tmp_path / "ok.csv"
     p.write_text("track_id,track_name,popularity\nt1,A,1\nt2,B,2\n")
