@@ -577,13 +577,6 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_probe(index, _queries_df(spark, sf_dir), k=5, n_probe=8)
 
 
-# Process-lifetime registry of built IVF indexes. The on-disk artifact
-# (cluster-partitioned parquet + centroid table) is session-independent,
-# so the cache survives SparkSession restarts within one process; a
-# fresh load_ivf_index rebinds it to the calling session.
-_IVF_INDEX_DIRS: dict[str, str] = {}
-
-
 def ensure_ivf_index(spark: SparkSession, sf_dir: str):
     """Build-once/probe-many accessor for the IVF index over
     ``{sf_dir}/embeddings.parquet`` (32 clusters, seeded — deterministic
@@ -595,17 +588,26 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str):
     (0.72 vs 0.65 @5, n_probe=8), and at 100 TB full-corpus k-means
     would be the index build's bottleneck. ASSIGNMENT still covers
     every vector — sampling affects centroid training only.
-    """
-    import tempfile
 
-    path = _IVF_INDEX_DIRS.get(sf_dir)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="ivf_index_")
+    The on-disk artifact (cluster-partitioned parquet + centroid table)
+    is session-independent: cached per (corpus path, mtime, size) for
+    the life of the process via
+    :func:`..sources.dataset.ensure_derived_dataset` (stale-input
+    rebuild, concurrent-build lock, removal at exit); a fresh
+    ``load_ivf_index`` rebinds it to the calling session.
+    """
+    from ..sources.dataset import ensure_derived_dataset
+
+    corpus = f"{sf_dir}/embeddings.parquet"
+
+    def build(path: str) -> None:
         similarity.build_ivf_index(
             _emb(spark, sf_dir), n_clusters=32, train_fraction=0.25, path=path
         )
-        _IVF_INDEX_DIRS[sf_dir] = path
-    return similarity.load_ivf_index(spark, path)
+
+    return similarity.load_ivf_index(
+        spark, ensure_derived_dataset("ivf_index", [corpus], build)
+    )
 
 
 # --- multimodal ----------------------------------------------------------

@@ -246,8 +246,85 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def ensure_serving_dataset(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once accessor for the SERVING copy of the per-day customer
+    count table — the engine's analog of the reference's DynamoDB
+    TOP_GENRES table (reference README.md:69-75; SURVEY.md §3 entry
+    point 3): the batch layer lands a curated, query-optimized layout,
+    consumers point-look it up.
+
+    Layout via :func:`write_dataset`: hive-partitioned on ``date`` (the
+    lookup key → partition pruning on every serve) and range-clustered
+    on ``listen_count`` inside each partition (the ORDER BY key →
+    row-group min/max stats line up with the top-k scan).
+    """
+    from ..sources.dataset import ensure_derived_dataset, write_dataset
+
+    def build(path: str) -> None:
+        write_dataset(
+            _counts(spark, sf_dir),
+            path,
+            partition_by=["date"],
+            cluster_by=["listen_count"],
+            target_files=8,
+        )
+
+    return ensure_derived_dataset(
+        "serving_counts",
+        [f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet"],
+        build,
+    )
+
+
+def serving_top_rows_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's only consumer-facing read path (README.md:69-75:
+    PartiQL ``SELECT * FROM TOP_GENRES WHERE date=… ORDER BY
+    listen_count DESC LIMIT 5``) over the written serving dataset: a
+    single-partition point lookup + top-5.
+
+    The date literal comes from a partition-directory listing — a
+    metadata operation (what a catalog or DynamoDB key schema gives the
+    reference's consumer), not a data scan — so the filter is a literal
+    at plan time and partition pruning fires (asserted in
+    tests/test_plan_shapes.py). The scan then reads ONE partition
+    regardless of how many days the table holds; at 100 TB the serve
+    cost is bounded by a day's rows, not the table.
+    """
+    import os
+
+    path = ensure_serving_dataset(spark, sf_dir)
+    days = sorted(
+        d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("date=")
+    )
+    latest = days[-1]
+    served = spark.read.parquet(path)
+    return (
+        served.filter(F.col("date") == latest)
+        .orderBy(F.desc("listen_count"), F.asc("custkey"))
+        .limit(5)
+        .select(
+            F.col("date").cast("string").alias("date"),
+            "segment",
+            "custkey",
+            "cust_name",
+            "listen_count",
+        )
+    )
+
+
+SERVING_TOP_ROWS_LOOKUP_SQL = f"""
+WITH counts AS ({_COUNTS_SQL})
+SELECT date, segment, custkey, cust_name, listen_count
+FROM counts
+WHERE date = (SELECT max(date) FROM counts)
+ORDER BY listen_count DESC, custkey ASC
+LIMIT 5
+"""
+
+
 QUERIES = {
     "flagship_daily_segment_topk": flagship_daily_segment_topk,
+    "serving_top_rows_lookup": serving_top_rows_lookup,
     "segment_kpis_compat": segment_kpis_compat,
     "segment_kpis_intended": segment_kpis_intended,
     "top_rows_per_day_compat": top_rows_per_day_compat,
@@ -256,6 +333,7 @@ QUERIES = {
 
 ORACLE = {
     "flagship_daily_segment_topk": FLAGSHIP_SQL,
+    "serving_top_rows_lookup": SERVING_TOP_ROWS_LOOKUP_SQL,
     "segment_kpis_compat": SEGMENT_KPIS_COMPAT_SQL,
     "segment_kpis_intended": SEGMENT_KPIS_INTENDED_SQL,
     "top_rows_per_day_compat": TOP_ROWS_PER_DAY_COMPAT_SQL,

@@ -24,7 +24,12 @@ the table.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+import atexit
+import os
+import shutil
+import tempfile
+import threading
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
 
@@ -58,6 +63,52 @@ def write_dataset(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+# --- build-once derived datasets -----------------------------------------
+
+# Process-lifetime registry of built derived datasets (IVF indexes,
+# serving layouts). Keyed on the INPUT files' identity (path, mtime,
+# size), not just their path, so a changed input triggers a rebuild
+# instead of serving a stale artifact. The on-disk artifacts are
+# session-independent: they survive SparkSession restarts within one
+# process and are removed at interpreter exit.
+_DERIVED_DIRS: dict[tuple, str] = {}
+_DERIVED_LOCK = threading.Lock()
+
+
+def _input_fingerprint(path: str) -> tuple:
+    st = os.stat(path)
+    return (path, int(st.st_mtime_ns), st.st_size)
+
+
+def ensure_derived_dataset(
+    kind: str,
+    input_paths: Sequence[str],
+    build: Callable[[str], None],
+) -> str:
+    """Build-once/read-many accessor for an on-disk derived dataset.
+
+    ``build(path)`` materializes the artifact into a fresh temp dir;
+    the dir is cached for the life of the process under a key that
+    includes each input's (path, mtime, size) — the cheap O(1) staleness
+    check a real deployment would replace with a catalog snapshot id.
+    The build runs under a lock (concurrent callers wait, exactly one
+    builds) and every built dir is registered for removal at exit.
+    """
+    key = (kind, *map(_input_fingerprint, input_paths))
+    with _DERIVED_LOCK:
+        path = _DERIVED_DIRS.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix=f"{kind}_")
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
+            try:
+                build(path)
+            except BaseException:
+                shutil.rmtree(path, ignore_errors=True)
+                raise
+            _DERIVED_DIRS[key] = path
+    return path
 
 
 def write_sized_parquet(

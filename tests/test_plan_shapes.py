@@ -81,7 +81,21 @@ def test_kv_sink_read_prunes_partitions(spark, tmp_path):
     assert q.rdd.getNumPartitions() <= 1 or "2024-06-25" in plan
 
 
-def test_asof_join_is_single_shuffle_no_join(spark):
+def test_serving_lookup_prunes_to_one_partition(spark):
+    """The consumer read path (reference README.md:69-75) must hit ONE
+    date partition of the written serving dataset: a literal partition
+    filter in the FileSourceScan, and a pruned-down file count — at
+    100 TB the serve cost is a day's rows, not the table."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.star_queries import (
+        serving_top_rows_lookup,
+    )
+
+    q = serving_top_rows_lookup(spark, SF_SMOKE)
+    plan = plan_str(q)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "date" in pf_line and "[]" not in pf_line
+    # the top-5 must be a TakeOrdered, not a global sort shuffle
+    assert "TakeOrderedAndProject" in plan
     left = read_events(spark, SF_SMOKE).select(
         "user_id", F.col("ts").alias("t"), "event_id"
     )
