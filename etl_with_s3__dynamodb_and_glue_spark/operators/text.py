@@ -85,13 +85,31 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# Fracture-point marker for bpe_ish_token_count: a control byte no
+# document text contains; inserted at token boundaries, then split on.
+BPE_SEP = "\x01"
+
+
 def bpe_ish_token_count(col: Column | str) -> Column:
     """A BPE-flavored token-count estimate without a tokenizer model:
     splits on word boundaries AND digit/punct transitions, the way
     byte-pair vocabularies fracture text. Deterministic and cheap —
-    a cost/billing estimator, not a real tokenizer."""
+    a cost/billing estimator, not a real tokenizer.
+
+    Constructed without regex lookarounds (capture-group replacements
+    insert an explicit separator at each fracture point, then one
+    split) so the SAME construction runs on RE2 engines — that is what
+    lets the DuckDB oracle replay it verbatim (plans/llm_ops.py
+    ``doc_bpe_token_counts``). Letter→digit and digit→letter rules are
+    separate passes: transitions of one kind are never adjacent, so
+    global replace sees every boundary.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.split(F.lower(F.trim(c)), r"\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?=[^\w\s])")
+    s = F.lower(F.trim(c))
+    s = F.regexp_replace(s, "([a-z])([0-9])", "$1" + BPE_SEP + "$2")
+    s = F.regexp_replace(s, "([0-9])([a-z])", "$1" + BPE_SEP + "$2")
+    s = F.regexp_replace(s, r"([^\w\s])", BPE_SEP + "$1")
+    pieces = F.split(s, r"[\s" + BPE_SEP + "]+")
     return F.size(F.filter(pieces, lambda p: p != F.lit("")))
 
 

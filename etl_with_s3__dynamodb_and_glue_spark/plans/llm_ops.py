@@ -160,15 +160,40 @@ FROM s ORDER BY doc_id
 
 def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-flavored token-count estimate (whitespace + digit/punct
-    fracture points) — rows-only: the split regex uses lookarounds,
-    which DuckDB's RE2 engine cannot express; invariants (bpe >=
-    whitespace count) are asserted in tests instead."""
+    fracture points). The split is built lookaround-free (explicit
+    separator insertion — operators/text.py ``bpe_ish_token_count``)
+    precisely so DuckDB's RE2 engine can replay it verbatim: full
+    value oracle, not rows-only."""
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.size(tokens("text")).alias("n_ws_tokens"),
         bpe_ish_token_count("text").alias("n_bpe_tokens"),
     )
+
+
+# The same three fracture-point replacements + one split as
+# operators/text.py::bpe_ish_token_count, in RE2/DuckDB spelling
+# (\1-style backrefs, chr(1) separator).
+DOC_BPE_TOKEN_COUNTS_SQL = r"""
+WITH marked AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(trim(text)),
+                            '([a-z])([0-9])', '\1' || chr(1) || '\2', 'g'),
+             '([0-9])([a-z])', '\1' || chr(1) || '\2', 'g'),
+           '([^\w\s])', chr(1) || '\1', 'g') AS s
+  FROM documents
+)
+SELECT m.doc_id,
+       CAST(len(string_split_regex(lower(trim(d.text)), '\s+'))
+            AS INTEGER) AS n_ws_tokens,
+       CAST(len(list_filter(string_split_regex(m.s, '[\s' || chr(1) || ']+'),
+                            x -> x <> '')) AS INTEGER) AS n_bpe_tokens
+FROM marked m JOIN documents d USING (doc_id)
+ORDER BY doc_id
+"""
 
 
 # Winnowing-style containment: fingerprints seen in more than this many
@@ -770,6 +795,7 @@ ORACLE = {
     "doc_ngram_containment": DOC_NGRAM_CONTAINMENT_SQL,
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
     "doc_top_tokens": DOC_TOP_TOKENS_SQL,
+    "doc_bpe_token_counts": DOC_BPE_TOKEN_COUNTS_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,
     "asset_content_hashes": ASSET_CONTENT_HASHES_SQL,
