@@ -186,6 +186,7 @@ def lsh_topk(
     dim: int = 64,
     n_planes: int = 4,
     n_tables: int = 8,
+    broadcast_queries_max: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k: union of ``n_tables`` independent SRP hash
     tables; candidates are bucket collisions in any table; exact
@@ -196,13 +197,28 @@ def lsh_topk(
     n_tables buys recall. The defaults (4×8) give ~0.8 recall at
     cosine ≈ 0.45 — tuned for near-uniform embeddings where true
     neighbors are only moderately close; for clustered real-world
-    embeddings raise n_planes to tighten buckets."""
+    embeddings raise n_planes to tighten buckets.
+
+    The query side is broadcast only while its row count stays within
+    ``broadcast_queries_max`` (probed with a LIMIT-bounded count, so
+    the check never scans past the threshold). The default keeps the
+    broadcast payload ≈ tens of MB at dim=64 (rows × dim × 8 B for the
+    vectors); a batch above it joins by shuffle instead — a forced
+    broadcast of an unbounded query batch is an executor OOM, and AQE
+    can still pick a runtime broadcast if actual sizes allow.
+    """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
     )
+    small_q = (
+        queries.limit(broadcast_queries_max + 1).count() <= broadcast_queries_max
+        if broadcast_queries_max > 0
+        else False
+    )
+    maybe_broadcast = F.broadcast if small_q else (lambda df: df)
 
     # Candidate generation carries ONLY ids through the explode/join:
     # posexploding the vectors themselves would materialize n_tables
@@ -221,14 +237,14 @@ def lsh_topk(
         "query_id", F.posexplode(sigs("qvec")).alias("table", "bucket")
     )
     candidates = (
-        c_sig.join(F.broadcast(q_sig), ["table", "bucket"])
+        c_sig.join(maybe_broadcast(q_sig), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
     scored = (
         candidates.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
+        .join(maybe_broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",

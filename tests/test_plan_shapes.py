@@ -189,3 +189,26 @@ def test_lsh_topk_candidates_carry_ids_not_vectors(spark):
     assert explode_lines  # the banding explode exists
     for line in explode_lines:
         assert "cvec" not in line and "qvec" not in line, line
+
+
+def test_lsh_topk_large_query_batch_not_forced_broadcast(spark):
+    """A query batch above broadcast_queries_max must NOT carry a
+    broadcast hint (a forced broadcast of an unbounded batch is an
+    executor OOM); results must match the broadcast path exactly."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled = lsh_topk(emb, queries, k=5, broadcast_queries_max=0)
+        assert "BroadcastHashJoin" not in plan_str(shuffled)
+        hinted = lsh_topk(emb, queries, k=5)
+        assert "BroadcastHashJoin" in plan_str(hinted)
+        key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+        assert key(shuffled) == key(hinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
