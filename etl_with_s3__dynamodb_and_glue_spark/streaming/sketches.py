@@ -39,10 +39,56 @@ def _day_sketches(events: DataFrame) -> DataFrame:
     )
 
 
-def merge_day_sketches(spark: SparkSession, batch: DataFrame, store_dir: str) -> None:
+# Batch-id marker inside the store dir. Underscore-prefixed files are
+# metadata by parquet convention (like _SUCCESS) — readers skip them.
+_BATCH_MARKER = "_last_batch_id"
+
+
+def _recover_store(store_dir: str) -> None:
+    """Heal the swap's two crash windows: a crash after the old
+    generation was set aside but before the new one was promoted
+    leaves only ``<store>.old`` (restore it); a crash after promotion
+    leaves both (drop the leftover)."""
+    old = store_dir + ".old"
+    if os.path.isdir(old):
+        if os.path.isdir(store_dir):
+            shutil.rmtree(old)
+        else:
+            os.replace(old, store_dir)
+
+
+def last_merged_batch_id(store_dir: str) -> int | None:
+    marker = os.path.join(store_dir, _BATCH_MARKER)
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            return int(f.read().strip())
+    return None
+
+
+def merge_day_sketches(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    batch_id: int | None = None,
+) -> None:
     """Merge one batch's per-day sketches into the persisted store:
     union-by-day of (existing ∪ batch) via ``hll_union_agg``. Works
-    for the first batch (empty store) and for backfills alike."""
+    for the first batch (empty store) and for backfills alike.
+
+    Replay-safe under foreachBatch's at-least-once contract: the store
+    records the last merged ``batch_id`` (inside the swapped dir, so
+    marker and data move atomically together), and a batch at or below
+    it is skipped — HLL union is idempotent but the ``n_events`` sum is
+    not, so a replayed batch must not merge twice. Crash-safe: the old
+    generation is set aside by rename and deleted only after the new
+    one is promoted; every intermediate state is recoverable
+    (:func:`_recover_store`), and the store is never missing.
+    """
+    _recover_store(store_dir)
+    if batch_id is not None:
+        last = last_merged_batch_id(store_dir)
+        if last is not None and batch_id <= last:
+            return
     incoming = _day_sketches(batch)
     if os.path.isdir(store_dir) and any(
         f.endswith(".parquet") for f in os.listdir(store_dir)
@@ -63,9 +109,14 @@ def merge_day_sketches(spark: SparkSession, batch: DataFrame, store_dir: str) ->
     # day, so the rewrite is O(days), never O(events).
     tmp = tempfile.mkdtemp(prefix="sketch_store_", dir=os.path.dirname(store_dir) or ".")
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        with open(os.path.join(tmp, _BATCH_MARKER), "w") as f:
+            f.write(str(batch_id))
+    old = store_dir + ".old"
     if os.path.isdir(store_dir):
-        shutil.rmtree(store_dir)
+        os.replace(store_dir, old)
     os.replace(tmp, store_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def sketch_store_stream(
@@ -75,8 +126,8 @@ def sketch_store_stream(
     (columns: ts, user_id). Each micro-batch touches only its own
     rows; the store absorbs them by sketch union."""
 
-    def handle(batch: DataFrame, _batch_id: int) -> None:
-        merge_day_sketches(batch.sparkSession, batch, store_dir)
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        merge_day_sketches(batch.sparkSession, batch, store_dir, batch_id=batch_id)
 
     return (
         events.writeStream.foreachBatch(handle)
@@ -86,9 +137,12 @@ def sketch_store_stream(
     )
 
 
-def estimate_distinct_users(spark: SparkSession, store_dir: str) -> DataFrame:
+def estimate_distinct_users(
+    spark: SparkSession, store_dir: str
+) -> tuple[DataFrame, DataFrame]:
     """Read the store and answer: distinct users per day, and the
     merged total across all days — no event data touched."""
+    _recover_store(store_dir)
     store = spark.read.schema(SKETCH_SCHEMA).parquet(store_dir)
     per_day = store.select(
         "day",

@@ -48,7 +48,7 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert rows == {(1, "a", "d1"), (99, "b", None)}
 
 
-def test_approx_stats_accuracy_vs_exact(spark):
+def test_approx_stats_accuracy_vs_exact(spark, capsys):
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
     exact = {
         r.o_orderpriority: (r.nd, r.med)
@@ -70,6 +70,15 @@ def test_approx_stats_accuracy_vs_exact(spark):
     }
     for prio, (nd, med) in exact.items():
         and_, amed = approx[prio]
+        # surface measured accuracy vs the asserted envelope in CI
+        # output — these queries are rows-only forever (sketch impls
+        # differ from DuckDB's), so this print IS their value check
+        with capsys.disabled():
+            print(
+                f"\n[sketch-accuracy] order_approx_stats {prio}: "
+                f"distinct rel_err={abs(and_ - nd) / nd:.4f}, "
+                f"median rel_err={abs(amed - med) / med:.4f} (bound 0.1)"
+            )
         assert abs(and_ - nd) / nd < 0.1, (prio, and_, nd)
         assert abs(amed - med) / med < 0.1, (prio, amed, med)
 
@@ -84,7 +93,7 @@ def test_salted_join_rejects_small_side_preserving_how(spark):
             salted_join(big, small, on=["k"], how=how)
 
 
-def test_weekly_sketch_rollup_within_hll_error(spark):
+def test_weekly_sketch_rollup_within_hll_error(spark, capsys):
     """Daily HLL sketches union-merged to weeks estimate the exact
     week-level distinct within the sketch's error envelope (~1.6%
     at lgConfigK=12; assert 5% for slack), and exact-count columns
@@ -116,5 +125,11 @@ def test_weekly_sketch_rollup_within_hll_error(spark):
         rel_err = abs(row.est_distinct_users - exact[week].n_users) / max(
             exact[week].n_users, 1
         )
+        with capsys.disabled():
+            print(
+                f"\n[sketch-accuracy] weekly_user_sketch_rollup {week}: "
+                f"est={row.est_distinct_users} exact={exact[week].n_users} "
+                f"rel_err={rel_err:.4f} (bound 0.05)"
+            )
         assert rel_err <= 0.05, f"{week}: {rel_err:.4f}"
         assert row.n_events == exact[week].n_events

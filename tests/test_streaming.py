@@ -283,7 +283,7 @@ def test_sessionize_stream_timeout_emits_final_session_once(spark, tmp_path):
         q.stop()
 
 
-def test_sketch_store_stream_matches_batch_estimates(spark, tmp_path):
+def test_sketch_store_stream_matches_batch_estimates(spark, tmp_path, capsys):
     """Incremental sketch maintenance: events split across files and
     processed one file per micro-batch (maxFilesPerTrigger=1) must
     yield a store whose estimates EQUAL the single-pass batch
@@ -326,4 +326,52 @@ def test_sketch_store_stream_matches_batch_estimates(spark, tmp_path):
 
     exact_total = events.select("user_id").distinct().count()
     est_total = total.first().est_users_total
-    assert abs(est_total - exact_total) / exact_total <= 0.05
+    rel_err = abs(est_total - exact_total) / exact_total
+    # surface measured accuracy vs the asserted envelope in CI output
+    with capsys.disabled():
+        print(
+            f"\n[sketch-accuracy] stream-store total: est={est_total} "
+            f"exact={exact_total} rel_err={rel_err:.4f} (bound 0.05)"
+        )
+    assert rel_err <= 0.05
+
+
+def test_sketch_store_replay_and_crash_recovery(spark, tmp_path):
+    """foreachBatch is at-least-once: a REPLAYED batch id must not
+    merge twice (n_events would double — HLL union is idempotent, the
+    sum is not). And a crash between the swap's renames must leave a
+    recoverable store."""
+    import shutil
+
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.sketches import (
+        estimate_distinct_users,
+        merge_day_sketches,
+    )
+
+    events = read_events(spark, SF_SMOKE).select("ts", "user_id")
+    store = str(tmp_path / "store")
+
+    merge_day_sketches(spark, events, store, batch_id=0)
+    baseline = {
+        (r.day, r.n_events)
+        for r in estimate_distinct_users(spark, store)[0].collect()
+    }
+
+    # replayed batch id -> skipped, store unchanged
+    merge_day_sketches(spark, events, store, batch_id=0)
+    assert {
+        (r.day, r.n_events)
+        for r in estimate_distinct_users(spark, store)[0].collect()
+    } == baseline
+
+    # crash window: old generation set aside, new never promoted
+    shutil.move(store, store + ".old")
+    per_day, _ = estimate_distinct_users(spark, store)  # recovers
+    assert {(r.day, r.n_events) for r in per_day.collect()} == baseline
+
+    # a NEW batch id does merge (n_events doubles per day)
+    merge_day_sketches(spark, events, store, batch_id=1)
+    assert {
+        (r.day, r.n_events)
+        for r in estimate_distinct_users(spark, store)[0].collect()
+    } == {(d, n * 2) for d, n in baseline}
