@@ -28,35 +28,18 @@ _MODULES = [star_queries, tpch_like, llm_ops, event_time, functions_surface, cur
 
 # The driver's correctness harness checks the FIRST 50 registry entries
 # per round; the registry is larger than that, so ordering is coverage
-# policy. Queries that have not yet earned a green CORRECTNESS row (plus
-# anything changed this round) go first; long-stable showcases that have
-# been hash-green in multiple prior rounds absorb the overflow at the
-# tail.
+# policy (round 5 edition):
+#   1. no query goes more than ONE round unverified — everything rotated
+#      out in round 4 rotates back in now (the round-3 events.ts
+#      incident showed the environment can silently break parked
+#      queries);
+#   2. every query whose code path changed this round stays in the
+#      window (rotation follows the diff, not a static list);
+#   3. the overflow parks queries that were hash-green in round 4 AND
+#      whose lineage this round's diff does not touch (tpch_like,
+#      curation, event_time, temporal/skew showcases).
 _CHECK_FIRST = [
-    # never driver-checked before round 4 (registry overflow in r2/r3)
-    "doc_repetition_signals",
-    "doc_pii_scrub",
-    "doc_decontamination",
-    "csv_quarantine_counts",
-    "clicks_asof_prior_view",
-    "error_followup_counts",
-    "customer_rolling_spend",
-    "priority_returns_exists",
-    "small_qty_part_revenue",
-    "segment_event_value_salted",
-    "activity_union_by_name",
-    "order_approx_stats",
-    "order_price_percentiles",
-    "order_rank_flavors",
-    "segment_distinct_stats",
-    "part_text_features",
-    # new / fixed this round
-    "doc_dedup_final_lsh",
-    "weekly_user_sketch_rollup",
-    "user_sessions",
-]
-_CHECK_LAST = [
-    # hash-green in rounds 2 AND 3; safe to rotate out of the window
+    # rotated out during round 4 (hash-green r2+r3) — re-verify now
     "segment_kpis_intended",
     "top_segments_per_day_intended",
     "part_scalar_showcase",
@@ -75,6 +58,35 @@ _CHECK_LAST = [
     "order_quantity_arrays",
     "doc_chunk_packs",
     "doc_chunks",
+    # new or code-changed this round
+    "serving_top_rows_lookup",
+    "segment_distinct_stats",
+    "doc_bpe_token_counts",
+    "doc_ngram_containment",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+]
+_CHECK_LAST = [
+    # hash-green in round 4; lineage untouched by this round's diff
+    "doc_repetition_signals",
+    "doc_pii_scrub",
+    "doc_decontamination",
+    "clicks_asof_prior_view",
+    "error_followup_counts",
+    "priority_returns_exists",
+    "small_qty_part_revenue",
+    "segment_event_value_salted",
+    "activity_union_by_name",
+    "order_price_percentiles",
+    "order_rank_flavors",
+    "pricing_summary",
+    "shipping_priority",
+    "nation_revenue",
+    "returnflag_rollup",
+    "customer_order_deltas",
+    "user_sessions_native",
+    "events_daily_tumbling",
+    "events_sliding_windows",
 ]
 
 
