@@ -39,6 +39,10 @@ def unpersist_on_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
             except Exception:  # noqa: BLE001 — context may already be gone
                 pass
 
+    # Strong ref: while the caller can still reach the result, the
+    # cached intermediates (and hence their storage) stay alive even if
+    # every other reference to them is dropped.
+    result._graft_cache_deps = cached
     weakref.finalize(result, _release)
     return result
 
@@ -61,5 +65,6 @@ def unpersist_on_release_all(
                     pass
 
     for r in results:
+        r._graft_cache_deps = cached
         weakref.finalize(r, _one_down)
     return results

@@ -31,6 +31,47 @@ def test_unpersist_on_release_frees_cache_when_result_dropped(spark):
     assert base.storageLevel == _NONE
 
 
+def test_cache_deps_survive_when_only_result_is_referenced(spark):
+    """The result carries a strong reference to its cached deps: if the
+    caller drops every other handle to the intermediate, the cache must
+    stay alive (and populated) for as long as the result is reachable."""
+    base = spark.range(1000).withColumn("v", F.col("id") * 3).persist()
+    result = unpersist_on_release(base.groupBy().sum("v"), base)
+    weak_alive = base.storageLevel != _NONE
+    del base
+    gc.collect()
+    dep = result._graft_cache_deps[0]
+    assert weak_alive and dep.storageLevel != _NONE
+    assert result.collect()[0][0] == 1498500
+    del result, dep
+    gc.collect()
+
+
+def test_derived_dataset_rebuilds_on_input_change(spark, tmp_path):
+    """ensure_derived_dataset is keyed on the input's (path, mtime,
+    size): same input → cached dir; touched input → fresh build."""
+    from etl_with_s3__dynamodb_and_glue_spark.sources.dataset import (
+        ensure_derived_dataset,
+    )
+
+    src = tmp_path / "input.txt"
+    src.write_text("v1")
+    builds = []
+
+    def build(path):
+        builds.append(path)
+
+    p1 = ensure_derived_dataset("t_case", [str(src)], build)
+    p2 = ensure_derived_dataset("t_case", [str(src)], build)
+    assert p1 == p2 and len(builds) == 1
+
+    import os
+
+    os.utime(src, (1, 1))  # same bytes, new mtime -> stale key
+    p3 = ensure_derived_dataset("t_case", [str(src)], build)
+    assert p3 != p1 and len(builds) == 2
+
+
 def test_operator_persists_do_not_outlive_results(spark):
     """The operators that persist internally (minhash dedup, tf-idf,
     ngram containment) leave NOTHING cached once their results are
