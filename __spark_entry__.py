@@ -60,6 +60,8 @@ _CHECK_FIRST = [
     "doc_chunks",
     # new or code-changed this round
     "serving_top_rows_lookup",
+    "doc_arrivals_dedup",
+    "doc_arrivals_dedup_lsh",
     "segment_distinct_stats",
     "doc_bpe_token_counts",
     "doc_ngram_containment",
@@ -68,6 +70,8 @@ _CHECK_FIRST = [
 ]
 _CHECK_LAST = [
     # hash-green in round 4; lineage untouched by this round's diff
+    "part_text_features",
+    "csv_quarantine_counts",
     "doc_repetition_signals",
     "doc_pii_scrub",
     "doc_decontamination",

@@ -74,6 +74,34 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_cross(
+    arrivals: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact cross-side token-set Jaccard: every (arrival, corpus) pair
+    with similarity ≥ threshold — the corpus never compares against
+    itself. O(|A|·|C|) — the small-N verifier/oracle twin of
+    :func:`minhash_near_dups_incremental`. Output columns:
+    (doc_id — the arrival, corpus_id, jaccard)."""
+    a = token_sets(arrivals, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), F.col("toks").alias("toks_a")
+    )
+    b = token_sets(corpus, text_col, id_col).select(
+        F.col(id_col).alias("corpus_id"), F.col("toks").alias("toks_b")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac = inter.cast("double") / union
+    return (
+        a.crossJoin(b)
+        .select("doc_id", "corpus_id", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # --- MinHash + LSH -------------------------------------------------------
 
 
@@ -132,6 +160,27 @@ def pick_bands(num_hashes: int, threshold: float) -> int:
     return best
 
 
+def _band_struct_array(num_hashes: int, bands: int):
+    """(band, bucket) struct per band: bucket = xxhash64 over the
+    band's signature components. Shared by the self-join and the
+    incremental (cross-side) candidate generators."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -157,18 +206,7 @@ def lsh_candidate_pairs(
     PPJoin length bound) its inputs BEFORE any per-pair join: a few
     bytes on each banded row instead of re-joining candidates against
     a per-doc table."""
-    rows_per_band = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_structs = _band_struct_array(num_hashes, bands)
     banded = signatures.select(
         F.col(id_col), *carry_cols, F.explode(band_structs).alias("bb")
     ).select(
@@ -315,6 +353,112 @@ def minhash_near_dups(
         .filter(F.col("jaccard") >= threshold)
     )
     return unpersist_on_release(verified, toks)
+
+
+def minhash_near_dups_incremental(
+    arrivals: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int | None = None,
+) -> DataFrame:
+    """Arrivals-vs-corpus near-dup pairs — the INCREMENTAL dedup shape
+    a daily ingest runs at 100 TB: candidates come from a cross-side
+    band join (arrival signatures × corpus signatures), so the corpus
+    is never self-joined and per-day cost scales with the arrival
+    batch's band collisions, not |corpus|². Re-deduping the whole
+    corpus daily is the anti-pattern this operator exists to avoid.
+
+    Same verify discipline as :func:`minhash_near_dups` (lossless
+    PPJoin length prune on raw collisions via carried set sizes,
+    distinct on id pairs, exact Jaccard over hashed-long token sets),
+    so precision is exact; recall follows the same banding S-curve.
+
+    Scale notes: in a real deployment the corpus side of the band join
+    reads a PERSISTED signature store (signatures are computed once at
+    corpus-ingest time — the analog of :func:`ensure_ivf_index`'s
+    build-once contract), so per-batch work is arrival tokenize +
+    signatures + one equi-join against bucketed signatures. The
+    arrival side is typically the small one; AQE's runtime stats can
+    broadcast it without a forced hint.
+
+    Output columns: (doc_id — the arrival, corpus_id, jaccard).
+    """
+    if bands is None:
+        bands = pick_bands(num_hashes, threshold)
+    a_toks = token_sets(arrivals, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    c_toks = token_sets(corpus, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def sigs(toks: DataFrame) -> DataFrame:
+        return minhash_signatures(
+            toks.withColumnRenamed("toks", "shingles"),
+            id_col=id_col,
+            shingle_col="shingles",
+            num_hashes=num_hashes,
+            include_set_size=True,
+        )
+
+    band_structs = _band_struct_array(num_hashes, bands)
+    banded_a = sigs(a_toks).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("n_set").alias("n_a"),
+        F.explode(band_structs).alias("bb"),
+    ).select(
+        "doc_id",
+        "n_a",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    banded_c = sigs(c_toks).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("n_set").alias("n_c"),
+        F.explode(band_structs).alias("bb"),
+    ).select(
+        "corpus_id",
+        "n_c",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+    na, nc = F.col("n_a"), F.col("n_c")
+    candidates = (
+        banded_a.join(banded_c, ["band", "bucket"])
+        .filter((na >= nc * threshold) & (nc >= na * threshold))
+        .select("doc_id", "corpus_id", "n_a", "n_c")
+        .distinct()
+    )
+
+    hashed = F.transform("toks", lambda t: F.xxhash64(t))
+    a = a_toks.select(F.col(id_col).alias("doc_id"), hashed.alias("toks_a"))
+    c = c_toks.select(F.col(id_col).alias("corpus_id"), hashed.alias("toks_b"))
+    verified = (
+        candidates.join(a, "doc_id")
+        .join(c, "corpus_id")
+        .select(
+            "doc_id",
+            "corpus_id",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
+            na,
+            nc,
+        )
+        .select(
+            "doc_id",
+            "corpus_id",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (na + nc - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return unpersist_on_release(verified, a_toks, c_toks)
 
 
 # --- cluster resolution --------------------------------------------------

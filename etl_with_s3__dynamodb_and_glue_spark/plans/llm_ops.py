@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup, multimodal, similarity, terms
+from ..operators.sampling import hex_threshold
 from ..operators.text import (
     LANG_PROFILES,
     avg_token_len,
@@ -528,6 +529,102 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dups(_docs(spark, sf_dir), threshold=0.95)
 
 
+# --- incremental (arrivals-vs-corpus) dedup ------------------------------
+
+# Deterministic ingest split: ~20% of documents play the arriving
+# batch, the rest the existing corpus. Hash-bucket membership (same
+# construction as doc_source_mix) so Spark and DuckDB carve identical
+# sides.
+_ARRIVALS_FRACTION = 0.2
+_ARRIVALS_SALT = "arrivals"
+_INCR_THRESHOLD = 0.9
+_ARRIVALS_HEX = hex_threshold(_ARRIVALS_FRACTION)
+
+
+def _split_arrivals(spark: SparkSession, sf_dir: str):
+    from ..operators.sampling import train_test_split
+
+    docs = _docs(spark, sf_dir)
+    corpus, arrivals = train_test_split(
+        docs, "doc_id", _ARRIVALS_FRACTION, salt=_ARRIVALS_SALT
+    )
+    return arrivals, corpus
+
+
+def _arrivals_decision(arrivals: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Per-arrival ingest decision from cross-side near-dup pairs:
+    is_dup, the deterministic (min-id) corpus match, and match count.
+    Every arrival appears exactly once — novel docs with nulls/0."""
+    agg = pairs.groupBy("doc_id").agg(
+        F.min("corpus_id").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_matches"),
+    )
+    return (
+        arrivals.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        )
+    )
+
+
+def doc_arrivals_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup, EXACT twin: every arriving document
+    checked against the existing corpus by cross-side token-set
+    Jaccard (arrivals × corpus only — the corpus never self-joins),
+    reduced to the per-arrival keep/drop decision. O(|A|·|C|) — the
+    oracle-scale verifier of ``doc_arrivals_dedup_lsh``, which is the
+    shape a daily 100 TB ingest actually runs."""
+    arrivals, corpus = _split_arrivals(spark, sf_dir)
+    pairs = dedup.jaccard_pairs_cross(arrivals, corpus, _INCR_THRESHOLD)
+    return _arrivals_decision(arrivals, pairs)
+
+
+DOC_ARRIVALS_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks,
+         substr(md5('{_ARRIVALS_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 8) AS bkt
+  FROM documents
+),
+arr AS (SELECT doc_id, toks FROM t WHERE bkt < '{_ARRIVALS_HEX}'),
+cor AS (SELECT doc_id AS corpus_id, toks FROM t WHERE bkt >= '{_ARRIVALS_HEX}'),
+m AS (
+  SELECT a.doc_id, c.corpus_id
+  FROM arr a JOIN cor c ON TRUE
+  WHERE ROUND(CAST(len(list_intersect(a.toks, c.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, c.toks))), 6)
+        >= {_INCR_THRESHOLD}
+),
+d AS (
+  SELECT doc_id, MIN(corpus_id) AS dup_of, COUNT(*) AS n_matches
+  FROM m GROUP BY doc_id
+)
+SELECT arr.doc_id,
+       d.dup_of IS NOT NULL AS is_dup,
+       d.dup_of,
+       COALESCE(d.n_matches, 0) AS n_matches
+FROM arr LEFT JOIN d USING (doc_id)
+ORDER BY arr.doc_id
+"""
+
+
+def doc_arrivals_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup, SCALE path: cross-side MinHash band
+    join (arrival signatures × corpus signatures — per-day cost scales
+    with the batch's collisions, not |corpus|²), exact-Jaccard verify,
+    same per-arrival decision. Rows-only for the driver (banding is
+    approximate); agreement vs the exact twin is asserted in tests."""
+    arrivals, corpus = _split_arrivals(spark, sf_dir)
+    pairs = dedup.minhash_near_dups_incremental(
+        arrivals, corpus, threshold=_INCR_THRESHOLD
+    )
+    return _arrivals_decision(arrivals, pairs)
+
+
 def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (Hamming banding) — rows-only for the driver."""
     return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
@@ -786,6 +883,8 @@ QUERIES = {
     "doc_dedup_final_lsh": doc_dedup_final_lsh,
     "doc_minhash_near_dups": doc_minhash_near_dups,
     "doc_simhash_near_dups": doc_simhash_near_dups,
+    "doc_arrivals_dedup": doc_arrivals_dedup,
+    "doc_arrivals_dedup_lsh": doc_arrivals_dedup_lsh,
     "doc_bpe_token_counts": doc_bpe_token_counts,
     "doc_ngram_containment": doc_ngram_containment,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
@@ -813,10 +912,12 @@ ORACLE = {
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
     "doc_top_tokens": DOC_TOP_TOKENS_SQL,
     "doc_bpe_token_counts": DOC_BPE_TOKEN_COUNTS_SQL,
+    "doc_arrivals_dedup": DOC_ARRIVALS_DEDUP_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,
     "asset_content_hashes": ASSET_CONTENT_HASHES_SQL,
     "asset_features": ASSET_FEATURES_SQL,
     # doc_minhash_near_dups, doc_simhash_near_dups, doc_dedup_final_lsh,
-    # embedding_lsh_topk: approximate → rows-only.
+    # doc_arrivals_dedup_lsh, embedding_lsh_topk: approximate →
+    # rows-only.
 }

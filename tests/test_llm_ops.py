@@ -40,6 +40,62 @@ def test_minhash_recall_vs_exact(docs):
     assert recall >= 0.9, f"minhash recall {recall:.3f} < 0.9"
 
 
+def test_incremental_minhash_recall_and_precision_vs_exact_cross(docs, spark):
+    """Cross-side (arrivals × corpus) LSH pairs: precision 1 (exact
+    verify) and recall ≥ 0.9 vs the exact cross-side twin."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.sampling import (
+        train_test_split,
+    )
+
+    corpus, arrivals = train_test_split(docs, "doc_id", 0.2, salt="arrivals")
+    exact = {
+        (r.doc_id, r.corpus_id)
+        for r in dedup.jaccard_pairs_cross(arrivals, corpus, 0.9).collect()
+    }
+    approx = {
+        (r.doc_id, r.corpus_id)
+        for r in dedup.minhash_near_dups_incremental(
+            arrivals, corpus, threshold=0.9
+        ).collect()
+    }
+    assert exact, "exact cross-side near-dup set unexpectedly empty"
+    assert approx <= exact  # precision 1.0 — pairs are exact-verified
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"incremental minhash recall {recall:.3f} < 0.9"
+
+
+def test_arrivals_decision_lsh_agrees_with_exact(spark):
+    """The declared ingest-decision queries: every arrival decided once
+    in both; the keep/drop decision (is_dup) agrees ≥98% and the
+    chosen survivor (dup_of) ≥95% among agreed dups. n_matches is NOT
+    held to strict equality — a missed borderline collision (jaccard
+    exactly at threshold) changes the count without changing the
+    decision, which is the metric an ingest pipeline acts on. LSH can
+    only miss matches (exact verify ⇒ precision 1), never invent
+    them."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
+    from tests.conftest import SF_ORACLE
+
+    exact = {r.doc_id: r for r in llm_ops.doc_arrivals_dedup(spark, SF_ORACLE).collect()}
+    lsh = {
+        r.doc_id: r
+        for r in llm_ops.doc_arrivals_dedup_lsh(spark, SF_ORACLE).collect()
+    }
+    assert set(exact) == set(lsh) and exact
+    flag_agree = sum(1 for d in exact if exact[d].is_dup == lsh[d].is_dup) / len(
+        exact
+    )
+    assert flag_agree >= 0.98, f"is_dup agreement {flag_agree:.3f}"
+    both_dup = [d for d in exact if exact[d].is_dup and lsh[d].is_dup]
+    assert both_dup
+    dupof_agree = sum(
+        1 for d in both_dup if exact[d].dup_of == lsh[d].dup_of
+    ) / len(both_dup)
+    assert dupof_agree >= 0.95, f"dup_of agreement {dupof_agree:.3f}"
+    for d in exact:
+        assert lsh[d].n_matches <= exact[d].n_matches
+
+
 def test_simhash_pairs_are_close(docs):
     pairs = dedup.simhash_near_dups(docs, max_hamming=3)
     rows = pairs.collect()
