@@ -62,6 +62,8 @@ _CHECK_FIRST = [
     "serving_top_rows_lookup",
     "doc_arrivals_dedup",
     "doc_arrivals_dedup_lsh",
+    "doc_training_order",
+    "doc_length_buckets",
     "segment_distinct_stats",
     "doc_bpe_token_counts",
     "doc_ngram_containment",
@@ -70,6 +72,8 @@ _CHECK_FIRST = [
 ]
 _CHECK_LAST = [
     # hash-green in round 4; lineage untouched by this round's diff
+    "weekly_user_sketch_rollup",
+    "customer_rolling_spend",
     "part_text_features",
     "csv_quarantine_counts",
     "doc_repetition_signals",

@@ -129,6 +129,21 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — extras never sink the run
         errors["_ivf_requery"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # Round-5 additions, timed as extras (the headline set stays fixed
+    # so round-over-round totals compare like for like): the serving
+    # point lookup (includes the one-time write_dataset landing on
+    # first call) and the incremental arrivals-vs-corpus dedup.
+    extra_timings: dict[str, float | None] = {}
+    for name in ("serving_top_rows_lookup", "doc_arrivals_dedup_lsh"):
+        try:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            extra_timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            extra_timings[name] = None
+            errors[f"_{name}"] = f"{type(exc).__name__}: {exc}"[:500]
+
     print(
         json.dumps(
             {
@@ -140,6 +155,7 @@ def main() -> None:
                 "extra": {
                     "embedding_ivf_index_build": build_sec,
                     "embedding_ivf_requery": requery_sec,
+                    **extra_timings,
                 },
                 **({"errors": errors} if errors else {}),
             }

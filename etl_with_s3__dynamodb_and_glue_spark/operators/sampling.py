@@ -69,6 +69,47 @@ def train_test_split(
     return df.filter(bucket >= th), df.filter(bucket < th)
 
 
+def sharded_training_order(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "order",
+) -> DataFrame:
+    """Reproducible global shuffle for training order, in 16 shards.
+
+    ``orderBy(rand())`` changes with seed plumbing, partitioning, and
+    engine; training runs need the SAME shuffle on every rerun and
+    resumption. Hash order gives that: shard = first hex digit of the
+    key's hash bucket, position = rank within the shard by (hash,
+    key). A trainer reads shards in index order, rows within a shard
+    in position order — a uniform, deterministic permutation that is a
+    pure function of (salt, key), byte-identical across engines (the
+    DuckDB oracle replays it).
+
+    Scale shape: the within-shard window partitions by ``shard``
+    (parallel, no global sort barrier); at the petabyte tier you skip
+    materializing positions entirely and land the order physically via
+    ``write_dataset(partition_by=shard, cluster_by=order_key)`` — the
+    sort becomes the write's range shuffle and the files ARE the
+    training order.
+    """
+    from pyspark.sql import Window
+
+    bucket = hash_bucket(key_col, salt)
+    staged = df.select(F.col(key_col), bucket.alias("order_key")).withColumn(
+        "shard",
+        (
+            F.expr("instr('0123456789abcdef', substring(order_key, 1, 1))") - 1
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("order_key", key_col)
+    return staged.select(
+        key_col,
+        "shard",
+        "order_key",
+        F.row_number().over(w).alias("position"),
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

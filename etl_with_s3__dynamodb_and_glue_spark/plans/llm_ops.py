@@ -173,6 +173,89 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training order (sharded reproducible shuffle):
+    shard + position are a pure function of (salt, doc_id) — identical
+    across reruns, partitionings, and engines, which ``orderBy(rand())``
+    is not. Full value oracle (DuckDB replays the hash order)."""
+    from ..operators.sampling import sharded_training_order
+
+    return sharded_training_order(_docs(spark, sf_dir), "doc_id")
+
+
+DOC_TRAINING_ORDER_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         substr(md5('order|' || CAST(doc_id AS VARCHAR)), 1, 8) AS order_key
+  FROM documents
+),
+s AS (
+  SELECT doc_id, order_key,
+         CAST(instr('0123456789abcdef', substr(order_key, 1, 1)) - 1
+              AS INTEGER) AS shard
+  FROM b
+)
+SELECT doc_id, shard, order_key,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY order_key, doc_id) AS INTEGER)
+         AS position
+FROM s
+ORDER BY shard, position
+"""
+
+
+def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for batch shaping: log2 buckets over
+    the whitespace token count (a per-row map — no global NTILE sort
+    barrier), with per-bucket population and the padding waste of
+    padding every member to the bucket max. The table a batching
+    policy is tuned from."""
+    docs = _docs(spark, sf_dir)
+    staged = docs.select(
+        F.floor(F.log2(F.size(tokens("text")))).cast("int").alias("bucket"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return (
+        staged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+            F.round(
+                F.col("sum_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("avg_tokens"),
+            (F.col("max_tokens") * F.col("n_docs") - F.col("sum_tokens")).alias(
+                "padding_waste"
+            ),
+        )
+    )
+
+
+DOC_LENGTH_BUCKETS_SQL = """
+WITH t AS (
+  SELECT CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT CAST(floor(log2(n_tokens)) AS INTEGER) AS bucket,
+       COUNT(*) AS n_docs,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+       MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS padding_waste
+FROM t
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 # The same three fracture-point replacements + one split as
 # operators/text.py::bpe_ish_token_count, in RE2/DuckDB spelling
 # (\1-style backrefs, chr(1) separator).
@@ -886,6 +969,8 @@ QUERIES = {
     "doc_arrivals_dedup": doc_arrivals_dedup,
     "doc_arrivals_dedup_lsh": doc_arrivals_dedup_lsh,
     "doc_bpe_token_counts": doc_bpe_token_counts,
+    "doc_training_order": doc_training_order,
+    "doc_length_buckets": doc_length_buckets,
     "doc_ngram_containment": doc_ngram_containment,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_top_tokens": doc_top_tokens,
@@ -913,6 +998,8 @@ ORACLE = {
     "doc_top_tokens": DOC_TOP_TOKENS_SQL,
     "doc_bpe_token_counts": DOC_BPE_TOKEN_COUNTS_SQL,
     "doc_arrivals_dedup": DOC_ARRIVALS_DEDUP_SQL,
+    "doc_training_order": DOC_TRAINING_ORDER_SQL,
+    "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,
     "asset_content_hashes": ASSET_CONTENT_HASHES_SQL,

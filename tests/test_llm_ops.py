@@ -96,6 +96,32 @@ def test_arrivals_decision_lsh_agrees_with_exact(spark):
         assert lsh[d].n_matches <= exact[d].n_matches
 
 
+def test_sharded_training_order_is_stable_permutation(docs):
+    """Training order must be a valid permutation (every doc once,
+    positions contiguous 1..n per shard) and identical under a
+    different physical partitioning — the property orderBy(rand())
+    lacks."""
+    from collections import Counter
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators.sampling import (
+        sharded_training_order,
+    )
+
+    rows = sharded_training_order(docs, "doc_id").collect()
+    assert len({r.doc_id for r in rows}) == docs.count()
+    per_shard = Counter(r.shard for r in rows)
+    by_shard_positions = {}
+    for r in rows:
+        by_shard_positions.setdefault(r.shard, set()).add(r.position)
+    for shard, positions in by_shard_positions.items():
+        assert positions == set(range(1, per_shard[shard] + 1)), shard
+
+    reshuffled = sharded_training_order(docs.repartition(7), "doc_id").collect()
+    assert {(r.doc_id, r.shard, r.position) for r in rows} == {
+        (r.doc_id, r.shard, r.position) for r in reshuffled
+    }
+
+
 def test_simhash_pairs_are_close(docs):
     pairs = dedup.simhash_near_dups(docs, max_hamming=3)
     rows = pairs.collect()
