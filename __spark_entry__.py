@@ -62,6 +62,7 @@ _CHECK_FIRST = [
     "serving_top_rows_lookup",
     "doc_arrivals_dedup",
     "doc_arrivals_dedup_lsh",
+    "doc_arrivals_dedup_store",
     "doc_training_order",
     "doc_length_buckets",
     "segment_distinct_stats",
@@ -72,6 +73,9 @@ _CHECK_FIRST = [
 ]
 _CHECK_LAST = [
     # hash-green in round 4; lineage untouched by this round's diff
+    # (order_approx_stats is rows-only with its accuracy asserted and
+    # printed by tests/test_skew_and_approx.py every round)
+    "order_approx_stats",
     "weekly_user_sketch_rollup",
     "customer_rolling_spend",
     "part_text_features",

@@ -99,6 +99,17 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["_ivf_index_build"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # The MinHash signature store is the same offline/serving split for
+    # incremental dedup: built once here, so the timed store-served
+    # query below measures the steady-state per-batch cost.
+    store_build_sec: float | None = None
+    try:
+        t0 = time.perf_counter()
+        llm_ops.ensure_minhash_store(spark, sf_dir)
+        store_build_sec = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["_minhash_store_build"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # Failure isolation: one broken query must not erase the entire
     # perf signal — it records null + the error and the run continues.
     timings: dict[str, float | None] = {}
@@ -134,7 +145,11 @@ def main() -> None:
     # point lookup (includes the one-time write_dataset landing on
     # first call) and the incremental arrivals-vs-corpus dedup.
     extra_timings: dict[str, float | None] = {}
-    for name in ("serving_top_rows_lookup", "doc_arrivals_dedup_lsh"):
+    for name in (
+        "serving_top_rows_lookup",
+        "doc_arrivals_dedup_lsh",
+        "doc_arrivals_dedup_store",
+    ):
         try:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
@@ -155,6 +170,7 @@ def main() -> None:
                 "extra": {
                     "embedding_ivf_index_build": build_sec,
                     "embedding_ivf_requery": requery_sec,
+                    "minhash_store_build": store_build_sec,
                     **extra_timings,
                 },
                 **({"errors": errors} if errors else {}),

@@ -386,26 +386,133 @@ def minhash_near_dups_incremental(
 
     Output columns: (doc_id — the arrival, corpus_id, jaccard).
     """
+    c_toks = token_sets(corpus, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    store = _signature_frame_from_toks(c_toks, id_col, num_hashes)
+    verified = minhash_near_dups_vs_store(
+        arrivals,
+        store,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    return unpersist_on_release(verified, c_toks)
+
+
+def arrivals_decision(
+    arrivals: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Reduce cross-side near-dup pairs to the per-arrival ingest
+    decision: (doc_id, is_dup, dup_of — deterministic min-id corpus
+    match, n_matches). Every arrival appears exactly once; novel docs
+    carry (false, null, 0)."""
+    agg = pairs.groupBy("doc_id").agg(
+        F.min("corpus_id").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_matches"),
+    )
+    return (
+        arrivals.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        )
+    )
+
+
+# --- persisted signature store (build-once corpus side) -------------------
+
+
+def corpus_signature_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """One row per document with everything the incremental matcher
+    needs from the corpus side: the MinHash signature columns
+    (``mh_0..mh_{H-1}``), the token-set size ``n_set`` (length prune),
+    and the xxhash64-encoded token set ``toks_h`` (exact verify).
+    Computing this once per corpus — at ingest time — is what turns
+    daily dedup from O(corpus) re-tokenization into O(batch) work."""
+    return _signature_frame_from_toks(
+        token_sets(docs, text_col, id_col), id_col, num_hashes
+    )
+
+
+def _signature_frame_from_toks(
+    toks: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    sigs = minhash_signatures(
+        toks.withColumnRenamed("toks", "shingles"),
+        id_col=id_col,
+        shingle_col="shingles",
+        num_hashes=num_hashes,
+        include_set_size=True,
+    )
+    hashed = toks.select(
+        F.col(id_col),
+        F.transform("toks", lambda t: F.xxhash64(t)).alias("toks_h"),
+    )
+    return sigs.join(hashed, id_col)
+
+
+def build_minhash_store(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+) -> None:
+    """Materialize the corpus signature store as parquet — the
+    build-once/match-many artifact of an incremental dedup deployment
+    (same offline/serving split as the IVF index). Store size is one
+    row per doc: H longs + the hashed token array, a small multiple of
+    a fingerprint and far smaller than the text."""
+    corpus_signature_frame(docs, text_col, id_col, num_hashes).write.mode(
+        "overwrite"
+    ).option("compression", "zstd").parquet(path)
+
+
+def load_minhash_store(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def minhash_near_dups_vs_store(
+    arrivals: DataFrame,
+    store: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int | None = None,
+) -> DataFrame:
+    """Arrivals-vs-store near-dup pairs: the steady-state serving shape
+    of incremental dedup. The corpus side arrives PRE-SIGNED (a
+    :func:`corpus_signature_frame` / loaded store), so per-batch work
+    is arrival tokenize + signatures + one band equi-join + verify
+    against stored hashed token sets — the corpus is never
+    re-tokenized, never self-joined. Output: (doc_id — the arrival,
+    corpus_id, jaccard ≥ threshold)."""
     if bands is None:
         bands = pick_bands(num_hashes, threshold)
     a_toks = token_sets(arrivals, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    c_toks = token_sets(corpus, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    a_sigs = minhash_signatures(
+        a_toks.withColumnRenamed("toks", "shingles"),
+        id_col=id_col,
+        shingle_col="shingles",
+        num_hashes=num_hashes,
+        include_set_size=True,
     )
-
-    def sigs(toks: DataFrame) -> DataFrame:
-        return minhash_signatures(
-            toks.withColumnRenamed("toks", "shingles"),
-            id_col=id_col,
-            shingle_col="shingles",
-            num_hashes=num_hashes,
-            include_set_size=True,
-        )
-
     band_structs = _band_struct_array(num_hashes, bands)
-    banded_a = sigs(a_toks).select(
+    banded_a = a_sigs.select(
         F.col(id_col).alias("doc_id"),
         F.col("n_set").alias("n_a"),
         F.explode(band_structs).alias("bb"),
@@ -415,7 +522,7 @@ def minhash_near_dups_incremental(
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
-    banded_c = sigs(c_toks).select(
+    banded_c = store.select(
         F.col(id_col).alias("corpus_id"),
         F.col("n_set").alias("n_c"),
         F.explode(band_structs).alias("bb"),
@@ -425,7 +532,6 @@ def minhash_near_dups_incremental(
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
-
     na, nc = F.col("n_a"), F.col("n_c")
     candidates = (
         banded_a.join(banded_c, ["band", "bucket"])
@@ -433,10 +539,9 @@ def minhash_near_dups_incremental(
         .select("doc_id", "corpus_id", "n_a", "n_c")
         .distinct()
     )
-
     hashed = F.transform("toks", lambda t: F.xxhash64(t))
     a = a_toks.select(F.col(id_col).alias("doc_id"), hashed.alias("toks_a"))
-    c = c_toks.select(F.col(id_col).alias("corpus_id"), hashed.alias("toks_b"))
+    c = store.select(F.col(id_col).alias("corpus_id"), F.col("toks_h").alias("toks_b"))
     verified = (
         candidates.join(a, "doc_id")
         .join(c, "corpus_id")
@@ -458,7 +563,7 @@ def minhash_near_dups_incremental(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return unpersist_on_release(verified, a_toks, c_toks)
+    return unpersist_on_release(verified, a_toks)
 
 
 # --- cluster resolution --------------------------------------------------

@@ -634,24 +634,7 @@ def _split_arrivals(spark: SparkSession, sf_dir: str):
     return arrivals, corpus
 
 
-def _arrivals_decision(arrivals: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Per-arrival ingest decision from cross-side near-dup pairs:
-    is_dup, the deterministic (min-id) corpus match, and match count.
-    Every arrival appears exactly once — novel docs with nulls/0."""
-    agg = pairs.groupBy("doc_id").agg(
-        F.min("corpus_id").alias("dup_of"),
-        F.count(F.lit(1)).alias("n_matches"),
-    )
-    return (
-        arrivals.select("doc_id")
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("dup_of").isNotNull().alias("is_dup"),
-            "dup_of",
-            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
-        )
-    )
+_arrivals_decision = dedup.arrivals_decision
 
 
 def doc_arrivals_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,6 +687,38 @@ def doc_arrivals_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrivals, corpus = _split_arrivals(spark, sf_dir)
     pairs = dedup.minhash_near_dups_incremental(
         arrivals, corpus, threshold=_INCR_THRESHOLD
+    )
+    return _arrivals_decision(arrivals, pairs)
+
+
+def ensure_minhash_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once accessor for the corpus MinHash signature store over
+    the deterministic 80% corpus split — same offline/serving contract
+    as :func:`ensure_ivf_index` (input-fingerprint cache, concurrent-
+    build lock, exit cleanup)."""
+    from ..sources.dataset import ensure_derived_dataset
+
+    def build(path: str) -> None:
+        _, corpus = _split_arrivals(spark, sf_dir)
+        dedup.build_minhash_store(corpus, path)
+
+    return ensure_derived_dataset(
+        "minhash_store", [f"{sf_dir}/documents.parquet"], build
+    )
+
+
+def doc_arrivals_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STEADY-STATE serving shape of incremental dedup: the same
+    decision as ``doc_arrivals_dedup_lsh``, but the corpus side reads
+    the build-once ON-DISK signature store — per-call work is the
+    arrival batch only; the corpus text is never touched. Rows-only
+    for the driver; tests assert exact output equality with the
+    inline LSH variant (same algorithm, same parameters — the store
+    is a materialization, not an approximation)."""
+    arrivals, _ = _split_arrivals(spark, sf_dir)
+    store = dedup.load_minhash_store(spark, ensure_minhash_store(spark, sf_dir))
+    pairs = dedup.minhash_near_dups_vs_store(
+        arrivals, store, threshold=_INCR_THRESHOLD
     )
     return _arrivals_decision(arrivals, pairs)
 
@@ -968,6 +983,7 @@ QUERIES = {
     "doc_simhash_near_dups": doc_simhash_near_dups,
     "doc_arrivals_dedup": doc_arrivals_dedup,
     "doc_arrivals_dedup_lsh": doc_arrivals_dedup_lsh,
+    "doc_arrivals_dedup_store": doc_arrivals_dedup_store,
     "doc_bpe_token_counts": doc_bpe_token_counts,
     "doc_training_order": doc_training_order,
     "doc_length_buckets": doc_length_buckets,

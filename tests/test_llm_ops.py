@@ -96,6 +96,24 @@ def test_arrivals_decision_lsh_agrees_with_exact(spark):
         assert lsh[d].n_matches <= exact[d].n_matches
 
 
+def test_store_served_arrivals_dedup_equals_inline(spark):
+    """The on-disk signature store is a materialization, not an
+    approximation: the store-served decision must equal the inline
+    cross-side LSH decision row for row."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
+    from tests.conftest import SF_ORACLE
+
+    inline = {
+        tuple(r)
+        for r in llm_ops.doc_arrivals_dedup_lsh(spark, SF_ORACLE).collect()
+    }
+    stored = {
+        tuple(r)
+        for r in llm_ops.doc_arrivals_dedup_store(spark, SF_ORACLE).collect()
+    }
+    assert stored == inline and stored
+
+
 def test_sharded_training_order_is_stable_permutation(docs):
     """Training order must be a valid permutation (every doc once,
     positions contiguous 1..n per shard) and identical under a

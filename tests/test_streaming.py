@@ -336,6 +336,98 @@ def test_sketch_store_stream_matches_batch_estimates(spark, tmp_path, capsys):
     assert rel_err <= 0.05
 
 
+def test_near_dup_ingest_stream_matches_batch_composition(spark, tmp_path):
+    """The streaming ingest-dedup gate: two arrival files processed as
+    separate micro-batches against a seeded signature store must
+    produce exactly the decisions of the equivalent batch composition
+    (file 1 vs seed; file 2 vs seed + file 1's novel docs), and the
+    store must grow by novel docs only. Replaying a landed batch is a
+    no-op."""
+    import os
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators.dedup import (
+        arrivals_decision,
+        corpus_signature_frame,
+        minhash_near_dups_vs_store,
+    )
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.ingest_dedup import (
+        ingest_batch,
+        near_dup_ingest_stream,
+        read_decisions,
+        seed_store,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    seed = docs.filter(F.col("doc_id") % 5 < 3)
+    arr1 = docs.filter(F.col("doc_id") % 5 == 3)
+    arr2 = docs.filter(F.col("doc_id") % 5 == 4)
+
+    store_dir = str(tmp_path / "sig_store")
+    decisions_dir = str(tmp_path / "decisions")
+    seed_store(seed, store_dir)
+
+    src = tmp_path / "arrivals"
+    arr1.coalesce(1).write.parquet(str(src / "f0"))
+    arr2.coalesce(1).write.parquet(str(src / "f1"))
+    # deterministic batch order: the file source picks oldest mtime first
+    now = time.time()
+    for sub, age in (("f0", 200), ("f1", 100)):
+        for p in (src / sub).rglob("*.parquet"):
+            os.utime(p, (now - age, now - age))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = near_dup_ingest_stream(
+        stream, store_dir, decisions_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.doc_id, r.is_dup, r.dup_of, r.n_matches)
+        for r in read_decisions(spark, decisions_dir).collect()
+    }
+
+    # batch composition of the same two steps
+    seed_sigs = corpus_signature_frame(seed)
+    d1 = arrivals_decision(
+        arr1, minhash_near_dups_vs_store(arr1, seed_sigs)
+    ).collect()
+    novel1 = arr1.join(
+        spark.createDataFrame(
+            [(r.doc_id,) for r in d1 if not r.is_dup], "doc_id long"
+        ),
+        "doc_id",
+    )
+    store2 = seed_sigs.unionByName(corpus_signature_frame(novel1))
+    d2 = arrivals_decision(
+        arr2, minhash_near_dups_vs_store(arr2, store2)
+    ).collect()
+    want = {(r.doc_id, r.is_dup, r.dup_of, r.n_matches) for r in d1 + d2}
+    assert got == want and len(got) == arr1.count() + arr2.count()
+
+    # the store grew by exactly the novel docs of each batch
+    store_ids = {
+        r.doc_id for r in spark.read.parquet(f"{store_dir}/batch_id=*").collect()
+    }
+    novel_ids = {r.doc_id for r in d1 + d2 if not r.is_dup}
+    seed_ids = {r.doc_id for r in seed.select("doc_id").collect()}
+    assert store_ids == seed_ids | novel_ids
+
+    # replaying a landed batch id is a no-op (marker short-circuit)
+    before = sorted(got)
+    ingest_batch(arr1, 0, store_dir, decisions_dir)
+    after = sorted(
+        (r.doc_id, r.is_dup, r.dup_of, r.n_matches)
+        for r in read_decisions(spark, decisions_dir).collect()
+    )
+    assert after == before
+
+
 def test_sketch_store_replay_and_crash_recovery(spark, tmp_path):
     """foreachBatch is at-least-once: a REPLAYED batch id must not
     merge twice (n_events would double — HLL union is idempotent, the
