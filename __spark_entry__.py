@@ -65,6 +65,10 @@ _CHECK_FIRST = [
     "doc_arrivals_dedup_store",
     "doc_training_order",
     "doc_length_buckets",
+    "doc_curation_funnel",
+    # events.ts has silently changed parquet type twice across rounds —
+    # the most incident-prone lineage stays in the window every round
+    "user_sessions",
     "segment_distinct_stats",
     "doc_bpe_token_counts",
     "doc_ngram_containment",
@@ -76,6 +80,7 @@ _CHECK_LAST = [
     # (order_approx_stats is rows-only with its accuracy asserted and
     # printed by tests/test_skew_and_approx.py every round)
     "order_approx_stats",
+    "asset_content_hashes",
     "weekly_user_sketch_rollup",
     "customer_rolling_spend",
     "part_text_features",

@@ -177,14 +177,133 @@ ORDER BY doc_id
 """
 
 
+# --- end-to-end curation funnel ------------------------------------------
+
+# Stage thresholds — tuning parameters, not truths; fixed constants so
+# the DuckDB twin replays the identical funnel. Placed at the observed
+# sf0.01 distribution's discriminating range (quality p10-p90 is
+# 0.80-0.86, dup-word p10-p90 is 0.25-0.68) so every gate does real
+# work in the declared funnel.
+FUNNEL_QUALITY_MIN = 0.82
+FUNNEL_DUP_WORD_MAX = 0.55
+
+
+def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-curation pipeline as ONE declarative plan:
+    survivor counts after each gate —
+
+    1. ``n_total``       every document,
+    2. ``n_lang``        language identified (lang-ID argmax ≠ 'und'),
+    3. ``n_quality``     + composite quality ≥ FUNNEL_QUALITY_MIN,
+    4. ``n_repetition``  + duplicate-word fraction ≤ FUNNEL_DUP_WORD_MAX,
+    5. ``n_unique``      distinct content fingerprints among survivors
+                         (what exact dedup would keep).
+
+    One tokenize-once scan computes every per-row gate; the final
+    aggregate is a single row (stages 1-4 are conditional counts,
+    stage 5 a countDistinct over a conditional fingerprint — NULLs,
+    i.e. filtered docs, don't count). No shuffle until the one-row
+    agg: this funnel costs a corpus SCAN, which is why real pipelines
+    run every gate in one pass exactly like this.
+    """
+    from ..operators.curation import _dup_fraction
+    from ..operators.text import fingerprint, lang_id, quality_score, tokens
+
+    docs = _docs(spark, sf_dir)
+    staged = docs.select("doc_id", "text", tokens("text").alias("tk"))
+    tk = F.col("tk")
+    pass_lang = lang_id("text", toks=tk) != "und"
+    pass_quality = pass_lang & (
+        F.round(quality_score("text", toks=tk), 6) >= FUNNEL_QUALITY_MIN
+    )
+    pass_rep = pass_quality & (
+        F.round(_dup_fraction(tk), 6) <= FUNNEL_DUP_WORD_MAX
+    )
+    flags = staged.select(
+        pass_lang.alias("pl"),
+        pass_quality.alias("pq"),
+        pass_rep.alias("pr"),
+        fingerprint("text").alias("fp"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("pl").cast("long")).alias("n_lang"),
+        F.sum(F.col("pq").cast("long")).alias("n_quality"),
+        F.sum(F.col("pr").cast("long")).alias("n_repetition"),
+        F.countDistinct(F.when(F.col("pr"), F.col("fp"))).alias("n_unique"),
+    )
+
+
+# The same gates in DuckDB spelling: language CASE + quality formula +
+# dup-word fraction cribbed verbatim from DOC_LANG_ID_SQL /
+# DOC_QUALITY_SQL (plans/llm_ops.py) / DOC_REPETITION_SQL above, so
+# the funnel can never drift from the per-stage queries it composes.
+_SW = {
+    "en": "['the','and','of','to','a','in','is','that','it','for']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','zu','auf']",
+    "fr": "['le','la','les','et','est','un','une','dans','pour','que']",
+    "es": "['el','la','los','y','es','un','una','en','por','que']",
+}
+
+DOC_CURATION_FUNNEL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, toks,
+         CAST(len(list_filter(toks, x -> list_contains({_SW['en']}, x))) AS DOUBLE) / GREATEST(len(toks),1) AS s_en,
+         CAST(len(list_filter(toks, x -> list_contains({_SW['de']}, x))) AS DOUBLE) / GREATEST(len(toks),1) AS s_de,
+         CAST(len(list_filter(toks, x -> list_contains({_SW['fr']}, x))) AS DOUBLE) / GREATEST(len(toks),1) AS s_fr,
+         CAST(len(list_filter(toks, x -> list_contains({_SW['es']}, x))) AS DOUBLE) / GREATEST(len(toks),1) AS s_es,
+         CAST(strlen(text) - strlen(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / GREATEST(strlen(text), 1) AS p_ratio,
+         CAST(list_sum(list_transform(toks, x -> strlen(x))) AS DOUBLE)
+             / GREATEST(len(toks), 1) AS wlen,
+         LEAST(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) AS len_score,
+         CASE WHEN len(toks) <= 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+              END AS dwf
+  FROM t
+),
+flag AS (
+  SELECT doc_id, text,
+         GREATEST(s_en, s_de, s_fr, s_es) > 0 AS pl_raw,
+         ROUND(len_score * 0.3
+               + (CASE WHEN wlen >= 2.0 AND wlen <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+               + (1.0 - LEAST(p_ratio * 4.0, 1.0)) * 0.2
+               + LEAST(LEAST(s_en * 3.0, 1.0), 1.0) * 0.2, 6) AS quality,
+         ROUND(dwf, 6) AS dup_word_frac
+  FROM feat
+),
+gated AS (
+  SELECT pl_raw AS pl,
+         pl_raw AND quality >= {FUNNEL_QUALITY_MIN} AS pq,
+         pl_raw AND quality >= {FUNNEL_QUALITY_MIN}
+                AND dup_word_frac <= {FUNNEL_DUP_WORD_MAX} AS pr,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM flag
+)
+SELECT COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN pl THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(SUM(CASE WHEN pq THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN pr THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition,
+       COUNT(DISTINCT CASE WHEN pr THEN fp END) AS n_unique
+FROM gated
+"""
+
+
 QUERIES = {
     "doc_repetition_signals": doc_repetition_signals,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_decontamination": doc_decontamination,
+    "doc_curation_funnel": doc_curation_funnel,
 }
 
 ORACLE = {
     "doc_repetition_signals": DOC_REPETITION_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "doc_decontamination": DOC_DECONTAMINATION_SQL,
+    "doc_curation_funnel": DOC_CURATION_FUNNEL_SQL,
 }
