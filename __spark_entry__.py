@@ -20,11 +20,20 @@ from etl_with_s3__dynamodb_and_glue_spark.plans import (
     event_time,
     functions_surface,
     llm_ops,
+    retrieval,
     star_queries,
     tpch_like,
 )
 
-_MODULES = [star_queries, tpch_like, llm_ops, event_time, functions_surface, curation]
+_MODULES = [
+    star_queries,
+    tpch_like,
+    llm_ops,
+    event_time,
+    functions_surface,
+    curation,
+    retrieval,
+]
 
 # The driver's correctness harness checks the FIRST 50 registry entries
 # per round; the registry is larger than that, so ordering is coverage
@@ -59,6 +68,9 @@ _CHECK_FIRST = [
     "doc_chunk_packs",
     "doc_chunks",
     # new or code-changed this round
+    "doc_bm25_topk",
+    "doc_inverted_index",
+    "doc_lm_score",
     "serving_top_rows_lookup",
     "doc_arrivals_dedup",
     "doc_arrivals_dedup_lsh",
