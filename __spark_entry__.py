@@ -71,6 +71,9 @@ _CHECK_FIRST = [
     "doc_bm25_topk",
     "doc_inverted_index",
     "doc_lm_score",
+    "doc_boilerplate_fraction",
+    "embedding_dedup_final",
+    "customer_scd1_merge",
     "serving_top_rows_lookup",
     "doc_arrivals_dedup",
     "doc_arrivals_dedup_lsh",

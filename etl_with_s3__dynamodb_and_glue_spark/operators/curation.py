@@ -170,3 +170,67 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlapping_ngrams"))
     )
+
+
+def boilerplate_fraction(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CROSS-document duplicated-n-gram fraction: for each document,
+    the share of its distinct word ``n``-grams that also occur in at
+    least ``min_docs`` documents corpus-wide. High values mark
+    boilerplate (headers, footers, licence blocks, templated spam) —
+    the complement of ``repetition_signals``, which only sees
+    within-document repetition.
+
+    Plan shape: per-doc gram dedup happens in-row (``array_distinct``
+    before the explode), so the exploded stream carries one row per
+    (doc, distinct gram). Corpus-wide document frequency is then a
+    plain count per gram — no countDistinct needed — and one join back
+    on the gram key attaches it. Two shuffles on the gram key, one on
+    doc_id; map-side combine absorbs hot grams on the aggregate side,
+    and the join's build side is (gram, df) — already aggregated,
+    orders of magnitude smaller than the corpus.
+
+    Grams travel as STRINGS here because the DuckDB oracle replays the
+    exact computation; the drop-in scale variant swaps
+    ``word_ngrams`` for ``word_ngram_hashes`` (8-byte keys, no gram
+    string construction) with identical semantics modulo hash
+    collisions (~n²/2⁶⁴).
+
+    Output: (doc_id, n_distinct_grams, boilerplate_frac) — frac NULL
+    when the doc is shorter than ``n`` tokens.
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(word_ngrams(tokens(text_col), n))
+        ).alias("gram"),
+    )
+    gram_df = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    per_doc = (
+        grams.join(gram_df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+            F.round(
+                F.avg((F.col("df") >= min_docs).cast("double")), 6
+            ).alias("boilerplate_frac"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct_grams", F.lit(0).cast("long")).alias(
+                "n_distinct_grams"
+            ),
+            "boilerplate_frac",
+        )
+    )

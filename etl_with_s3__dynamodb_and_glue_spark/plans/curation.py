@@ -294,7 +294,44 @@ FROM gated
 """
 
 
+def doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-5-gram share per document — the
+    corpus-wide boilerplate signal complementing the within-doc
+    repetition signals. See operators/curation.py::boilerplate_fraction
+    for the two-shuffle plan shape and the hashed-gram scale variant."""
+    return curation.boilerplate_fraction(_docs(spark, sf_dir), n=5, min_docs=2)
+
+
+DOC_BOILERPLATE_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(toks) - 3),
+           i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+  FROM t
+),
+gdf AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+         ROUND(AVG(CASE WHEN df >= 2 THEN 1.0 ELSE 0.0 END), 6)
+           AS boilerplate_frac
+  FROM g JOIN gdf USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_distinct_grams, 0) AS n_distinct_grams,
+       p.boilerplate_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
+    "doc_boilerplate_fraction": doc_boilerplate_fraction,
     "doc_repetition_signals": doc_repetition_signals,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_decontamination": doc_decontamination,
@@ -302,6 +339,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "doc_boilerplate_fraction": DOC_BOILERPLATE_SQL,
     "doc_repetition_signals": DOC_REPETITION_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "doc_decontamination": DOC_DECONTAMINATION_SQL,

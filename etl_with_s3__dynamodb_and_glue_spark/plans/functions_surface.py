@@ -696,7 +696,74 @@ ORDER BY source
 """
 
 
+def customer_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins SCD-1 merge (operators/merge.py): the customer
+    balance table as base state, an events-derived update stream on
+    top. Keys are shifted (user_id × 11) so the merge exercises all
+    three outcomes — updated, unchanged, and inserted — at sf0.01.
+
+    The batch form of the reference's DynamoDB upsert write
+    (glue_job.py:110-132): newest version per key wins, single shuffle
+    (union + WindowGroupLimit top-1, no join).
+    """
+    from ..operators.merge import scd1_merge
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("profile_id"),
+            F.round(F.col("c_acctbal"), 2).alias("balance"),
+            F.to_timestamp(F.lit("1992-01-01 00:00:00")).alias("updated_at"),
+        )
+    )
+    updates = read_events(spark, sf_dir).select(
+        (F.col("user_id") * 11).alias("profile_id"),
+        F.round(F.col("value"), 2).alias("balance"),
+        F.col("ts").alias("updated_at"),
+    )
+    merged = scd1_merge(
+        base, updates, key_cols=["profile_id"], ordering_col="updated_at"
+    )
+    return merged.select("profile_id", "balance", "updated_at", "change_type")
+
+
+CUSTOMER_SCD1_MERGE_SQL = """
+WITH base AS (
+  SELECT c_custkey AS profile_id,
+         ROUND(c_acctbal, 2) AS balance,
+         TIMESTAMP '1992-01-01 00:00:00' AS updated_at,
+         0 AS prio
+  FROM customer
+),
+updates AS (
+  SELECT user_id * 11 AS profile_id,
+         ROUND(value, 2) AS balance,
+         ts AS updated_at,
+         1 AS prio
+  FROM events
+),
+tagged AS (
+  SELECT * FROM base UNION ALL BY NAME SELECT * FROM updates
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY profile_id
+           ORDER BY prio DESC, updated_at DESC) AS rn,
+         SUM(1 - prio) OVER (PARTITION BY profile_id) AS n_base
+  FROM tagged
+)
+SELECT profile_id, balance, updated_at,
+       CASE WHEN prio = 0 THEN 'unchanged'
+            WHEN n_base > 0 THEN 'updated'
+            ELSE 'inserted' END AS change_type
+FROM ranked WHERE rn = 1
+ORDER BY profile_id
+"""
+
+
 QUERIES = {
+    "customer_scd1_merge": customer_scd1_merge,
     "priority_status_grouping_sets": priority_status_grouping_sets,
     "returnflag_status_pivot": returnflag_status_pivot,
     "eventers_orderers_full_outer": eventers_orderers_full_outer,
@@ -718,6 +785,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "customer_scd1_merge": CUSTOMER_SCD1_MERGE_SQL,
     "priority_status_grouping_sets": PRIORITY_STATUS_GROUPING_SETS_SQL,
     "returnflag_status_pivot": RETURNFLAG_STATUS_PIVOT_SQL,
     "eventers_orderers_full_outer": EVENTERS_ORDERERS_FULL_OUTER_SQL,

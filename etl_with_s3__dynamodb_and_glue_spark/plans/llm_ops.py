@@ -783,6 +783,62 @@ ORDER BY id_a, id_b
 """
 
 
+def embedding_dedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup decision: embedding-cosine
+    near-dup pairs → connected components → deterministic min-id
+    survivor per semantic cluster. The same cluster-resolution
+    operator that closes the text dedup paths closes the embedding
+    path — pairs alone can't drop rows (transitivity).
+
+    Exact pair generation here (the oracle's recursive CTE replays
+    the transitive closure over the same rounded-cosine graph);
+    ``embedding_dedup_final_lsh`` is the SRP-bucketed composition a
+    100 TB corpus runs, with agreement asserted in tests.
+    """
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.4)
+    return dedup.resolve_near_dups(emb, pairs, id_col="vec_id")
+
+
+EMBEDDING_DEDUP_FINAL_SQL = """
+WITH RECURSIVE
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+walk (vid, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e2.v, w.label FROM walk w JOIN edges e2 ON e2.u = w.vid
+)
+SELECT vid AS vec_id,
+       MIN(label) AS cluster_id,
+       CAST(vid = MIN(label) AS INTEGER) AS is_survivor
+FROM walk
+GROUP BY vid
+ORDER BY vec_id
+"""
+
+
+def embedding_dedup_final_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of embedding_dedup_final: SRP-bucketed candidate
+    pairs (exact-cosine verified at the same threshold) → the same
+    clustering. Rows-only for the driver; cluster-agreement vs the
+    exact composition asserted in tests."""
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.embedding_near_dup_pairs_lsh(emb, threshold=0.4)
+    return dedup.resolve_near_dups(emb, pairs, id_col="vec_id")
+
+
 def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path of embedding_near_dup_pairs (SRP-bucketed candidate
     generation, exact cosine verify) — rows-only for the driver;
@@ -993,6 +1049,8 @@ QUERIES = {
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_near_dup_pairs_lsh": embedding_near_dup_pairs_lsh,
+    "embedding_dedup_final": embedding_dedup_final,
+    "embedding_dedup_final_lsh": embedding_dedup_final_lsh,
     "embedding_lsh_topk": embedding_lsh_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
     "asset_content_hashes": asset_content_hashes,
@@ -1018,6 +1076,7 @@ ORACLE = {
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,
+    "embedding_dedup_final": EMBEDDING_DEDUP_FINAL_SQL,
     "asset_content_hashes": ASSET_CONTENT_HASHES_SQL,
     "asset_features": ASSET_FEATURES_SQL,
     # doc_minhash_near_dups, doc_simhash_near_dups, doc_dedup_final_lsh,

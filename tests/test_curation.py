@@ -107,3 +107,27 @@ def test_scrub_plan_is_pure_map(spark):
         .toString()
     )
     assert "Exchange" not in plan, "PII scrub must not shuffle"
+
+
+def test_boilerplate_fraction_short_and_shared(spark):
+    """Docs shorter than n tokens → 0 grams / NULL frac; a 5-gram
+    shared by two docs counts toward both; unique grams don't."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.curation import (
+        boilerplate_fraction,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e unique1 tail"),
+            (2, "a b c d e other2 end"),
+            (3, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in boilerplate_fraction(docs, n=5).collect()}
+    assert rows[3].n_distinct_grams == 0 and rows[3].boilerplate_frac is None
+    # doc 1: grams {a b c d e, b c d e unique1, c d e unique1 tail};
+    # only the first is shared with doc 2 → 1/3.
+    assert rows[1].n_distinct_grams == 3
+    assert abs(rows[1].boilerplate_frac - round(1 / 3, 6)) < 1e-9
+    assert rows[2].n_distinct_grams == 3

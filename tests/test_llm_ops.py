@@ -597,6 +597,37 @@ def test_dedup_final_lsh_refines_exact_composition(spark):
     assert agreement >= 0.98, f"agreement {agreement:.3f} < 0.98"
 
 
+def test_embedding_dedup_final_lsh_refines_exact_composition(spark):
+    """Same refinement/agreement contract for the SEMANTIC dedup
+    composition: SRP-LSH pairs verify with exact cosine (precision 1),
+    so the LSH clustering refines the exact one; ≥90% identical
+    decisions (SRP recall is lower than MinHash recall at this
+    threshold, bounded separately in the recall test)."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
+    from tests.conftest import SF_ORACLE
+
+    exact = {
+        r.vec_id: r
+        for r in llm_ops.embedding_dedup_final(spark, SF_ORACLE).collect()
+    }
+    lsh = {
+        r.vec_id: r
+        for r in llm_ops.embedding_dedup_final_lsh(spark, SF_ORACLE).collect()
+    }
+    assert exact and set(lsh) == set(exact)
+    exact_of = {d: r.cluster_id for d, r in exact.items()}
+    for d, r in lsh.items():
+        assert exact_of[r.cluster_id] == exact_of[d], d
+    same = sum(
+        1
+        for d in exact
+        if (exact[d].cluster_id, exact[d].is_survivor)
+        == (lsh[d].cluster_id, lsh[d].is_survivor)
+    )
+    agreement = same / len(exact)
+    assert agreement >= 0.90, f"agreement {agreement:.3f} < 0.90"
+
+
 def test_resize_images_plumbing(docs):
     """Resize keeps the asset-table schema, updates meta dims, scales
     the payload with the target pixel count, and is deterministic —

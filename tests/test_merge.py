@@ -1,0 +1,71 @@
+"""SCD-1 merge operator: semantics, determinism, and the
+single-shuffle plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_with_s3__dynamodb_and_glue_spark.operators.merge import scd1_merge
+from tests.test_plan_shapes import plan_str
+
+
+@pytest.fixture()
+def tables(spark):
+    base = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01"), (2, 20.0, "2024-01-01"), (3, 30.0, "2024-01-01")],
+        "k long, v double, at string",
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, 21.0, "2024-02-01"),
+            (2, 22.0, "2024-03-01"),  # later version wins
+            (4, 40.0, "2024-02-15"),  # new key
+        ],
+        "k long, v double, at string",
+    )
+    return base, updates
+
+
+def test_scd1_merge_semantics(tables):
+    base, updates = tables
+    out = {
+        r.k: r
+        for r in scd1_merge(base, updates, ["k"], ordering_col="at").collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].v == 10.0 and out[1].change_type == "unchanged"
+    assert out[2].v == 22.0 and out[2].change_type == "updated"
+    assert out[3].v == 30.0 and out[3].change_type == "unchanged"
+    assert out[4].v == 40.0 and out[4].change_type == "inserted"
+
+
+def test_scd1_merge_update_always_beats_base(tables):
+    """Priority dominates ordering: an update OLDER than the base row
+    still wins (SCD-1 latest-known-version semantics are by source,
+    not wall clock — the update stream is authoritative)."""
+    base, _ = tables
+    spark = base.sparkSession
+    stale = spark.createDataFrame(
+        [(1, 99.0, "1999-01-01")], "k long, v double, at string"
+    )
+    out = {r.k: r for r in scd1_merge(base, stale, ["k"], "at").collect()}
+    assert out[1].v == 99.0 and out[1].change_type == "updated"
+
+
+def test_scd1_merge_schema_mismatch_is_loud(tables):
+    base, _ = tables
+    spark = base.sparkSession
+    bad = spark.createDataFrame([(1, 1.0)], "k long, other double")
+    with pytest.raises(ValueError, match="matching schemas"):
+        scd1_merge(base, bad, ["k"])
+
+
+def test_scd1_merge_single_shuffle_plan(tables):
+    base, updates = tables
+    plan = plan_str(scd1_merge(base, updates, ["k"], "at"), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    # the map-side partial phase must sit BELOW the shuffle, so at most
+    # one candidate row per (key, partition) ever ships
+    pre_shuffle = plan.split("Exchange", 1)[1]
+    assert "partial_max_by" in pre_shuffle, plan
