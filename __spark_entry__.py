@@ -74,6 +74,8 @@ _CHECK_FIRST = [
     "doc_boilerplate_fraction",
     "embedding_dedup_final",
     "customer_scd1_merge",
+    "doc_hybrid_rrf",
+    "doc_lm_outliers",
     "serving_top_rows_lookup",
     "doc_arrivals_dedup",
     "doc_arrivals_dedup_lsh",

@@ -149,6 +149,13 @@ def main() -> None:
         "serving_top_rows_lookup",
         "doc_arrivals_dedup_lsh",
         "doc_arrivals_dedup_store",
+        # retrieval + curation + merge surface added later in round 5
+        "doc_bm25_topk",
+        "doc_hybrid_rrf",
+        "doc_lm_score",
+        "doc_boilerplate_fraction",
+        "customer_scd1_merge",
+        "embedding_dedup_final_lsh",
     ):
         try:
             spark.catalog.clearCache()

@@ -155,11 +155,14 @@ def decontaminate(
     """
 
     def gram_hashes(df: DataFrame, keep_id: bool) -> DataFrame:
+        # tokenize staged below the generator: an inline tokenize
+        # re-evaluates the regex split per EMITTED row (pathology
+        # measured on the containment path — plans/llm_ops.py)
         cols = [F.col(id_col)] if keep_id else []
-        return df.select(
+        return df.select(*cols, tokens(text_col).alias("tk")).select(
             *cols,
             F.explode(
-                F.array_distinct(word_ngram_hashes(tokens(text_col), n))
+                F.array_distinct(word_ngram_hashes(F.col("tk"), n))
             ).alias("gram_h"),
         )
 
@@ -205,10 +208,12 @@ def boilerplate_fraction(
     when the doc is shorter than ``n`` tokens.
     """
     grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(word_ngrams(tokens(text_col), n))
-        ).alias("gram"),
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("tk"), n))).alias(
+            "gram"
+        ),
     )
     gram_df = grams.groupBy("gram").agg(
         F.count(F.lit(1)).cast("long").alias("df")

@@ -199,15 +199,17 @@ def bigram_lm_scores(
     plain avg. Output: (doc_id, n_bigrams, avg_logprob) rounded to 6.
     Documents with fewer than 2 tokens score NULL with n_bigrams = 0.
     """
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(tokens(text_col), 2)).alias("bigram"),
-    ).withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+    grams = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk"))
+        .select("doc_id", F.explode(word_ngrams(F.col("tk"), 2)).alias("bigram"))
+        .withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+    )
 
     c2 = grams.groupBy("bigram").agg(F.count("*").cast("double").alias("c2"))
     c1 = grams.groupBy("w1").agg(F.count("*").cast("double").alias("c1"))
     vocab = (
-        docs.select(F.explode(tokens(text_col)).alias("t"))
+        docs.select(tokens(text_col).alias("tk"))
+        .select(F.explode("tk").alias("t"))
         .agg(F.countDistinct("t").cast("double").alias("v"))
     )
 

@@ -31,7 +31,8 @@ def term_frequencies(
 ) -> DataFrame:
     """(id, term, tf) — occurrences of each term per document."""
     return (
-        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        docs.select(F.col(id_col), tokens(text_col).alias("tk"))
+        .select(F.col(id_col), F.explode("tk").alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -93,7 +94,8 @@ def top_tokens(
     over the (small) aggregated vocabulary, not a full sort. Ties
     break on term ascending."""
     counts = (
-        docs.select(F.explode(tokens(text_col)).alias("term"))
+        docs.select(tokens(text_col).alias("tk"))
+        .select(F.explode("tk").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )

@@ -316,12 +316,23 @@ def doc_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compared, and both hashes group identical windows together.
     # Persisted for the two consumers (df aggregate, pair generation);
     # the release is tied to the result's lifetime, no leaked cache.
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_ngram_hashes(tokens("text"), 8))
-        ).alias("fp"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Stage the TOKENIZE in its own projection; keep the hash/distinct
+    # chain inside the generator. Measured at sf0.1 (warm): inline
+    # tokenize 4.0 s, tokenize-staged 0.6 s, fully-staged array 10.5 s
+    # — an inline (or alias-collapsed) tokenize re-evaluates the regex
+    # split per EMITTED row, while a fully-staged array gets its alias
+    # substituted back into the generator by CollapseProject, which is
+    # even worse. Tokenize-staged is the shape codegen handles.
+    grams = (
+        docs.select("doc_id", tokens("text").alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngram_hashes(F.col("tk"), 8))
+            ).alias("fp"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     hot = (
         grams.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -382,9 +393,12 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return (
-        docs.select(
+        docs.select("doc_id", tokens("text").alias("tk"))
+        .select(
             "doc_id",
-            F.posexplode(chunk_tokens(tokens("text"), 32, 8)).alias("chunk_id", "c"),
+            F.posexplode(chunk_tokens(F.col("tk"), 32, 8)).alias(
+                "chunk_id", "c"
+            ),
         )
         .select(
             "doc_id",
@@ -423,11 +437,17 @@ def doc_chunk_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import chunk_tokens, pack_chunks, tokens
 
     docs = _docs(spark, sf_dir)
-    chunks = docs.select(
-        "doc_id",
-        "lang",
-        F.posexplode(chunk_tokens(tokens("text"), 32, 8)).alias("chunk_id", "c"),
-    ).select("doc_id", "lang", "chunk_id", F.size("c.chunk").alias("n_tokens"))
+    chunks = (
+        docs.select("doc_id", "lang", tokens("text").alias("tk"))
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode(chunk_tokens(F.col("tk"), 32, 8)).alias(
+                "chunk_id", "c"
+            ),
+        )
+        .select("doc_id", "lang", "chunk_id", F.size("c.chunk").alias("n_tokens"))
+    )
     packed = pack_chunks(
         chunks,
         budget=256,

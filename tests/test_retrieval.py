@@ -104,3 +104,26 @@ def test_lm_score_short_docs_null(spark):
     rows = {r.doc_id: r for r in retrieval.bigram_lm_scores(one_tok).collect()}
     assert rows[1].n_bigrams == 0 and rows[1].avg_logprob is None
     assert rows[2].n_bigrams == 3 and rows[2].avg_logprob is not None
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark):
+    """Every fused row must come from at least one ranker, scores must
+    be consistent with the rank columns, and both rankers must actually
+    contribute to the pool."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.retrieval import (
+        RRF_K,
+        doc_hybrid_rrf,
+    )
+
+    rows = doc_hybrid_rrf(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 10
+    assert [r.fused_rank for r in rows] == list(range(1, len(rows) + 1))
+    assert any(r.rank_lex is not None for r in rows)
+    assert any(r.rank_sem is not None for r in rows)
+    for r in rows:
+        expect = sum(
+            1.0 / (RRF_K + rank)
+            for rank in (r.rank_lex, r.rank_sem)
+            if rank is not None
+        )
+        assert abs(r.rrf - round(expect, 6)) < 1e-9
