@@ -20,7 +20,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..caching import unpersist_on_release
@@ -588,8 +588,12 @@ def connected_components(
     Scale shape per round: one equi-join (edges ⋈ labels, shuffle on
     vertex id) + one min-aggregate — no collect, no driver-side graph.
     ``localCheckpoint`` truncates the growing lineage each round so the
-    plan stays constant-size, and the convergence check is a
-    ``limit(1).count()`` on changed labels (early-exits the scan).
+    plan stays constant-size. The convergence probe costs NO extra
+    join: each vertex's previous label rides through the aggregate as
+    a side-band ``max`` (only the self row carries it, neighbor rows
+    contribute null), so "did anything change" is a plain filter +
+    ``limit(1).count()`` over the just-checkpointed frame instead of a
+    new-vs-old shuffle join per round.
     Vertices without any pair keep themselves as singleton clusters.
     """
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
@@ -600,26 +604,40 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("vid"), F.col(id_col).alias("label")
     ).localCheckpoint()
+    label_type = dict(labels.dtypes)["label"]
     try:
-        for _ in range(max_iterations):
+        for round_no in range(max_iterations):
             neighbor_labels = edges_sym.join(
                 labels, edges_sym["u"] == labels["vid"]
-            ).select(F.col("v").alias("vid"), F.col("label"))
+            ).select(
+                F.col("v").alias("vid"),
+                F.col("label"),
+                F.lit(None).cast(label_type).alias("prev"),
+            )
+            # the convergence probe rides the checkpoint job itself
+            # (Observation metrics aggregate driver-side during the
+            # materializing action) — zero extra jobs per round
+            obs = Observation(f"cc_round_{round_no}")
             new_labels = (
-                labels.union(neighbor_labels)
+                labels.select(
+                    "vid", "label", F.col("label").alias("prev")
+                )
+                .union(neighbor_labels)
                 .groupBy("vid")
-                .agg(F.min("label").alias("label"))
+                .agg(
+                    F.min("label").alias("label"),
+                    F.max("prev").alias("prev"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        (F.col("label") != F.col("prev")).cast("long")
+                    ).alias("changed"),
+                )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "vid")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
+            labels = new_labels.select("vid", "label")
+            if obs.get["changed"] == 0:
                 break
         else:
             raise RuntimeError(
