@@ -117,6 +117,7 @@ def write_sized_parquet(
     max_records_per_file: int | None = None,
     partition_by: tuple[str, ...] = (),
     mode: str = "overwrite",
+    dynamic_overwrite: bool = False,
 ) -> None:
     """Write parquet with RUNTIME-sized files — the AQE companion to
     :func:`write_dataset` for when there is no clustering key and no
@@ -140,6 +141,11 @@ def write_sized_parquet(
         "rebalance"
     )
     writer = balanced.write.mode(mode)
+    if dynamic_overwrite:
+        # replace only the partitions this write produces rows for —
+        # required by in-place maintenance (compaction, keyed merges);
+        # static overwrite would drop every untouched partition
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
