@@ -76,6 +76,7 @@ _CHECK_FIRST = [
     "customer_scd1_merge",
     "doc_hybrid_rrf",
     "doc_lm_outliers",
+    "doc_quality_classifier",
     "serving_top_rows_lookup",
     "doc_arrivals_dedup",
     "doc_arrivals_dedup_lsh",

@@ -330,7 +330,57 @@ ORDER BY d.doc_id
 """
 
 
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier scoring (the fastText filter
+    pattern): broadcast (bucket → weight) model, explode + hash +
+    join + per-doc mean + sigmoid. See operators/classifier.py for the
+    scale shape and why the weights are a deterministic function of
+    the bucket id (the oracle rebuilds the identical model)."""
+    from ..operators.classifier import classifier_scores, weights_table
+
+    return classifier_scores(_docs(spark, sf_dir), weights_table(spark))
+
+
+def _hex4_sql(expr: str) -> str:
+    digits = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1) * {m}"
+        for i, m in ((1, 4096), (2, 256), (3, 16), (4, 1))
+    ]
+    return "(" + " + ".join(digits) + ")"
+
+
+DOC_QUALITY_CLASSIFIER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+feat AS (
+  SELECT doc_id,
+         CAST({_hex4_sql("md5('f|' || tok)")} % 1024 AS INTEGER) AS bucket
+  FROM toks
+),
+w AS (
+  SELECT CAST(i AS INTEGER) AS bucket,
+         ROUND({_hex4_sql("md5('w|' || CAST(i AS VARCHAR))")} / 65536.0
+               * 2.0 - 1.0, 6) AS w
+  FROM range(1024) r(i)
+),
+per AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, AVG(w.w) AS mean_w
+  FROM feat f JOIN w ON f.bucket = w.bucket
+  GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       ROUND(1.0 / (1.0 + exp(-p.mean_w)), 6) AS prob
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
+    "doc_quality_classifier": doc_quality_classifier,
     "doc_boilerplate_fraction": doc_boilerplate_fraction,
     "doc_repetition_signals": doc_repetition_signals,
     "doc_pii_scrub": doc_pii_scrub,
@@ -339,6 +389,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "doc_quality_classifier": DOC_QUALITY_CLASSIFIER_SQL,
     "doc_boilerplate_fraction": DOC_BOILERPLATE_SQL,
     "doc_repetition_signals": DOC_REPETITION_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,

@@ -131,3 +131,23 @@ def test_boilerplate_fraction_short_and_shared(spark):
     assert rows[1].n_distinct_grams == 3
     assert abs(rows[1].boilerplate_frac - round(1 / 3, 6)) < 1e-9
     assert rows[2].n_distinct_grams == 3
+
+
+def test_classifier_broadcasts_model_and_handles_empty(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.classifier import (
+        classifier_scores,
+        weights_table,
+    )
+    from tests.test_plan_shapes import plan_str
+
+    docs = _docs(spark, [(1, "hello world"), (2, "")])
+    out = classifier_scores(docs, weights_table(spark))
+    plan = plan_str(out)
+    # the model is the broadcast build side; the corpus never shuffles
+    # for the scoring join
+    assert "BroadcastHashJoin" in plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].n_tokens == 2 and 0.0 < rows[1].prob < 1.0
+    # normalize("") yields [""], which still hashes to a bucket — the
+    # contract is "no doc is dropped", not "empty docs are special"
+    assert rows[2].doc_id == 2
