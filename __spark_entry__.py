@@ -54,15 +54,12 @@ _CHECK_FIRST = [
     "part_scalar_showcase",
     "order_date_parts",
     "active_user_ids_union",
-    "buyer_eventer_intersect",
-    "buyers_not_eventers_except",
     "customers_with_events_semi",
     "customers_without_events_anti",
     "events_json_extract",
     "returnflag_cube",
     "top_orders_global",
     "priority_status_grouping_sets",
-    "returnflag_status_pivot",
     "eventers_orderers_full_outer",
     "order_quantity_arrays",
     "doc_chunk_packs",
@@ -84,6 +81,15 @@ _CHECK_FIRST = [
     "doc_training_order",
     "doc_length_buckets",
     "doc_curation_funnel",
+    # terms.py / curation.py lineage changed this round (explode
+    # staging) — their queries stay in the window even though they
+    # were hash-green in r4; the slots come from parking two of the
+    # three set-ops and one of the three grouping-set queries, which
+    # share a code path with their in-window representative
+    # (active_user_ids_union / priority_status_grouping_sets)
+    "doc_tfidf_top_terms",
+    "doc_top_tokens",
+    "doc_decontamination",
     # events.ts has silently changed parquet type twice across rounds —
     # the most incident-prone lineage stays in the window every round
     "user_sessions",
@@ -105,7 +111,10 @@ _CHECK_LAST = [
     "csv_quarantine_counts",
     "doc_repetition_signals",
     "doc_pii_scrub",
-    "doc_decontamination",
+    # parked: share their code path with an in-window representative
+    "buyer_eventer_intersect",
+    "buyers_not_eventers_except",
+    "returnflag_status_pivot",
     "clicks_asof_prior_view",
     "error_followup_counts",
     "priority_returns_exists",
