@@ -74,6 +74,8 @@ _CHECK_FIRST = [
     "doc_hybrid_rrf",
     "doc_lm_outliers",
     "doc_quality_classifier",
+    "customer_cdc_apply",
+    "orders_profile",
     "serving_top_rows_lookup",
     "doc_arrivals_dedup",
     "doc_arrivals_dedup_lsh",

@@ -86,3 +86,58 @@ def scd1_merge(
         .otherwise(F.lit("inserted"))
         .alias("change_type"),
     )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    ordering_col: str | list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC apply: fold an insert/update/delete change log into the
+    state table. ``changes`` carries the base schema plus ``op_col``
+    ('U' for upsert, 'D' for delete); the LATEST change per key (by
+    ``ordering_col``) decides — an upsert lands the new row, a delete
+    drops the key, and keys without changes pass through.
+
+    Same single-shuffle argmax shape as :func:`scd1_merge` (base rows
+    tagged priority 0 / op 'U'); the delete is a post-aggregate filter
+    on the winning row's op, so tombstones cost nothing extra. This is
+    the batch core of a warehouse CDC pipeline (the op log is what
+    Debezium-style sources emit); at 100 TB pair it with the
+    bucket-partitioned store of streaming/state_table.py so each batch
+    rewrites only touched buckets.
+    """
+    if op_col not in changes.columns:
+        raise ValueError(f"changes must carry an {op_col!r} column")
+    data_cols = [c for c in changes.columns if c != op_col]
+    if set(base.columns) != set(data_cols):
+        raise ValueError(
+            "apply_changes requires changes = base schema + op; got "
+            f"{sorted(base.columns)} vs {sorted(data_cols)}"
+        )
+    ordering = [ordering_col] if isinstance(ordering_col, str) else list(ordering_col)
+    tagged = base.select(
+        *data_cols, F.lit("U").alias(op_col), F.lit(0).alias("_prio")
+    ).unionByName(changes.select(*data_cols, op_col).withColumn("_prio", F.lit(1)))
+    payload_cols = [c for c in data_cols if c not in key_cols]
+    order_key = F.struct(F.col("_prio"), *[F.col(c) for c in ordering])
+    row_struct = F.struct(
+        F.col("_prio"), F.col(op_col), *[F.col(c) for c in payload_cols]
+    )
+    winners = tagged.groupBy(*key_cols).agg(
+        F.max_by(row_struct, order_key).alias("_win"),
+        F.max(1 - F.col("_prio")).alias("_has_base"),
+    )
+    return (
+        winners.filter(F.col(f"_win.{op_col}") != "D")
+        .select(
+            *key_cols,
+            *[F.col(f"_win.{c}").alias(c) for c in payload_cols],
+            F.when(F.col("_win._prio") == 0, F.lit("unchanged"))
+            .when(F.col("_has_base") == 1, F.lit("updated"))
+            .otherwise(F.lit("inserted"))
+            .alias("change_type"),
+        )
+    )

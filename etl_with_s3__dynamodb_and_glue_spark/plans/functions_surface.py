@@ -762,8 +762,118 @@ ORDER BY profile_id
 """
 
 
+def customer_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with tombstones (operators/merge.py::apply_changes):
+    the events stream becomes an op log — 'error' events are deletes,
+    everything else upserts — and the latest op per key decides.
+    Same single-shuffle argmax as the SCD-1 merge; deletes are a
+    post-aggregate filter."""
+    from ..operators.merge import apply_changes
+
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("profile_id"),
+        F.round(F.col("c_acctbal"), 2).alias("balance"),
+        F.to_timestamp(F.lit("1992-01-01 00:00:00")).alias("updated_at"),
+    )
+    changes = read_events(spark, sf_dir).select(
+        (F.col("user_id") * 11).alias("profile_id"),
+        F.round(F.col("value"), 2).alias("balance"),
+        F.col("ts").alias("updated_at"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    out = apply_changes(
+        base, changes, key_cols=["profile_id"], ordering_col="updated_at"
+    )
+    return out.select("profile_id", "balance", "updated_at", "change_type")
+
+
+CUSTOMER_CDC_APPLY_SQL = """
+WITH base AS (
+  SELECT c_custkey AS profile_id,
+         ROUND(c_acctbal, 2) AS balance,
+         TIMESTAMP '1992-01-01 00:00:00' AS updated_at,
+         'U' AS op, 0 AS prio
+  FROM customer
+),
+changes AS (
+  SELECT user_id * 11 AS profile_id,
+         ROUND(value, 2) AS balance,
+         ts AS updated_at,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         1 AS prio
+  FROM events
+),
+tagged AS (
+  SELECT * FROM base UNION ALL BY NAME SELECT * FROM changes
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY profile_id
+           ORDER BY prio DESC, updated_at DESC) AS rn,
+         SUM(1 - prio) OVER (PARTITION BY profile_id) AS n_base
+  FROM tagged
+)
+SELECT profile_id, balance, updated_at,
+       CASE WHEN prio = 0 THEN 'unchanged'
+            WHEN n_base > 0 THEN 'updated'
+            ELSE 'inserted' END AS change_type
+FROM ranked WHERE rn = 1 AND op != 'D'
+ORDER BY profile_id
+"""
+
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column data-quality profile of the orders table
+    (operators/profile.py): null counts, cardinalities, typed ranges.
+    Exact mode here for the oracle; exact=False (HLL, no EXPAND) is
+    the declared 100 TB mode with the identical report schema."""
+    from ..operators.profile import profile_table
+
+    return profile_table(_orders(spark, sf_dir), exact=True)
+
+
+def _profile_sql() -> str:
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    parts = []
+    for c in cols:
+        if c in numeric:
+            mins = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            strs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            mins = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            strs = (
+                f"MIN(CAST({c} AS VARCHAR))",
+                f"MAX(CAST({c} AS VARCHAR))",
+            )
+        parts.append(
+            f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+            f"  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,\n"
+            f"  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,\n"
+            f"  {mins[0]} AS min_num, {mins[1]} AS max_num,\n"
+            f"  {strs[0]} AS min_str, {strs[1]} AS max_str\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+ORDERS_PROFILE_SQL = _profile_sql()
+
+
 QUERIES = {
     "customer_scd1_merge": customer_scd1_merge,
+    "customer_cdc_apply": customer_cdc_apply,
+    "orders_profile": orders_profile,
     "priority_status_grouping_sets": priority_status_grouping_sets,
     "returnflag_status_pivot": returnflag_status_pivot,
     "eventers_orderers_full_outer": eventers_orderers_full_outer,
@@ -786,6 +896,8 @@ QUERIES = {
 
 ORACLE = {
     "customer_scd1_merge": CUSTOMER_SCD1_MERGE_SQL,
+    "customer_cdc_apply": CUSTOMER_CDC_APPLY_SQL,
+    "orders_profile": ORDERS_PROFILE_SQL,
     "priority_status_grouping_sets": PRIORITY_STATUS_GROUPING_SETS_SQL,
     "returnflag_status_pivot": RETURNFLAG_STATUS_PIVOT_SQL,
     "eventers_orderers_full_outer": EVENTERS_ORDERERS_FULL_OUTER_SQL,

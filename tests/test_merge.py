@@ -69,3 +69,69 @@ def test_scd1_merge_single_shuffle_plan(tables):
     # one candidate row per (key, partition) ever ships
     pre_shuffle = plan.split("Exchange", 1)[1]
     assert "partial_max_by" in pre_shuffle, plan
+
+
+def test_apply_changes_cdc_semantics(tables):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.merge import (
+        apply_changes,
+    )
+
+    base, _ = tables
+    spark = base.sparkSession
+    changes = spark.createDataFrame(
+        [
+            (2, 21.0, "2024-02-01", "U"),
+            (2, 0.0, "2024-03-01", "D"),   # delete wins: latest op
+            (3, 31.0, "2024-02-01", "D"),
+            (3, 32.0, "2024-03-01", "U"),  # resurrect after delete
+            (4, 40.0, "2024-02-01", "U"),  # plain insert
+            (5, 50.0, "2024-02-01", "D"),  # delete of a never-seen key
+        ],
+        "k long, v double, at string, op string",
+    )
+    out = {
+        r.k: r for r in apply_changes(base, changes, ["k"], "at").collect()
+    }
+    assert set(out) == {1, 3, 4}
+    assert out[1].change_type == "unchanged" and out[1].v == 10.0
+    assert out[3].change_type == "updated" and out[3].v == 32.0
+    assert out[4].change_type == "inserted" and out[4].v == 40.0
+
+
+def test_apply_changes_requires_op_column(tables):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.merge import (
+        apply_changes,
+    )
+
+    base, updates = tables
+    with pytest.raises(ValueError, match="op"):
+        apply_changes(base, updates, ["k"], "at")
+
+
+def test_profile_table_exact_and_approx_schemas_match(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.profile import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (2, "b", None)],
+        "k long, s string, v double",
+    )
+    exact = profile_table(df, exact=True)
+    approx = profile_table(df, exact=False)
+    assert exact.columns == approx.columns
+    rows = {r.col_name: r for r in exact.collect()}
+    assert rows["k"].n_distinct == 2 and rows["k"].min_num == 1.0
+    assert rows["s"].n_nulls == 1 and rows["s"].min_str == "a"
+    assert rows["v"].n_nulls == 1 and rows["v"].max_num == 2.5
+    assert all(r.n_rows == 3 for r in rows.values())
+
+
+def test_profile_table_rejects_unsupported_types(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.profile import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame([(1, [1, 2])], "k long, arr array<int>")
+    with pytest.raises(ValueError, match="unsupported column type"):
+        profile_table(df)
