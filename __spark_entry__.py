@@ -76,6 +76,8 @@ _CHECK_FIRST = [
     "doc_quality_classifier",
     "customer_cdc_apply",
     "orders_profile",
+    "user_conversion_funnel",
+    "doc_per_source_sample",
     "serving_top_rows_lookup",
     "doc_arrivals_dedup",
     "doc_arrivals_dedup_lsh",

@@ -167,7 +167,68 @@ ORDER BY window_start, event_type
 """
 
 
+def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click-after-view →
+    purchase-after-click): the sequence-analytics query product teams
+    run daily. Each stage is a conditional min over the SAME user_id
+    key — three aggregates and two joins, all hash-partitioned alike,
+    so at scale the exchanges reuse one partitioning. Emits one
+    summary row; per-user stage timestamps stay in the lineage for
+    drill-down."""
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    views = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    total = ev.select("user_id").distinct()
+    return total.agg(F.count(F.lit(1)).alias("n_users")).crossJoin(
+        views.agg(F.count(F.lit(1)).alias("n_viewed"))
+    ).crossJoin(
+        clicks.agg(F.count(F.lit(1)).alias("n_clicked_after_view"))
+    ).crossJoin(
+        purchases.agg(F.count(F.lit(1)).alias("n_purchased_after_click"))
+    )
+
+
+USER_CONVERSION_FUNNEL_SQL = """
+WITH views AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+clicks AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+),
+purchases AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM views) AS n_viewed,
+       (SELECT COUNT(*) FROM clicks) AS n_clicked_after_view,
+       (SELECT COUNT(*) FROM purchases) AS n_purchased_after_click
+"""
+
+
 QUERIES = {
+    "user_conversion_funnel": user_conversion_funnel,
     "user_sessions": user_sessions,
     "user_sessions_native": user_sessions_native,
     "events_daily_tumbling": events_daily_tumbling,
@@ -175,6 +236,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "user_conversion_funnel": USER_CONVERSION_FUNNEL_SQL,
     "user_sessions": USER_SESSIONS_SQL,
     "user_sessions_native": USER_SESSIONS_NATIVE_SQL,
     "events_daily_tumbling": EVENTS_DAILY_TUMBLING_SQL,

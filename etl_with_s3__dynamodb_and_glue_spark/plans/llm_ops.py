@@ -522,6 +522,44 @@ ORDER BY doc_id
 """
 
 
+def doc_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k sample PER STRATUM (5 docs per source):
+    rank by the md5 hash bucket within each source — a uniform draw
+    that is a pure function of (salt, doc_id), so it never churns as
+    the corpus grows and both engines replay it exactly. The
+    fixed-k-per-group complement of doc_source_mix's fixed-fraction
+    sampling; one window per stratum, WindowGroupLimit-prunable."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        hash_bucket("doc_id", "persrc"), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= 5)
+    )
+
+
+DOC_PER_SOURCE_SAMPLE_SQL = """
+WITH b AS (
+  SELECT doc_id, source,
+         substr(md5('persrc|' || CAST(doc_id AS VARCHAR)), 1, 8) AS bucket
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY source ORDER BY bucket, doc_id) AS INTEGER)
+         AS sample_rank
+FROM b
+QUALIFY sample_rank <= 5
+ORDER BY source, sample_rank
+"""
+
+
 # --- dedup ---------------------------------------------------------------
 
 
@@ -1048,6 +1086,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_chunks": doc_chunks,
     "doc_source_mix": doc_source_mix,
+    "doc_per_source_sample": doc_per_source_sample,
     "doc_chunk_packs": doc_chunk_packs,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
@@ -1081,6 +1120,7 @@ ORACLE = {
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "doc_source_mix": DOC_SOURCE_MIX_SQL,
+    "doc_per_source_sample": DOC_PER_SOURCE_SAMPLE_SQL,
     "doc_chunk_packs": DOC_CHUNK_PACKS_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
