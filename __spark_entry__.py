@@ -74,10 +74,14 @@ _CHECK_FIRST = [
     "doc_hybrid_rrf",
     "doc_lm_outliers",
     "doc_quality_classifier",
+    # connected-components lineage changed this round (observe-fused
+    # probe) — both exact-composition consumers stay in the window
+    "doc_dedup_final",
     "customer_cdc_apply",
     "orders_profile",
     "user_conversion_funnel",
     "doc_per_source_sample",
+    "volume_shipping",
     "serving_top_rows_lookup",
     "doc_arrivals_dedup",
     "doc_arrivals_dedup_lsh",
@@ -116,6 +120,8 @@ _CHECK_LAST = [
     "doc_repetition_signals",
     "doc_pii_scrub",
     # parked: share their code path with an in-window representative
+    # (doc_source_mix ↔ doc_per_source_sample via operators/sampling)
+    "doc_source_mix",
     "buyer_eventer_intersect",
     "buyers_not_eventers_except",
     "returnflag_status_pivot",

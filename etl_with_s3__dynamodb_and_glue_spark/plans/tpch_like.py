@@ -444,7 +444,70 @@ ORDER BY yr, mo
 """
 
 
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional trade volume between two nations
+    by ship year. The two big facts (lineitem ⋈ orders) shuffle on the
+    orderkey; both nation-resolution joins broadcast; the nation-pair
+    filter is pushed into the broadcast sides so mismatched rows die
+    at the join, not in a post-filter."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(n1, n2)
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"),
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"),
+                                  F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("c_nk"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    volume = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp.select("s_suppkey", "supp_nation")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cust.select("c_custkey", "cust_nation")),
+              orders.o_custkey == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+    )
+
+
+VOLUME_SHIPPING_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT ns.n_name AS supp_nation,
+         nc.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+    AND nc.n_name IN ('NATION_1', 'NATION_2')
+    AND ns.n_name != nc.n_name
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 QUERIES = {
+    "volume_shipping": volume_shipping,
     "pricing_summary": pricing_summary,
     "shipping_priority": shipping_priority,
     "nation_revenue": nation_revenue,
@@ -463,6 +526,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "volume_shipping": VOLUME_SHIPPING_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "shipping_priority": SHIPPING_PRIORITY_SQL,
     "nation_revenue": NATION_REVENUE_SQL,

@@ -135,3 +135,18 @@ def test_profile_table_rejects_unsupported_types(spark):
     df = spark.createDataFrame([(1, [1, 2])], "k long, arr array<int>")
     with pytest.raises(ValueError, match="unsupported column type"):
         profile_table(df)
+
+
+def test_profile_approx_mode_avoids_expand(spark):
+    """The documented scale trade: exact multi-column countDistinct
+    EXPANDs the input k-fold; approx mode must not."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.profile import (
+        profile_table,
+    )
+    from tests.test_plan_shapes import plan_str
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5)], "k long, s string, v double"
+    )
+    assert "Expand" in plan_str(profile_table(df, exact=True))
+    assert "Expand" not in plan_str(profile_table(df, exact=False))
