@@ -82,6 +82,8 @@ _CHECK_FIRST = [
     "user_conversion_funnel",
     "doc_per_source_sample",
     "volume_shipping",
+    "doc_dedup_cluster_stats",
+    "user_daily_anomalies",
     "serving_top_rows_lookup",
     "doc_arrivals_dedup",
     "doc_arrivals_dedup_lsh",

@@ -227,8 +227,54 @@ SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
 """
 
 
+def user_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: days where a user's event count sits
+    ≥2 self-standard-deviations from their own mean — the ops query
+    behind bot/incident triage. Daily rollup (one keyed aggregate),
+    then per-user mean/stddev as an unbounded window over the DAILY
+    rows (user-count × days rows, not events), z-score, gate. Users
+    with one day (stddev null) or zero variance never flag."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.partitionBy("user_id")
+    scored = daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.round(
+            (F.col("n_events") - F.avg("n_events").over(w))
+            / F.stddev("n_events").over(w),
+            6,
+        ).alias("z"),
+    )
+    return scored.filter(F.abs(F.col("z")) >= 2.0)
+
+
+USER_DAILY_ANOMALIES_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+scored AS (
+  SELECT user_id, day, n_events,
+         ROUND((n_events - AVG(n_events) OVER (PARTITION BY user_id))
+               / STDDEV(n_events) OVER (PARTITION BY user_id), 6) AS z
+  FROM daily
+)
+SELECT user_id, day, n_events, z
+FROM scored WHERE ABS(z) >= 2.0
+ORDER BY user_id, day
+"""
+
+
 QUERIES = {
     "user_conversion_funnel": user_conversion_funnel,
+    "user_daily_anomalies": user_daily_anomalies,
     "user_sessions": user_sessions,
     "user_sessions_native": user_sessions_native,
     "events_daily_tumbling": events_daily_tumbling,
@@ -237,6 +283,7 @@ QUERIES = {
 
 ORACLE = {
     "user_conversion_funnel": USER_CONVERSION_FUNNEL_SQL,
+    "user_daily_anomalies": USER_DAILY_ANOMALIES_SQL,
     "user_sessions": USER_SESSIONS_SQL,
     "user_sessions_native": USER_SESSIONS_NATIVE_SQL,
     "events_daily_tumbling": EVENTS_DAILY_TUMBLING_SQL,

@@ -560,6 +560,69 @@ ORDER BY source, sample_rank
 """
 
 
+def doc_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION — the report that tells a
+    curation run what dedup actually found (how many singletons, how
+    many big copy families, total rows removable). One aggregate over
+    the cluster assignment; the oracle replays the full transitive
+    closure and histograms it."""
+    assign = doc_dedup_final(spark, sf_dir)
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "n_removable"
+            ),
+        )
+    )
+
+
+DOC_DEDUP_CLUSTER_STATS_SQL = """
+WITH RECURSIVE
+t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.95
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+walk (vid, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.vid
+),
+assign AS (
+  SELECT vid, MIN(label) AS cluster_id FROM walk GROUP BY vid
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM assign GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       cluster_size * COUNT(*) AS n_docs,
+       (cluster_size - 1) * COUNT(*) AS n_removable
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
 # --- dedup ---------------------------------------------------------------
 
 
@@ -1093,6 +1156,7 @@ QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
     "doc_jaccard_pairs": doc_jaccard_pairs,
     "doc_dedup_final": doc_dedup_final,
+    "doc_dedup_cluster_stats": doc_dedup_cluster_stats,
     "doc_dedup_final_lsh": doc_dedup_final_lsh,
     "doc_minhash_near_dups": doc_minhash_near_dups,
     "doc_simhash_near_dups": doc_simhash_near_dups,
@@ -1127,6 +1191,7 @@ ORACLE = {
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
     "doc_dedup_final": DOC_DEDUP_FINAL_SQL,
+    "doc_dedup_cluster_stats": DOC_DEDUP_CLUSTER_STATS_SQL,
     "doc_ngram_containment": DOC_NGRAM_CONTAINMENT_SQL,
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
     "doc_top_tokens": DOC_TOP_TOKENS_SQL,
