@@ -146,16 +146,20 @@ def main() -> None:
     # first call) and the incremental arrivals-vs-corpus dedup.
     extra_timings: dict[str, float | None] = {}
     for name in (
-        "serving_top_rows_lookup",
+        # heaviest extras first: late-session JVM state (GC, Python
+        # worker pressure) measurably taxes iterative jobs — the CC
+        # composition measured 14.5 s early-session vs 35 s when run
+        # last
+        "embedding_dedup_final_lsh",
         "doc_arrivals_dedup_lsh",
         "doc_arrivals_dedup_store",
+        "serving_top_rows_lookup",
         # retrieval + curation + merge surface added later in round 5
         "doc_bm25_topk",
         "doc_hybrid_rrf",
         "doc_lm_score",
         "doc_boilerplate_fraction",
         "customer_scd1_merge",
-        "embedding_dedup_final_lsh",
     ):
         try:
             spark.catalog.clearCache()
