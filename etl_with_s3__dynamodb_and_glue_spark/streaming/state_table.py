@@ -29,7 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.merge import scd1_merge
+from ..operators.merge import apply_changes, scd1_merge
 
 DEFAULT_BUCKETS = 16
 
@@ -50,20 +50,33 @@ def merge_state(
     key_cols: list[str],
     ordering_col: str,
     n_buckets: int = DEFAULT_BUCKETS,
+    op_col: str | None = None,
 ) -> None:
     """Merge one micro-batch of updates into the persisted state.
 
     Reads ONLY the buckets the batch's keys hash into (partition
     pruning on the scan) and rewrites ONLY those buckets (dynamic
     partition overwrite). The merge itself is the single-shuffle
-    argmax scd1_merge; its audit column is dropped before landing.
+    argmax scd1_merge; with ``op_col`` the batch is a CDC op log
+    ('U'/'D') folded via apply_changes instead — latest op decides,
+    tombstones drop the key from its bucket. Both merges are
+    idempotent, so replay/crash safety is unchanged.
     """
+
+    def _merge(base: DataFrame, b: DataFrame) -> DataFrame:
+        if op_col is None:
+            return scd1_merge(
+                base, b, key_cols=key_cols, ordering_col=ordering_col
+            ).drop("change_type")
+        return apply_changes(
+            base, b, key_cols=key_cols, ordering_col=ordering_col, op_col=op_col
+        ).drop("change_type")
+
     batch = _with_bucket(batch, key_cols, n_buckets)
     if not os.path.isdir(store_dir):
         # first batch bootstraps the store: latest version per key
-        first = scd1_merge(
-            batch.limit(0), batch, key_cols=key_cols, ordering_col=ordering_col
-        ).drop("change_type")
+        empty_base = batch.drop(op_col).limit(0) if op_col else batch.limit(0)
+        first = _merge(empty_base, batch)
         (
             first.repartition("bucket")
             .write.partitionBy("bucket")
@@ -75,9 +88,18 @@ def merge_state(
         r.bucket for r in batch.select("bucket").distinct().collect()
     ]  # bounded by n_buckets — a scalar list, not data
     base = spark.read.parquet(store_dir).filter(F.col("bucket").isin(touched))
-    merged = scd1_merge(
-        base, batch, key_cols=key_cols, ordering_col=ordering_col
-    ).drop("change_type")
+    merged = _merge(base, batch)
+    if op_col is not None:
+        # dynamic overwrite only replaces buckets it produces rows
+        # for — a bucket whose every key was tombstoned would silently
+        # keep its old file. Find emptied buckets (bounded by
+        # n_buckets) and remove their directories after the write.
+        from pyspark.storagelevel import StorageLevel
+
+        merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+        surviving = {
+            r.bucket for r in merged.select("bucket").distinct().collect()
+        }
     (
         merged.repartition("bucket")
         .write.partitionBy("bucket")
@@ -85,6 +107,14 @@ def merge_state(
         .mode("overwrite")
         .parquet(store_dir)
     )
+    if op_col is not None:
+        import shutil
+
+        for b in set(touched) - surviving:
+            shutil.rmtree(
+                os.path.join(store_dir, f"bucket={b}"), ignore_errors=True
+            )
+        merged.unpersist()
 
 
 def read_state(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -99,10 +129,12 @@ def state_table_stream(
     key_cols: list[str],
     ordering_col: str,
     n_buckets: int = DEFAULT_BUCKETS,
+    op_col: str | None = None,
 ) -> StreamingQuery:
     """Maintain the state table from an update stream via foreachBatch:
     between batches the store is a plain queryable parquet table, and
-    the same ``merge_state`` serves batch backfills."""
+    the same ``merge_state`` serves batch backfills. With ``op_col``
+    the stream is a CDC op log (deletes included)."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         merge_state(
@@ -112,6 +144,7 @@ def state_table_stream(
             key_cols=key_cols,
             ordering_col=ordering_col,
             n_buckets=n_buckets,
+            op_col=op_col,
         )
 
     return (

@@ -106,3 +106,63 @@ def test_state_table_stream_matches_batch_merge(spark, tmp_path):
         2: (22.0, "2024-03-01"),
         4: (40.0, "2024-03-01"),
     }
+
+
+def test_merge_state_cdc_deletes_and_emptied_buckets(spark, tmp_path):
+    """CDC mode: tombstones remove keys — including when a delete
+    empties its entire bucket (dynamic overwrite alone cannot clear
+    those; the store must)."""
+    store = str(tmp_path / "state")
+    CDC = "k long, v double, at string, op string"
+    b1 = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01", "U"), (2, 20.0, "2024-01-01", "U")], CDC
+    )
+    merge_state(spark, b1, store, ["k"], "at", op_col="op")
+    assert set(_state_dict(spark, store)) == {1, 2}
+    # delete key 1 (its bucket may hold only key 1) and update key 2
+    b2 = spark.createDataFrame(
+        [(1, 0.0, "2024-02-01", "D"), (2, 21.0, "2024-02-01", "U")], CDC
+    )
+    merge_state(spark, b2, store, ["k"], "at", op_col="op")
+    state = _state_dict(spark, store)
+    assert set(state) == {2}
+    assert state[2] == (21.0, "2024-02-01")
+    # replay of the CDC batch converges to the same state
+    merge_state(spark, b2, store, ["k"], "at", op_col="op")
+    assert _state_dict(spark, store) == state
+
+
+def test_merge_state_model_based_random_ops(spark, tmp_path):
+    """Model check: random CDC batches applied to the store equal a
+    plain-Python dict fold of the same log."""
+    import random
+
+    rng = random.Random(7)
+    store = str(tmp_path / "state")
+    CDC = "k long, v double, at string, op string"
+    model: dict[int, tuple[float, str]] = {}
+    t = 0
+    for _ in range(4):
+        rows = []
+        for _ in range(20):
+            k = rng.randrange(12)
+            t += 1
+            at = f"2024-01-01 00:00:{t:02d}" if t < 60 else f"2024-01-01 00:01:{t-60:02d}"
+            op = "D" if rng.random() < 0.3 else "U"
+            v = round(rng.uniform(0, 100), 2)
+            rows.append((k, v, at, op))
+        # fold into the reference model in ordering_col order
+        for k, v, at, op in sorted(rows, key=lambda r: r[2]):
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = (v, at)
+        merge_state(
+            spark,
+            spark.createDataFrame(rows, CDC),
+            store,
+            ["k"],
+            "at",
+            op_col="op",
+        )
+    assert _state_dict(spark, store) == model
