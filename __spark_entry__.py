@@ -52,12 +52,9 @@ _CHECK_FIRST = [
     "segment_kpis_intended",
     "top_segments_per_day_intended",
     "part_scalar_showcase",
-    "order_date_parts",
     "active_user_ids_union",
     "customers_with_events_semi",
-    "customers_without_events_anti",
     "events_json_extract",
-    "returnflag_cube",
     "top_orders_global",
     "priority_status_grouping_sets",
     "eventers_orderers_full_outer",
@@ -81,6 +78,9 @@ _CHECK_FIRST = [
     "orders_profile",
     "user_conversion_funnel",
     "doc_per_source_sample",
+    "fk_integrity_audit",
+    "daily_new_users_cumulative",
+    "orders_price_histogram",
     "volume_shipping",
     "doc_dedup_cluster_stats",
     "user_daily_anomalies",
@@ -122,8 +122,13 @@ _CHECK_LAST = [
     "doc_repetition_signals",
     "doc_pii_scrub",
     # parked: share their code path with an in-window representative
-    # (doc_source_mix ↔ doc_per_source_sample via operators/sampling)
+    # (doc_source_mix ↔ doc_per_source_sample via operators/sampling;
+    # anti ↔ semi; cube ↔ grouping_sets; order_date_parts ↔
+    # part_scalar_showcase)
     "doc_source_mix",
+    "customers_without_events_anti",
+    "returnflag_cube",
+    "order_date_parts",
     "buyer_eventer_intersect",
     "buyers_not_eventers_except",
     "returnflag_status_pivot",

@@ -870,10 +870,180 @@ def _profile_sql() -> str:
 ORDERS_PROFILE_SQL = _profile_sql()
 
 
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    declared foreign key, how many child rows and how many orphans
+    (no matching parent). Each edge is one left-anti-join count —
+    anti joins broadcast their parent side here (keys only, tiny
+    relative to facts even at 100 TB; a billion-key parent switches
+    to a shuffle anti-join with no code change). The report a load
+    gate checks before promoting a snapshot."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+
+    def edge(name, child, fk, parent, pk):
+        # one broadcast left join + one aggregate per edge, fully lazy
+        # (no driver-side counts); rows+orphans come from one pass
+        hits = parent.select(
+            F.col(pk).alias("_k"), F.lit(1).alias("_hit")
+        ).distinct()
+        joined = child.select(F.col(fk).alias("_k")).join(
+            F.broadcast(hits), "_k", "left"
+        )
+        return joined.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+            F.sum(F.isnull("_hit").cast("long")).alias("n_orphans"),
+        ).select(F.lit(name).alias("fk_edge"), "n_child_rows", "n_orphans")
+
+    edges = [
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+FK_INTEGRITY_AUDIT_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+       (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+ORDER BY fk_edge
+"""
+
+
+def daily_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT users per day — the growth-dashboard query that
+    is impossible as a naive windowed countDistinct at scale. The
+    first-seen trick makes it two cheap aggregates: min(day) per user
+    (shuffle on user), count per first-day, cumulative sum over the
+    tiny per-day frame."""
+    ev = read_events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_users")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("n_cumulative_users"),
+    )
+
+
+DAILY_NEW_USERS_SQL = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+  FROM first_seen GROUP BY first_day
+)
+SELECT day, n_new_users,
+       SUM(n_new_users) OVER (ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS n_cumulative_users
+FROM per_day ORDER BY day
+"""
+
+
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of order totals — the profiling
+    companion for numeric distributions. Bounds come from one scalar
+    aggregate broadcast by cross-join; bucketing is a per-row map +
+    one keyed count. Top bound clamps into the last bucket so
+    max-valued rows aren't dropped."""
+    orders = _orders(spark, sf_dir)
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    n = 20
+    bucketed = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / n)
+            ).cast("int"),
+            F.lit(n - 1),
+        ).alias("bucket"),
+        "lo",
+        "hi",
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "bucket",
+            F.round(
+                F.col("lo") + F.col("bucket") * (F.col("hi") - F.col("lo")) / n, 6
+            ).alias("bucket_lo"),
+            F.round(
+                F.col("lo")
+                + (F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / n,
+                6,
+            ).alias("bucket_hi"),
+            "n_orders",
+        )
+    )
+
+
+ORDERS_PRICE_HISTOGRAM_SQL = """
+WITH bounds AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+),
+bucketed AS (
+  SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)) AS INTEGER),
+               19) AS bucket
+  FROM orders CROSS JOIN bounds
+)
+SELECT bucket,
+       ROUND(lo + bucket * (hi - lo) / 20, 6) AS bucket_lo,
+       ROUND(lo + (bucket + 1) * (hi - lo) / 20, 6) AS bucket_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM bucketed CROSS JOIN bounds
+GROUP BY bucket, lo, hi
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "customer_scd1_merge": customer_scd1_merge,
     "customer_cdc_apply": customer_cdc_apply,
     "orders_profile": orders_profile,
+    "fk_integrity_audit": fk_integrity_audit,
+    "daily_new_users_cumulative": daily_new_users_cumulative,
+    "orders_price_histogram": orders_price_histogram,
     "priority_status_grouping_sets": priority_status_grouping_sets,
     "returnflag_status_pivot": returnflag_status_pivot,
     "eventers_orderers_full_outer": eventers_orderers_full_outer,
@@ -898,6 +1068,9 @@ ORACLE = {
     "customer_scd1_merge": CUSTOMER_SCD1_MERGE_SQL,
     "customer_cdc_apply": CUSTOMER_CDC_APPLY_SQL,
     "orders_profile": ORDERS_PROFILE_SQL,
+    "fk_integrity_audit": FK_INTEGRITY_AUDIT_SQL,
+    "daily_new_users_cumulative": DAILY_NEW_USERS_SQL,
+    "orders_price_histogram": ORDERS_PRICE_HISTOGRAM_SQL,
     "priority_status_grouping_sets": PRIORITY_STATUS_GROUPING_SETS_SQL,
     "returnflag_status_pivot": RETURNFLAG_STATUS_PIVOT_SQL,
     "eventers_orderers_full_outer": EVENTERS_ORDERERS_FULL_OUTER_SQL,
