@@ -1037,7 +1037,63 @@ ORDER BY bucket
 """
 
 
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative quality gate over orders (sources/expectations.py):
+    every rule checked in ONE aggregate pass; the report is what a
+    promotion gate persists. Null predicate results count as
+    violations (null-hostile by design)."""
+    from ..sources.expectations import Expectation, check_expectations
+
+    orders = _orders(spark, sf_dir)
+    rules = [
+        Expectation("orderkey_not_null", F.col("o_orderkey").isNotNull()),
+        Expectation("totalprice_positive", F.col("o_totalprice") > 0),
+        Expectation(
+            "status_in_domain", F.col("o_orderstatus").isin("F", "O", "P")
+        ),
+        Expectation(
+            "orderdate_in_range",
+            (F.col("o_orderdate") >= F.lit("1992-01-01"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01")),
+            max_violations=100,
+        ),
+    ]
+    return check_expectations(orders, rules)
+
+
+ORDERS_EXPECTATIONS_SQL = """
+WITH s AS (
+  SELECT COUNT(*) AS n_rows,
+    SUM(CASE WHEN NOT COALESCE(o_orderkey IS NOT NULL, FALSE)
+             THEN 1 ELSE 0 END) AS v0,
+    SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+             THEN 1 ELSE 0 END) AS v1,
+    SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('F','O','P'), FALSE)
+             THEN 1 ELSE 0 END) AS v2,
+    SUM(CASE WHEN NOT COALESCE(
+               o_orderdate >= TIMESTAMP '1992-01-01 00:00:00'
+               AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00', FALSE)
+             THEN 1 ELSE 0 END) AS v3
+  FROM orders
+)
+SELECT 'orderkey_not_null' AS rule, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(v0 AS BIGINT) AS n_violations,
+       CAST(0 AS BIGINT) AS max_violations, v0 <= 0 AS passed FROM s
+UNION ALL
+SELECT 'totalprice_positive', CAST(n_rows AS BIGINT), CAST(v1 AS BIGINT),
+       CAST(0 AS BIGINT), v1 <= 0 FROM s
+UNION ALL
+SELECT 'status_in_domain', CAST(n_rows AS BIGINT), CAST(v2 AS BIGINT),
+       CAST(0 AS BIGINT), v2 <= 0 FROM s
+UNION ALL
+SELECT 'orderdate_in_range', CAST(n_rows AS BIGINT), CAST(v3 AS BIGINT),
+       CAST(100 AS BIGINT), v3 <= 100 FROM s
+ORDER BY rule
+"""
+
+
 QUERIES = {
+    "orders_expectations": orders_expectations,
     "customer_scd1_merge": customer_scd1_merge,
     "customer_cdc_apply": customer_cdc_apply,
     "orders_profile": orders_profile,
@@ -1071,6 +1127,7 @@ ORACLE = {
     "fk_integrity_audit": FK_INTEGRITY_AUDIT_SQL,
     "daily_new_users_cumulative": DAILY_NEW_USERS_SQL,
     "orders_price_histogram": ORDERS_PRICE_HISTOGRAM_SQL,
+    "orders_expectations": ORDERS_EXPECTATIONS_SQL,
     "priority_status_grouping_sets": PRIORITY_STATUS_GROUPING_SETS_SQL,
     "returnflag_status_pivot": RETURNFLAG_STATUS_PIVOT_SQL,
     "eventers_orderers_full_outer": EVENTERS_ORDERERS_FULL_OUTER_SQL,
