@@ -151,3 +151,90 @@ def write_sized_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def zorder_key(cols: Sequence[str], bits: int = 16):
+    """Morton (Z-order) interleave of two or more numeric columns —
+    multi-dimensional clustering for :func:`write_dataset`.
+
+    Range-clustering on ``(a, b)`` orders b only WITHIN ties of a, so
+    per-file min/max stats prune scans filtered on a alone. Z-order
+    interleaves the bits of all dimensions, giving every clustered
+    column usable file/row-group pruning at once (the lakehouse
+    OPTIMIZE ZORDER BY feature, as a plain column expression).
+
+    Each column is min/max normalized to a ``bits``-bit integer via a
+    scalar-aggregate broadcast (linear normalization — rank
+    normalization would need a global sort; linear is the standard
+    trade and right for roughly-uniform keys), then bits interleave
+    LSB-first. Pure column expressions, codegen'd; the price is one
+    tiny stats aggregate before the write.
+
+    Returns a zero-arg builder for the key Column; it references
+    ``_zlo_<col>``/``_zhi_<col>`` stat columns, which the caller
+    attaches by crossJoin-broadcasting the min/max aggregate —
+    :func:`write_dataset_zorder` wires the whole thing up.
+    """
+    from pyspark.sql import functions as F
+
+    def normalized(c: str):
+        lo, hi = F.col(f"_zlo_{c}"), F.col(f"_zhi_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        frac = (F.col(c).cast("double") - lo) / span
+        return F.least(
+            F.floor(frac * ((1 << bits) - 1)).cast("long"),
+            F.lit((1 << bits) - 1),
+        )
+
+    def key_expr():
+        norms = [normalized(c) for c in cols]
+        z = F.lit(0).cast("long")
+        for bit in range(bits):
+            for d, n in enumerate(norms):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(n, bit).bitwiseAND(F.lit(1)),
+                        bit * len(cols) + d,
+                    )
+                )
+        return z
+
+    return key_expr
+
+
+def write_dataset_zorder(
+    df: DataFrame,
+    path: str,
+    zorder_by: Sequence[str],
+    partition_by: Sequence[str] = (),
+    target_files: int = 32,
+    compression: str = "zstd",
+    bits: int = 16,
+) -> None:
+    """:func:`write_dataset` with Z-order clustering: compute the
+    Morton key from broadcast min/max stats, range-shuffle and sort on
+    it, drop it before landing."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[
+            agg
+            for c in zorder_by
+            for agg in (
+                F.min(F.col(c)).cast("double").alias(f"_zlo_{c}"),
+                F.max(F.col(c)).cast("double").alias(f"_zhi_{c}"),
+            )
+        ]
+    )
+    keyed = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_zkey", zorder_key(zorder_by, bits)()
+    )
+    out = (
+        keyed.repartitionByRange(max(target_files, 1), F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", *[f"_zlo_{c}" for c in zorder_by], *[f"_zhi_{c}" for c in zorder_by])
+    )
+    writer = out.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
