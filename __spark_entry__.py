@@ -82,12 +82,12 @@ _CHECK_FIRST = [
     "daily_new_users_cumulative",
     "orders_price_histogram",
     "orders_expectations",
+    "event_key_skew_profile",
     "volume_shipping",
     "doc_dedup_cluster_stats",
     "user_daily_anomalies",
     "serving_top_rows_lookup",
     "doc_arrivals_dedup",
-    "doc_arrivals_dedup_lsh",
     "doc_training_order",
     "doc_length_buckets",
     "doc_curation_funnel",
@@ -126,8 +126,9 @@ _CHECK_LAST = [
     # anti ↔ semi; cube ↔ grouping_sets; order_date_parts ↔
     # part_scalar_showcase)
     "doc_source_mix",
-    # rows-only for the driver anyway; its exact-equality test vs the
-    # inline LSH variant is the real check
+    # rows-only for the driver anyway; recall/precision/agreement
+    # tests vs exact twins are the real check
+    "doc_arrivals_dedup_lsh",
     "doc_arrivals_dedup_store",
     "customers_without_events_anti",
     "returnflag_cube",

@@ -272,9 +272,69 @@ ORDER BY user_id, day
 """
 
 
+def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis: the 10 heaviest user_id keys with
+    their share and cumulative share of all events — the report that
+    decides between plain hash partitioning, AQE skew handling, and
+    explicit salting (operators/skew.py). One keyed count plus a
+    top-10 window over the aggregated keys (corpus-cardinality rows,
+    not events)."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    per_key = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    total = per_key.agg(F.sum("n_events").alias("_total"))
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    ranked = (
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn("key_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("key_rank") <= 10)
+        .withColumn(
+            "share", F.round(F.col("n_events") / F.col("_total"), 6)
+        )
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("n_events").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.col("_total"),
+                6,
+            ),
+        )
+    )
+    return ranked.select("key_rank", "user_id", "n_events", "share", "cum_share")
+
+
+EVENT_KEY_SKEW_SQL = """
+WITH per_key AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+t AS (SELECT SUM(n_events) AS total FROM per_key),
+ranked AS (
+  SELECT user_id, n_events,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id ASC)
+              AS INTEGER) AS key_rank,
+         SUM(n_events) OVER (ORDER BY n_events DESC, user_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS running
+  FROM per_key
+)
+SELECT key_rank, user_id, n_events,
+       ROUND(CAST(n_events AS DOUBLE) / t.total, 6) AS share,
+       ROUND(CAST(running AS DOUBLE) / t.total, 6) AS cum_share
+FROM ranked CROSS JOIN t
+WHERE key_rank <= 10
+ORDER BY key_rank
+"""
+
+
 QUERIES = {
     "user_conversion_funnel": user_conversion_funnel,
     "user_daily_anomalies": user_daily_anomalies,
+    "event_key_skew_profile": event_key_skew_profile,
     "user_sessions": user_sessions,
     "user_sessions_native": user_sessions_native,
     "events_daily_tumbling": events_daily_tumbling,
@@ -284,6 +344,7 @@ QUERIES = {
 ORACLE = {
     "user_conversion_funnel": USER_CONVERSION_FUNNEL_SQL,
     "user_daily_anomalies": USER_DAILY_ANOMALIES_SQL,
+    "event_key_skew_profile": EVENT_KEY_SKEW_SQL,
     "user_sessions": USER_SESSIONS_SQL,
     "user_sessions_native": USER_SESSIONS_NATIVE_SQL,
     "events_daily_tumbling": EVENTS_DAILY_TUMBLING_SQL,
