@@ -630,8 +630,12 @@ def connected_components(
                 )
                 .observe(
                     obs,
-                    F.sum(
-                        (F.col("label") != F.col("prev")).cast("long")
+                    # coalesce: sum over an EMPTY frame is NULL, which
+                    # would never equal 0 and spin the loop to the
+                    # iteration bound on empty input
+                    F.coalesce(
+                        F.sum((F.col("label") != F.col("prev")).cast("long")),
+                        F.lit(0),
                     ).alias("changed"),
                 )
                 .localCheckpoint()
