@@ -57,7 +57,6 @@ _CHECK_FIRST = [
     "events_json_extract",
     "top_orders_global",
     "priority_status_grouping_sets",
-    "eventers_orderers_full_outer",
     "order_quantity_arrays",
     "doc_chunk_packs",
     "doc_chunks",
@@ -83,6 +82,7 @@ _CHECK_FIRST = [
     "orders_price_histogram",
     "orders_expectations",
     "event_key_skew_profile",
+    "events_forward_fill",
     "volume_shipping",
     "doc_dedup_cluster_stats",
     "user_daily_anomalies",
@@ -130,6 +130,8 @@ _CHECK_LAST = [
     # tests vs exact twins are the real check
     "doc_arrivals_dedup_lsh",
     "doc_arrivals_dedup_store",
+    # full-outer shares the SQL-API join path with the in-window semi
+    "eventers_orderers_full_outer",
     "customers_without_events_anti",
     "returnflag_cube",
     "order_date_parts",

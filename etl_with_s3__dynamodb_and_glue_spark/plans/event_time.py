@@ -331,10 +331,59 @@ ORDER BY key_rank
 """
 
 
+def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling / last-observation-carried-forward: error events
+    report no reading (their value is masked to NULL deterministically,
+    same expression in the oracle), and each user's series fills the
+    gap with the most recent non-null value —
+    ``last(value, ignorenulls=True)`` over an unbounded-preceding
+    window, one shuffle on user_id. The time-series primitive behind
+    sensor/state reconstruction."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    masked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.round("value", 6)).alias(
+            "reading"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return masked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "reading",
+        F.last("reading", ignorenulls=True).over(w).alias("reading_filled"),
+    )
+
+
+EVENTS_FORWARD_FILL_SQL = """
+WITH masked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type != 'error' THEN ROUND(value, 6) END AS reading
+  FROM events
+)
+SELECT user_id, event_id, ts, reading,
+       LAST_VALUE(reading IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS reading_filled
+FROM masked
+ORDER BY user_id, ts, event_id
+"""
+
+
 QUERIES = {
     "user_conversion_funnel": user_conversion_funnel,
     "user_daily_anomalies": user_daily_anomalies,
     "event_key_skew_profile": event_key_skew_profile,
+    "events_forward_fill": events_forward_fill,
     "user_sessions": user_sessions,
     "user_sessions_native": user_sessions_native,
     "events_daily_tumbling": events_daily_tumbling,
@@ -345,6 +394,7 @@ ORACLE = {
     "user_conversion_funnel": USER_CONVERSION_FUNNEL_SQL,
     "user_daily_anomalies": USER_DAILY_ANOMALIES_SQL,
     "event_key_skew_profile": EVENT_KEY_SKEW_SQL,
+    "events_forward_fill": EVENTS_FORWARD_FILL_SQL,
     "user_sessions": USER_SESSIONS_SQL,
     "user_sessions_native": USER_SESSIONS_NATIVE_SQL,
     "events_daily_tumbling": EVENTS_DAILY_TUMBLING_SQL,
