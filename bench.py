@@ -56,6 +56,23 @@ HEADLINE = [
 ]
 
 
+# Round-5 surface timed as extras, heaviest first: late-session JVM
+# state (GC, Python worker pressure) measurably taxes iterative jobs —
+# the CC composition measured 14.5 s early-session vs 35 s when run
+# last.
+EXTRAS = [
+    "embedding_dedup_final_lsh",
+    "doc_arrivals_dedup_lsh",
+    "doc_arrivals_dedup_store",
+    "serving_top_rows_lookup",
+    "doc_bm25_topk",
+    "doc_hybrid_rrf",
+    "doc_lm_score",
+    "doc_boilerplate_fraction",
+    "customer_scd1_merge",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -145,22 +162,7 @@ def main() -> None:
     # point lookup (includes the one-time write_dataset landing on
     # first call) and the incremental arrivals-vs-corpus dedup.
     extra_timings: dict[str, float | None] = {}
-    for name in (
-        # heaviest extras first: late-session JVM state (GC, Python
-        # worker pressure) measurably taxes iterative jobs — the CC
-        # composition measured 14.5 s early-session vs 35 s when run
-        # last
-        "embedding_dedup_final_lsh",
-        "doc_arrivals_dedup_lsh",
-        "doc_arrivals_dedup_store",
-        "serving_top_rows_lookup",
-        # retrieval + curation + merge surface added later in round 5
-        "doc_bm25_topk",
-        "doc_hybrid_rrf",
-        "doc_lm_score",
-        "doc_boilerplate_fraction",
-        "customer_scd1_merge",
-    ):
+    for name in EXTRAS:
         try:
             spark.catalog.clearCache()
             t0 = time.perf_counter()

@@ -33,8 +33,6 @@ Scale shapes (100 TB corpus):
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import tokens, word_ngrams

@@ -43,7 +43,7 @@ def test_bench_headline_names_are_declared():
     import bench
 
     qs = entry_mod.queries()
-    missing = [n for n in bench.HEADLINE if n not in qs]
+    missing = [n for n in bench.HEADLINE + bench.EXTRAS if n not in qs]
     assert not missing, missing
 
 
