@@ -106,8 +106,15 @@ _CHECK_FIRST = [
     "segment_distinct_stats",
     "doc_bpe_token_counts",
     "doc_ngram_containment",
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
+    # new this session: temperature mixing, char entropy, PSI drift,
+    # bloom decontamination (the slots come from parking the two
+    # rows-only ANN serving queries, whose driver check carries no
+    # hash signal — their recall tests in tests/test_llm_ops.py are
+    # the real verification)
+    "doc_temperature_mix",
+    "doc_char_entropy",
+    "orders_price_drift",
+    "doc_decontamination_bloom",
 ]
 _CHECK_LAST = [
     # hash-green in round 4; lineage untouched by this round's diff
@@ -130,6 +137,8 @@ _CHECK_LAST = [
     # tests vs exact twins are the real check
     "doc_arrivals_dedup_lsh",
     "doc_arrivals_dedup_store",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
     # full-outer shares the SQL-API join path with the in-window semi
     "eventers_orderers_full_outer",
     "customers_without_events_anti",

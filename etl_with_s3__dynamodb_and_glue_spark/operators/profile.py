@@ -78,3 +78,71 @@ def profile_table(
         wide.select(F.explode(rows).alias("p"))
         .select("p.*")
     )
+
+
+def psi_drift(
+    df_expected: DataFrame,
+    df_actual: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard distribution-drift monitor between a
+    reference window and the current one (PSI < 0.1 stable, 0.1–0.25
+    moderate shift, > 0.25 investigate).
+
+    Fixed, caller-supplied bin bounds: drift monitoring compares
+    SNAPSHOTS, so bins must not move with the data (data-derived
+    bounds would absorb the very shift being measured). Values below
+    ``lo`` clamp into bin 0 and above ``hi`` into the last bin —
+    out-of-range drift still registers instead of vanishing.
+
+    Plan: each side is one per-row bin map + one keyed count
+    (map-side combined) + a broadcast scalar total; the two tiny
+    (bin, frac) tables meet on a generated bin spine (``spark.range``)
+    so empty bins appear with fraction 0 and the ε-smoothed log-ratio
+    stays finite. Nothing larger than ``n_bins`` rows ever joins.
+
+    Output per bin: ``frac_expected``, ``frac_actual``, ``psi_term``;
+    total PSI = Σ psi_term.
+    """
+    width = (hi - lo) / n_bins
+
+    def fracs(df: DataFrame, name: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)
+            ),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        counts = df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        total = counts.agg(F.sum("n").alias("total"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("n") / F.col("total")).alias(name)
+        )
+
+    spark = df_expected.sparkSession
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    e, a = F.col("frac_expected"), F.col("frac_actual")
+    return (
+        spine.join(F.broadcast(fracs(df_expected, "frac_expected")), "bin", "left")
+        .join(F.broadcast(fracs(df_actual, "frac_actual")), "bin", "left")
+        .select(
+            "bin",
+            F.round(F.coalesce(e, F.lit(0.0)), 6).alias("frac_expected"),
+            F.round(F.coalesce(a, F.lit(0.0)), 6).alias("frac_actual"),
+            F.round(
+                (F.coalesce(a, F.lit(0.0)) - F.coalesce(e, F.lit(0.0)))
+                * F.log(
+                    (F.coalesce(a, F.lit(0.0)) + F.lit(eps))
+                    / (F.coalesce(e, F.lit(0.0)) + F.lit(eps))
+                ),
+                6,
+            ).alias("psi_term"),
+        )
+    )

@@ -110,6 +110,96 @@ def sharded_training_order(
     )
 
 
+def temperature_mix_report(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_total: int = 100,
+    salt: str = "tmix",
+) -> DataFrame:
+    """α-temperature source mixing (the multilingual/source-balancing
+    recipe): stratum ``s`` gets sampling weight ``w_s = n_s^α / Σ
+    n_t^α``, flattening the natural distribution toward uniform as
+    α→0 — low-resource strata are upsampled relative to their share.
+    The per-stratum rate ``min(1, target_total·w_s / n_s)`` is then
+    applied with the same deterministic hash-mod membership as every
+    sampler here, so the realized sample is a pure function of
+    (salt, key, α, target) — stable across engines and partitionings.
+
+    Plan: one tiny per-stratum count (map-side combined), a scalar
+    normalizer broadcast by cross-join, the rate table broadcast back
+    onto the corpus, one filtered count — the corpus is scanned twice
+    and never shuffled on anything but the stratum key. The rate →
+    hex-threshold conversion happens IN the plan (floor to the 2³²
+    bucket space), rounded to 6 digits first so the DuckDB oracle
+    reproduces the cut bit-for-bit.
+
+    Output per stratum: ``n_rows``, ``weight``, ``sample_rate``,
+    ``n_sampled``.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    z = counts.agg(
+        F.sum(F.pow(F.col("n_rows").cast("double"), F.lit(alpha))).alias("z")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(z))
+        .select(
+            strata_col,
+            "n_rows",
+            F.round(
+                F.pow(F.col("n_rows").cast("double"), F.lit(alpha))
+                / F.col("z"),
+                6,
+            ).alias("weight"),
+        )
+        .withColumn(
+            "sample_rate",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_total))
+                    * F.col("weight")
+                    / F.col("n_rows"),
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "th",
+            F.when(F.col("sample_rate") >= 1.0, F.lit("g")).otherwise(
+                F.lower(
+                    F.lpad(
+                        F.hex(
+                            F.floor(
+                                F.col("sample_rate") * F.lit(float(_HEX_SPACE))
+                            ).cast("bigint")
+                        ),
+                        _HEX_WIDTH,
+                        "0",
+                    )
+                )
+            ),
+        )
+    )
+    sampled = (
+        df.join(F.broadcast(rates.select(strata_col, "th")), strata_col)
+        .filter(hash_bucket(key_col, salt) < F.col("th"))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, strata_col, "left")
+        .select(
+            strata_col,
+            "n_rows",
+            "weight",
+            "sample_rate",
+            F.coalesce("n_sampled", F.lit(0).cast("long")).alias("n_sampled"),
+        )
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -139,6 +139,43 @@ def avg_token_len(toks: Column) -> Column:
     return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
 
 
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the normalized text's character
+    distribution — the compression-ratio-proxy quality signal: near 0
+    for degenerate repetition ("aaaa…"), ~4.1 for typical English
+    prose, and high (>5) for random/encoded junk. Filters on BOTH
+    tails are standard in corpus curation.
+
+    Pure in-row higher-order functions (distinct chars → counts →
+    Σ −p·log₂p), no shuffle, whole-stage codegen. O(|distinct chars| ×
+    |text|) per row — distinct chars is alphabet-bounded (~dozens), so
+    effectively linear. The ``+ 0.0`` canonicalizes IEEE −0.0 (a
+    single-repeated-char doc negates an exact 0) so engines hash
+    identically.
+    """
+    s = normalize(col)
+    chars = F.split(s, "")
+    n = F.length(s)
+    # sorted counts => identical FP summation order in every engine
+    # (the DuckDB oracle list_sorts the same counts), so the entropy
+    # is bit-reproducible, not just close
+    counts = F.array_sort(
+        F.transform(
+            F.array_distinct(chars),
+            lambda ch: F.size(F.filter(chars, lambda x: x == ch)),
+        )
+    )
+    ent = -F.aggregate(
+        F.transform(
+            counts,
+            lambda k: (k.cast("double") / n) * F.log2(k.cast("double") / n),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n > 0, ent + F.lit(0.0)).otherwise(F.lit(0.0))
+
+
 def quality_score(
     col: Column | str,
     stopwords: list[str] | None = None,

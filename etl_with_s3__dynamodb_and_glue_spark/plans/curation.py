@@ -188,6 +188,23 @@ FUNNEL_QUALITY_MIN = 0.82
 FUNNEL_DUP_WORD_MAX = 0.55
 
 
+def doc_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/bloom.py): the
+    same corpus-side plan as doc_decontamination, but the eval side
+    collapses to a ≤16 Ki-long bit-packed word table instead of an
+    exact broadcast gram set — constant-size state however large the
+    eval suite grows. Guaranteed superset of the exact counts (no
+    false negatives); rows-only for the driver because the
+    seeded-xxhash64 bit positions aren't replayable in DuckDB —
+    tests/test_curation.py asserts the superset guarantee per doc and
+    measures the realized false-positive rate against the exact twin."""
+    from ..operators.bloom import bloom_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    eval_docs = docs.filter(F.col("doc_id") % 25 == 0)
+    return bloom_decontaminate(docs, eval_docs, n=8)
+
+
 def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole corpus-curation pipeline as ONE declarative plan:
     survivor counts after each gate —
@@ -385,6 +402,7 @@ QUERIES = {
     "doc_repetition_signals": doc_repetition_signals,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_decontamination": doc_decontamination,
+    "doc_decontamination_bloom": doc_decontamination_bloom,
     "doc_curation_funnel": doc_curation_funnel,
 }
 

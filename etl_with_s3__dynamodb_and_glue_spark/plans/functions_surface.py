@@ -1037,6 +1037,63 @@ ORDER BY bucket
 """
 
 
+def orders_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift report
+    (operators/profile.py::psi_drift) between the pre-1995 and
+    1995-onward order-price distributions — the snapshot-vs-snapshot
+    distribution monitor every promotion gate runs. Fixed bin bounds
+    (0..600k in 20 bins) so the bins can't move with the data; total
+    PSI = Σ psi_term."""
+    from ..operators.profile import psi_drift
+
+    orders = _orders(spark, sf_dir)
+    split = F.col("o_orderdate") < F.lit("1995-01-01")
+    return psi_drift(
+        orders.filter(split),
+        orders.filter(~split),
+        "o_totalprice",
+        lo=0.0,
+        hi=600000.0,
+        n_bins=20,
+    )
+
+
+ORDERS_PRICE_DRIFT_SQL = """
+WITH e AS (
+  SELECT o_totalprice AS v FROM orders
+  WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+),
+a AS (
+  SELECT o_totalprice AS v FROM orders
+  WHERE NOT (o_orderdate < TIMESTAMP '1995-01-01 00:00:00')
+),
+eb AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((v - 0.0) / 30000.0) AS INTEGER), 0), 19)
+           AS bin, COUNT(*) AS n
+  FROM e GROUP BY 1
+),
+ab AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((v - 0.0) / 30000.0) AS INTEGER), 0), 19)
+           AS bin, COUNT(*) AS n
+  FROM a GROUP BY 1
+),
+et AS (SELECT SUM(n) AS t FROM eb),
+at2 AS (SELECT SUM(n) AS t FROM ab),
+spine AS (SELECT CAST(i AS INTEGER) AS bin FROM range(20) r(i)),
+f AS (
+  SELECT spine.bin,
+         COALESCE(CAST(eb.n AS DOUBLE) / et.t, 0.0) AS fe,
+         COALESCE(CAST(ab.n AS DOUBLE) / at2.t, 0.0) AS fa
+  FROM spine LEFT JOIN eb USING (bin) LEFT JOIN ab USING (bin), et, at2
+)
+SELECT bin,
+       ROUND(fe, 6) AS frac_expected,
+       ROUND(fa, 6) AS frac_actual,
+       ROUND((fa - fe) * ln((fa + 0.000001) / (fe + 0.000001)), 6) AS psi_term
+FROM f ORDER BY bin
+"""
+
+
 def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative quality gate over orders (sources/expectations.py):
     every rule checked in ONE aggregate pass; the report is what a
@@ -1094,6 +1151,7 @@ ORDER BY rule
 
 QUERIES = {
     "orders_expectations": orders_expectations,
+    "orders_price_drift": orders_price_drift,
     "customer_scd1_merge": customer_scd1_merge,
     "customer_cdc_apply": customer_cdc_apply,
     "orders_profile": orders_profile,
@@ -1121,6 +1179,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "orders_price_drift": ORDERS_PRICE_DRIFT_SQL,
     "customer_scd1_merge": CUSTOMER_SCD1_MERGE_SQL,
     "customer_cdc_apply": CUSTOMER_CDC_APPLY_SQL,
     "orders_profile": ORDERS_PROFILE_SQL,

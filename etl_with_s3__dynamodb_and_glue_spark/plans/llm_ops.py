@@ -18,8 +18,10 @@ from ..operators.text import (
     LANG_PROFILES,
     avg_token_len,
     bpe_ish_token_count,
+    char_entropy,
     fingerprint,
     lang_id,
+    normalize,
     punct_ratio,
     quality_score,
     stopword_ratio,
@@ -519,6 +521,96 @@ WHERE substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8) <
                 WHEN 'zh' THEN 'g'
                 ELSE '99999999' END
 ORDER BY doc_id
+"""
+
+
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature source mixing (operators/sampling.py): per-source
+    sampling weights ∝ n^0.5 flatten the source distribution toward
+    uniform (low-resource sources upsampled), realized with the same
+    deterministic hash-mod membership as doc_source_mix — the whole
+    mix report is a pure function of (salt, doc_id, α, target), so
+    the oracle replays the weight → rate → hex-threshold → sampled
+    count chain exactly."""
+    from ..operators.sampling import temperature_mix_report
+
+    return temperature_mix_report(
+        _docs(spark, sf_dir),
+        key_col="doc_id",
+        strata_col="source",
+        alpha=0.5,
+        target_total=200,
+        salt="tmix",
+    ).withColumnRenamed("n_rows", "n_docs")
+
+
+DOC_TEMPERATURE_MIX_SQL = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+z AS (SELECT SUM(POW(CAST(n_docs AS DOUBLE), 0.5)) AS z FROM c),
+r AS (
+  SELECT source, n_docs,
+         ROUND(POW(CAST(n_docs AS DOUBLE), 0.5) / z.z, 6) AS weight
+  FROM c, z
+),
+r2 AS (
+  SELECT source, n_docs, weight,
+         ROUND(LEAST(1.0, 200.0 * weight / n_docs), 6) AS sample_rate
+  FROM r
+),
+th AS (
+  SELECT *, CASE WHEN sample_rate >= 1.0 THEN 'g'
+            ELSE lower(lpad(hex(CAST(FLOOR(sample_rate * 4294967296.0)
+                                     AS BIGINT)), 8, '0')) END AS th
+  FROM r2
+),
+s AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN th USING (source)
+  WHERE substr(md5('tmix|' || CAST(d.doc_id AS VARCHAR)), 1, 8) < th.th
+  GROUP BY d.source
+)
+SELECT th.source, n_docs, weight, sample_rate,
+       COALESCE(s.n_sampled, 0) AS n_sampled
+FROM th LEFT JOIN s USING (source)
+ORDER BY source
+"""
+
+
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy quality signal
+    (operators/text.py::char_entropy): bits/char of the normalized
+    text — the compression-ratio proxy that catches degenerate
+    repetition (→0) and random/encoded junk (→high) that token-level
+    signals miss. Pure in-row HOFs, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.length(normalize("text")).alias("n_chars"),
+        F.round(char_entropy("text"), 6).alias("char_entropy"),
+    )
+
+
+DOC_CHAR_ENTROPY_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+  FROM documents
+),
+c AS (
+  SELECT doc_id, strlen(s) AS n_chars,
+         list_sort(list_transform(list_distinct(string_split(s, '')),
+             ch -> len(list_filter(string_split(s, ''), x -> x = ch)))) AS ks
+  FROM t
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(CASE WHEN n_chars = 0 THEN 0.0 ELSE
+         -list_sum(list_transform(ks,
+             k -> (CAST(k AS DOUBLE) / n_chars)
+                  * log2(CAST(k AS DOUBLE) / n_chars))) + 0.0
+       END, 6) AS char_entropy
+FROM c ORDER BY doc_id
 """
 
 
@@ -1149,6 +1241,8 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_chunks": doc_chunks,
     "doc_source_mix": doc_source_mix,
+    "doc_temperature_mix": doc_temperature_mix,
+    "doc_char_entropy": doc_char_entropy,
     "doc_per_source_sample": doc_per_source_sample,
     "doc_chunk_packs": doc_chunk_packs,
     "doc_quality": doc_quality,
@@ -1184,6 +1278,8 @@ ORACLE = {
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "doc_source_mix": DOC_SOURCE_MIX_SQL,
+    "doc_temperature_mix": DOC_TEMPERATURE_MIX_SQL,
+    "doc_char_entropy": DOC_CHAR_ENTROPY_SQL,
     "doc_per_source_sample": DOC_PER_SOURCE_SAMPLE_SQL,
     "doc_chunk_packs": DOC_CHUNK_PACKS_SQL,
     "doc_quality": DOC_QUALITY_SQL,

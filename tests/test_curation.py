@@ -151,3 +151,53 @@ def test_classifier_broadcasts_model_and_handles_empty(spark):
     # normalize("") yields [""], which still hashes to a bucket — the
     # contract is "no doc is dropped", not "empty docs are special"
     assert rows[2].doc_id == 2
+
+
+# --- bloom-filter prefilter (operators/bloom.py) --------------------------
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators import bloom
+
+    keys = spark.range(0, 500).select(F.col("id").alias("k"))
+    words = bloom.bloom_build(keys, "k", m_bits=1 << 14, n_hashes=5)
+    # word table is bounded by m_bits/64 regardless of key count
+    assert words.count() <= (1 << 14) // 64
+
+    probe = spark.range(0, 2000).select(F.col("id").alias("k"))
+    hits = {
+        r["k"]: r["bloom_hit"]
+        for r in bloom.bloom_might_contain(
+            probe, "k", words, m_bits=1 << 14, n_hashes=5
+        ).collect()
+    }
+    # every inserted key MUST hit (the bloom guarantee)
+    assert all(hits[k] for k in range(500))
+    # non-members mostly miss; measure and print the realized FP rate
+    fp = sum(1 for k in range(500, 2000) if hits[k]) / 1500
+    print(f"bloom fp_rate={fp:.4f} (m=2^14, k=5, n=500)")
+    assert fp < 0.10
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    """Bloom prefilter may only ADD candidate grams, never lose a true
+    overlap: per doc, n_candidate >= n_exact, and every exactly-
+    contaminated doc appears in the bloom report."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators import bloom
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    eval_docs = docs.filter(F.col("doc_id") % 25 == 0)
+    exact = {
+        r["doc_id"]: r["n_overlapping_ngrams"]
+        for r in curation.decontaminate(docs, eval_docs, n=8).collect()
+    }
+    approx = {
+        r["doc_id"]: r["n_candidate_ngrams"]
+        for r in bloom.bloom_decontaminate(docs, eval_docs, n=8).collect()
+    }
+    assert set(exact) <= set(approx)
+    assert all(approx[d] >= n for d, n in exact.items())
+    extra_docs = len(set(approx) - set(exact))
+    extra_grams = sum(approx[d] - exact.get(d, 0) for d in approx)
+    print(f"bloom decontam: {len(exact)} exact docs, "
+          f"{extra_docs} extra docs, {extra_grams} extra grams")

@@ -664,3 +664,76 @@ def test_declared_ivf_query_recall_with_sampled_build(spark):
     exact = llm_ops.embedding_topk_bruteforce(spark, SF_SMOKE)
     recall = similarity.recall_at_k(approx, exact, k=5)
     assert recall >= 0.5, f"declared IVF recall@5 {recall:.3f} < 0.5"
+
+
+# --- temperature mixing / char entropy / PSI drift ------------------------
+
+
+def test_temperature_mix_report_properties(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.sampling import (
+        temperature_mix_report,
+    )
+
+    # skewed strata (400 web / 80 wiki / 20 code): α=0.5 must flatten
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 400, "web")
+        .when(F.col("id") < 480, "wiki")
+        .otherwise("code")
+        .alias("source"),
+    )
+    rep = temperature_mix_report(
+        docs, "doc_id", "source", alpha=0.5, target_total=30
+    ).collect()
+    # weights normalize; α=0.5 flattens: smallest stratum's weight share
+    # exceeds its natural share, largest stratum's falls below it
+    assert abs(sum(r["weight"] for r in rep) - 1.0) < 1e-4
+    total = sum(r["n_rows"] for r in rep)
+    smallest = min(rep, key=lambda r: r["n_rows"])
+    largest = max(rep, key=lambda r: r["n_rows"])
+    assert smallest["weight"] > smallest["n_rows"] / total
+    assert largest["weight"] < largest["n_rows"] / total
+    # realized sample within binomial noise of rate * n
+    for r in rep:
+        expect = r["sample_rate"] * r["n_rows"]
+        assert abs(r["n_sampled"] - expect) <= 4 * (expect ** 0.5 + 1), r
+    # deterministic under repartitioning (the property RNG lacks)
+    rep2 = temperature_mix_report(
+        docs.repartition(13), "doc_id", "source", alpha=0.5, target_total=30
+    ).collect()
+    assert sorted(map(tuple, rep)) == sorted(map(tuple, rep2))
+
+
+def test_char_entropy_known_values(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab" * 8), (3, "abcd" * 4), (4, "")],
+        "id long, t string",
+    )
+    out = {
+        r["id"]: r["e"]
+        for r in df.select("id", F.round(char_entropy("t"), 6).alias("e")).collect()
+    }
+    assert out[1] == 0.0       # single symbol -> zero entropy (and not -0.0)
+    assert out[2] == 1.0       # two equiprobable symbols -> 1 bit
+    assert out[3] == 2.0       # four equiprobable symbols -> 2 bits
+    assert out[4] == 0.0       # empty text guard
+
+
+def test_psi_drift_zero_for_identical_and_positive_for_shift(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.profile import psi_drift
+
+    a = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("v"))
+    shifted = spark.range(0, 1000).select(
+        ((F.col("id") % 100) + 40).cast("double").alias("v")
+    )
+    same = psi_drift(a, a, "v", lo=0.0, hi=100.0, n_bins=10).collect()
+    assert len(same) == 10
+    assert all(r["psi_term"] == 0.0 for r in same)
+    drift = psi_drift(a, shifted, "v", lo=0.0, hi=100.0, n_bins=10).collect()
+    total = sum(r["psi_term"] for r in drift)
+    assert total > 0.25, total
+    # clamping: out-of-range values land in the last bin, not dropped
+    top_bin = [r for r in drift if r["bin"] == 9][0]
+    assert top_bin["frac_actual"] > top_bin["frac_expected"]
