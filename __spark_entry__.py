@@ -55,9 +55,7 @@ _CHECK_FIRST = [
     "active_user_ids_union",
     "customers_with_events_semi",
     "events_json_extract",
-    "top_orders_global",
     "priority_status_grouping_sets",
-    "order_quantity_arrays",
     "doc_chunk_packs",
     "doc_chunks",
     # new or code-changed this round
@@ -115,6 +113,12 @@ _CHECK_FIRST = [
     "doc_char_entropy",
     "orders_price_drift",
     "doc_decontamination_bloom",
+    # new this session: distributed prefix sum + sweep-line (slots
+    # from parking top_orders_global — TakeOrdered shape shared with
+    # in-window serving_top_rows_lookup — and order_quantity_arrays,
+    # whose array-agg path shares segment_distinct_stats' lineage)
+    "events_value_running_total",
+    "events_activity_concurrency",
 ]
 _CHECK_LAST = [
     # hash-green in round 4; lineage untouched by this round's diff
@@ -141,6 +145,8 @@ _CHECK_LAST = [
     "embedding_ivf_topk",
     # full-outer shares the SQL-API join path with the in-window semi
     "eventers_orderers_full_outer",
+    "top_orders_global",
+    "order_quantity_arrays",
     "customers_without_events_anti",
     "returnflag_cube",
     "order_date_parts",

@@ -379,7 +379,79 @@ ORDER BY user_id, ts, event_id
 """
 
 
+def events_value_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running total over the full event stream — the ledger /
+    balance query shape. Built on operators/prefix.py::running_sum
+    (two-pass distributed prefix sum), NOT a naive un-partitioned
+    window, which would collapse the whole fact into one task at
+    scale. Values are summed as integer cents so the running sum is
+    exact under any partition-wise summation grouping — a running
+    DOUBLE sum would drift from the oracle's sequential order at the
+    6th decimal over enough rows."""
+    from ..operators.prefix import running_sum
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return running_sum(
+        ev, "value_cents", ["ts", "event_id"], out_col="running_cents"
+    ).select("event_id", "value_cents", "running_cents")
+
+
+EVENTS_VALUE_RUNNING_TOTAL_SQL = """
+SELECT event_id,
+       CAST(FLOOR(value * 100) AS BIGINT) AS value_cents,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+         ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running_cents
+FROM events
+ORDER BY event_id
+"""
+
+
+def events_activity_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day: each event opens a 5-minute activity
+    interval; the sweep-line (operators/prefix.py::sweep_concurrency,
+    ±1 boundary deltas through the distributed prefix sum) counts
+    intervals open after every boundary, then a per-day max. The
+    'how many sessions were live at peak' query, end-exclusive."""
+    from ..operators.prefix import sweep_concurrency
+
+    ev = read_events(spark, sf_dir).select("event_id", "ts")
+    intervals = ev.withColumn(
+        "ts_end", F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    )
+    swept = sweep_concurrency(intervals, "ts", "ts_end", ["event_id"])
+    return (
+        swept.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.max("n_concurrent").cast("long").alias("peak_concurrent"))
+    )
+
+
+EVENTS_ACTIVITY_CONCURRENCY_SQL = """
+WITH b AS (
+  SELECT event_id, ts, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_id, ts + INTERVAL 5 MINUTE AS ts, -1 AS delta FROM events
+),
+r AS (
+  SELECT ts, SUM(delta) OVER (ORDER BY ts, delta, event_id
+                              ROWS UNBOUNDED PRECEDING) AS n
+  FROM b
+)
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(MAX(n) AS BIGINT) AS peak_concurrent
+FROM r
+GROUP BY 1
+ORDER BY day
+"""
+
+
 QUERIES = {
+    "events_value_running_total": events_value_running_total,
+    "events_activity_concurrency": events_activity_concurrency,
     "user_conversion_funnel": user_conversion_funnel,
     "user_daily_anomalies": user_daily_anomalies,
     "event_key_skew_profile": event_key_skew_profile,
@@ -391,6 +463,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_value_running_total": EVENTS_VALUE_RUNNING_TOTAL_SQL,
+    "events_activity_concurrency": EVENTS_ACTIVITY_CONCURRENCY_SQL,
     "user_conversion_funnel": USER_CONVERSION_FUNNEL_SQL,
     "user_daily_anomalies": USER_DAILY_ANOMALIES_SQL,
     "event_key_skew_profile": EVENT_KEY_SKEW_SQL,
