@@ -66,7 +66,6 @@ _CHECK_FIRST = [
     "embedding_dedup_final",
     "customer_scd1_merge",
     "doc_hybrid_rrf",
-    "doc_lm_outliers",
     "doc_quality_classifier",
     # connected-components lineage changed this round (observe-fused
     # probe) — both exact-composition consumers stay in the window
@@ -112,7 +111,13 @@ _CHECK_FIRST = [
     "doc_temperature_mix",
     "doc_char_entropy",
     "orders_price_drift",
-    "doc_decontamination_bloom",
+    # oracle-checked sketch + weighted sampling (slots from parking
+    # the rows-only doc_decontamination_bloom — superset/FP tests vs
+    # the exact twin are its real check — and doc_lm_outliers, whose
+    # bigram-LM lineage keeps its stronger 500-row representative
+    # doc_lm_score in the window)
+    "doc_token_cms_estimates",
+    "doc_weighted_sample",
     # new this session: distributed prefix sum + sweep-line (slots
     # from parking top_orders_global — TakeOrdered shape shared with
     # in-window serving_top_rows_lookup — and order_quantity_arrays,
@@ -143,6 +148,8 @@ _CHECK_LAST = [
     "doc_arrivals_dedup_store",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
+    "doc_decontamination_bloom",
+    "doc_lm_outliers",
     # full-outer shares the SQL-API join path with the in-window semi
     "eventers_orderers_full_outer",
     "top_orders_global",

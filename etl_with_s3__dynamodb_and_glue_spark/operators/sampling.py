@@ -200,6 +200,36 @@ def temperature_mix_report(
     )
 
 
+def weighted_sample_score(
+    key: Column | str, weight: Column | str, salt: str = "wsample"
+) -> Column:
+    """Efraimidis–Spirakis (A-RES) weighted-sampling score: rank rows
+    by ``u^(1/w)`` descending — the top-k by that score is a weighted
+    random sample WITHOUT replacement. Ranked here by the monotone
+    equivalent ``ln(u)/w`` (same ordering for u ∈ (0,1], one libm
+    call instead of a nested pow).
+
+    ``u`` is the row's deterministic md5 uniform ((hex8+1)/2³² ∈
+    (0,1], so ln is always finite) — the same engine-portable
+    hash-digit construction as every sampler here: the draw is a pure
+    function of (salt, key), replayable by the DuckDB oracle and
+    stable under partitioning. Per-row map; pair with a global or
+    per-stratum top-k (TakeOrdered — no single-task window needed).
+    """
+    from .classifier import _hex_val
+
+    k = F.col(key) if isinstance(key, str) else key
+    w = F.col(weight) if isinstance(weight, str) else weight
+    h = F.md5(F.concat_ws("|", F.lit(salt), k.cast("string")))
+    # long arithmetic: digit * 16^7 overflows int32 under ANSI mode
+    hex8 = sum(
+        _hex_val(h, i + 1).cast("long") * F.lit(16 ** (7 - i)).cast("long")
+        for i in range(8)
+    )
+    u = (hex8.cast("double") + 1.0) / F.lit(float(16**8))
+    return F.log(u) / w.cast("double")
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -614,6 +614,49 @@ FROM c ORDER BY doc_id
 """
 
 
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement, k=50,
+    weight = document length (operators/sampling.py::
+    weighted_sample_score, the Efraimidis–Spirakis construction over
+    md5 uniforms): longer docs are proportionally likelier, the draw
+    is a pure function of (salt, doc_id), and selection happens via a
+    global top-k (TakeOrdered) — no single-task window, no RNG
+    partitioning dependence. The oracle replays score and cut
+    exactly."""
+    from ..operators.sampling import weighted_sample_score
+
+    docs = _docs(spark, sf_dir)
+    score = weighted_sample_score(
+        F.col("doc_id"), F.greatest(F.col("n_chars"), F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "n_chars", score.alias("_s"))
+        .orderBy(F.desc("_s"), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars")
+    )
+
+
+def _hex8_sql(expr: str) -> str:
+    digits = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(digits) + ")"
+
+
+DOC_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars
+FROM documents
+ORDER BY ln(({_hex8_sql("md5('wsample|' || CAST(doc_id AS VARCHAR))")} + 1.0)
+            / 4294967296.0)
+         / CAST(GREATEST(n_chars, 1) AS DOUBLE) DESC,
+         doc_id
+LIMIT 50
+"""
+
+
 def doc_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-k sample PER STRATUM (5 docs per source):
     rank by the md5 hash bucket within each source — a uniform draw
@@ -1220,6 +1263,73 @@ WHERE rank <= 3 ORDER BY doc_id, term
 """
 
 
+def doc_token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch frequency estimates (operators/cms.py) for
+    every token with true count ≥ 100, alongside the exact counts —
+    the mergeable fixed-state heavy-hitter counter, value-checked
+    end-to-end: the md5-digit hashing makes the whole sketch a pure
+    function of the data that the DuckDB oracle rebuilds verbatim
+    (unlike the rows-only HLL paths). est_count ≥ true_count always;
+    tests force collisions with a tiny sketch to exercise the
+    one-sided error bound."""
+    from ..operators import cms
+
+    toks = _docs(spark, sf_dir).select(tokens("text").alias("tk")).select(
+        F.explode("tk").alias("term")
+    )
+    sketch = cms.cms_build(toks, "term")
+    true_counts = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+        .filter(F.col("true_count") >= 100)
+    )
+    est = cms.cms_estimate(true_counts.select("term"), "term", sketch)
+    return true_counts.join(est, "term").select(
+        "term", "true_count", "est_count"
+    )
+
+
+def _cms_oracle_sql() -> str:
+    from .curation import _hex4_sql
+
+    def pos(key: str) -> str:
+        return (
+            _hex4_sql(f"md5('cms' || CAST(j AS VARCHAR) || '|' || {key})")
+            + " % 512"
+        )
+
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+js AS (SELECT CAST(i AS INTEGER) AS j FROM range(4) r(i)),
+probes AS (
+  SELECT term, j, {pos("term")} AS pos FROM tok CROSS JOIN js
+),
+cms AS (
+  SELECT j, pos, CAST(COUNT(*) AS BIGINT) AS n FROM probes GROUP BY j, pos
+),
+truec AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM tok GROUP BY term HAVING COUNT(*) >= 100
+),
+keyprobes AS (
+  SELECT t.term, j, {pos("t.term")} AS pos FROM truec t CROSS JOIN js
+),
+est AS (
+  SELECT k.term, CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS est_count
+  FROM keyprobes k LEFT JOIN cms c USING (j, pos) GROUP BY k.term
+)
+SELECT t.term, t.true_count, e.est_count
+FROM truec t JOIN est e USING (term)
+ORDER BY term
+"""
+
+
+DOC_TOKEN_CMS_SQL = _cms_oracle_sql()
+
+
 def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-50 tokens by occurrences (vocabulary head profile
     for tokenizer design)."""
@@ -1244,6 +1354,7 @@ QUERIES = {
     "doc_temperature_mix": doc_temperature_mix,
     "doc_char_entropy": doc_char_entropy,
     "doc_per_source_sample": doc_per_source_sample,
+    "doc_weighted_sample": doc_weighted_sample,
     "doc_chunk_packs": doc_chunk_packs,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
@@ -1263,6 +1374,7 @@ QUERIES = {
     "doc_ngram_containment": doc_ngram_containment,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_top_tokens": doc_top_tokens,
+    "doc_token_cms_estimates": doc_token_cms_estimates,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_near_dup_pairs_lsh": embedding_near_dup_pairs_lsh,
@@ -1281,6 +1393,7 @@ ORACLE = {
     "doc_temperature_mix": DOC_TEMPERATURE_MIX_SQL,
     "doc_char_entropy": DOC_CHAR_ENTROPY_SQL,
     "doc_per_source_sample": DOC_PER_SOURCE_SAMPLE_SQL,
+    "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "doc_chunk_packs": DOC_CHUNK_PACKS_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
@@ -1291,6 +1404,7 @@ ORACLE = {
     "doc_ngram_containment": DOC_NGRAM_CONTAINMENT_SQL,
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
     "doc_top_tokens": DOC_TOP_TOKENS_SQL,
+    "doc_token_cms_estimates": DOC_TOKEN_CMS_SQL,
     "doc_bpe_token_counts": DOC_BPE_TOKEN_COUNTS_SQL,
     "doc_arrivals_dedup": DOC_ARRIVALS_DEDUP_SQL,
     "doc_training_order": DOC_TRAINING_ORDER_SQL,

@@ -737,3 +737,71 @@ def test_psi_drift_zero_for_identical_and_positive_for_shift(spark):
     # clamping: out-of-range values land in the last bin, not dropped
     top_bin = [r for r in drift if r["bin"] == 9][0]
     assert top_bin["frac_actual"] > top_bin["frac_expected"]
+
+
+def test_cms_one_sided_error_and_merge(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators import cms
+
+    # skewed stream: key k appears k times (k = 1..40); tiny w=8
+    # forces collisions so the overcount path is actually exercised
+    df = spark.range(1, 41).selectExpr(
+        "explode(sequence(1, id)) AS dummy", "cast(id as string) AS term"
+    ).select("term")
+    n_total = df.count()
+    sketch = cms.cms_build(df, "term", d=4, w=8)
+    keys = df.distinct()
+    est = {
+        r["term"]: r["est_count"]
+        for r in cms.cms_estimate(keys, "term", sketch, d=4, w=8).collect()
+    }
+    true = {str(k): k for k in range(1, 41)}
+    overs = []
+    for t, n in true.items():
+        assert est[t] >= n, (t, est[t], n)      # never undercounts
+        overs.append(est[t] - n)
+    assert any(o > 0 for o in overs), "w=8 over 40 keys must collide"
+    # CMS guarantee: P[err > e/w * N] <= e^-d; check the generous bound
+    bound = 2.718281828 / 8 * n_total
+    assert max(overs) <= bound, (max(overs), bound)
+    print(f"cms overcount: max={max(overs)} mean={sum(overs)/len(overs):.1f} "
+          f"bound={bound:.0f} (d=4, w=8, N={n_total})")
+
+    # merge law: sketch(A) + sketch(B) == sketch(A union B), cell-wise
+    a = df.filter(F.col("term").cast("int") <= 20)
+    b = df.filter(F.col("term").cast("int") > 20)
+    merged = cms.cms_merge(
+        cms.cms_build(a, "term", d=4, w=8), cms.cms_build(b, "term", d=4, w=8)
+    )
+    whole = cms.cms_build(df, "term", d=4, w=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.sampling import (
+        weighted_sample_score,
+    )
+
+    # 1000 rows, weight 100 for ids < 100, weight 1 otherwise: heavy
+    # rows must dominate a k=100 sample far beyond their 10% share
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 100, 100.0).otherwise(1.0).alias("w"),
+    )
+    score = weighted_sample_score(F.col("id"), F.col("w"))
+    top = df.select("id", score.alias("s")).orderBy(F.desc("s"), "id").limit(100)
+    ids = [r["id"] for r in top.collect()]
+    n_heavy = sum(1 for i in ids if i < 100)
+    assert n_heavy > 50, n_heavy          # expectation ~63, 10x the share
+    assert len(set(ids)) == 100           # without replacement
+    # deterministic under repartitioning
+    ids2 = [
+        r["id"]
+        for r in df.repartition(17)
+        .select("id", score.alias("s"))
+        .orderBy(F.desc("s"), "id")
+        .limit(100)
+        .collect()
+    ]
+    assert ids == ids2
