@@ -1094,6 +1094,67 @@ FROM f ORDER BY bin
 """
 
 
+def segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test between market segment and nation
+    (operators/stats.py::chi_square_independence): one contingency
+    aggregate is the only wide op; the statistic sums the FULL
+    |A|×|B| cross product so zero-observed cells contribute their
+    expectation."""
+    from ..operators.stats import chi_square_independence
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return chi_square_independence(cust, "c_mktsegment", "c_nationkey")
+
+
+SEGMENT_NATION_CHI2_SQL = """
+WITH obs AS (
+  SELECT c_mktsegment AS a, c_nationkey AS b,
+         CAST(COUNT(*) AS DOUBLE) AS n_obs
+  FROM customer GROUP BY 1, 2
+),
+ra AS (SELECT a, SUM(n_obs) AS na FROM obs GROUP BY a),
+cb AS (SELECT b, SUM(n_obs) AS nb FROM obs GROUP BY b),
+tot AS (SELECT SUM(n_obs) AS t FROM obs),
+cells AS (
+  SELECT POW(COALESCE(o.n_obs, 0) - ra.na * cb.nb / t.t, 2)
+         / (ra.na * cb.nb / t.t) AS term
+  FROM ra CROSS JOIN cb CROSS JOIN tot t
+  LEFT JOIN obs o ON o.a = ra.a AND o.b = cb.b
+)
+SELECT (SELECT ROUND(SUM(term), 6) FROM cells) AS chi2,
+       CAST(((SELECT COUNT(*) FROM ra) - 1)
+            * ((SELECT COUNT(*) FROM cb) - 1) AS BIGINT) AS dof,
+       CAST((SELECT t FROM tot) AS BIGINT) AS n
+"""
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations across the lineitem numeric
+    columns in ONE aggregate scan (operators/stats.py::corr_matrix) —
+    the feature-relationship profile, upper triangle in long form."""
+    from ..operators.stats import corr_matrix
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return corr_matrix(li, _CORR_COLS)
+
+
+def _corr_sql() -> str:
+    from itertools import combinations
+
+    parts = [
+        f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+        f"ROUND(corr({x}, {y}), 6) AS corr_coef FROM lineitem"
+        for x, y in combinations(_CORR_COLS, 2)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+LINEITEM_CORR_MATRIX_SQL = _corr_sql()
+
+
 def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative quality gate over orders (sources/expectations.py):
     every rule checked in ONE aggregate pass; the report is what a
@@ -1152,6 +1213,8 @@ ORDER BY rule
 QUERIES = {
     "orders_expectations": orders_expectations,
     "orders_price_drift": orders_price_drift,
+    "segment_nation_chi2": segment_nation_chi2,
+    "lineitem_corr_matrix": lineitem_corr_matrix,
     "customer_scd1_merge": customer_scd1_merge,
     "customer_cdc_apply": customer_cdc_apply,
     "orders_profile": orders_profile,
@@ -1180,6 +1243,8 @@ QUERIES = {
 
 ORACLE = {
     "orders_price_drift": ORDERS_PRICE_DRIFT_SQL,
+    "segment_nation_chi2": SEGMENT_NATION_CHI2_SQL,
+    "lineitem_corr_matrix": LINEITEM_CORR_MATRIX_SQL,
     "customer_scd1_merge": CUSTOMER_SCD1_MERGE_SQL,
     "customer_cdc_apply": CUSTOMER_CDC_APPLY_SQL,
     "orders_profile": ORDERS_PROFILE_SQL,

@@ -805,3 +805,41 @@ def test_weighted_sample_bias_and_determinism(spark):
         .collect()
     ]
     assert ids == ids2
+
+
+def test_chi2_independent_vs_dependent(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.stats import (
+        chi_square_independence,
+    )
+
+    # independent: b = id % 5 and a = (id // 5) % 4 are orthogonal on
+    # a full factorial -> chi2 exactly 0
+    df = spark.range(1000).select(
+        ((F.col("id") / 5).cast("long") % 4).alias("a"),
+        (F.col("id") % 5).alias("b"),
+    )
+    r = chi_square_independence(df, "a", "b").collect()[0]
+    assert r["chi2"] == 0.0 and r["dof"] == 12 and r["n"] == 1000
+    # perfectly dependent: b == a -> chi2 = n * (k-1)
+    dep = spark.range(1000).select(
+        (F.col("id") % 4).alias("a"), (F.col("id") % 4).alias("b")
+    )
+    r2 = chi_square_independence(dep, "a", "b").collect()[0]
+    assert abs(r2["chi2"] - 1000 * 3) < 1e-6, r2
+
+
+def test_corr_matrix_known_structure(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.stats import corr_matrix
+
+    df = spark.range(500).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2 + 3).cast("double").alias("y"),     # corr +1
+        (-F.col("id")).cast("double").alias("z"),            # corr -1
+        ((F.col("id") * 2654435761) % 1000).cast("double").alias("w"),
+    )
+    out = {(r["col_x"], r["col_y"]): r["corr_coef"]
+           for r in corr_matrix(df, ["x", "y", "z", "w"]).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert abs(out[("x", "w")]) < 0.2     # hash scramble ~uncorrelated
+    assert len(out) == 6
