@@ -449,8 +449,54 @@ ORDER BY day
 """
 
 
+def events_daily_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(day, event_type) counts over a GENERATED calendar spine —
+    days with zero events appear explicitly (the reporting/charting
+    contract a bare groupBy can't honor: absent groups aren't rows).
+    The spine is `sequence(min_day, max_day)` exploded from one scalar
+    aggregate — rows scale with the calendar, not the fact table —
+    cross-joined with the distinct type dimension and left-joined to
+    the real counts."""
+    ev = read_events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    types = ev.select("event_type").distinct()
+    cnt = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        spine.crossJoin(types)
+        .join(cnt, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n_events"),
+        )
+    )
+
+
+EVENTS_DAILY_COMPLETE_SQL = """
+WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM d),
+cnt AS (SELECT day, event_type, COUNT(*) AS n FROM d GROUP BY 1, 2)
+SELECT strftime(s.day, '%Y-%m-%d') AS day, t.event_type AS event_type,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM spine s CROSS JOIN types t
+LEFT JOIN cnt c ON c.day = s.day AND c.event_type = t.event_type
+ORDER BY day, t.event_type
+"""
+
+
 QUERIES = {
     "events_value_running_total": events_value_running_total,
+    "events_daily_complete": events_daily_complete,
     "events_activity_concurrency": events_activity_concurrency,
     "user_conversion_funnel": user_conversion_funnel,
     "user_daily_anomalies": user_daily_anomalies,
@@ -464,6 +510,7 @@ QUERIES = {
 
 ORACLE = {
     "events_value_running_total": EVENTS_VALUE_RUNNING_TOTAL_SQL,
+    "events_daily_complete": EVENTS_DAILY_COMPLETE_SQL,
     "events_activity_concurrency": EVENTS_ACTIVITY_CONCURRENCY_SQL,
     "user_conversion_funnel": USER_CONVERSION_FUNNEL_SQL,
     "user_daily_anomalies": USER_DAILY_ANOMALIES_SQL,

@@ -1094,6 +1094,35 @@ FROM f ORDER BY bin
 """
 
 
+def part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching (operators/linkage.py): part
+    names within one edit-distance band of each other, blocked on the
+    last name token so the Levenshtein compare never runs on the full
+    cross product. Exact duplicates (distance 0) are excluded — exact
+    dedup handles those for free."""
+    from ..operators.linkage import fuzzy_match_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return fuzzy_match_pairs(
+        part,
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1),
+        min_distance=1,
+        max_distance=2,
+    )
+
+
+PART_NAME_FUZZY_MATCHES_SQL = """
+WITH p AS (SELECT DISTINCT p_name AS name FROM part),
+b AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM p)
+SELECT a.name AS name_a, b2.name AS name_b,
+       CAST(levenshtein(a.name, b2.name) AS INTEGER) AS edit_distance
+FROM b a JOIN b b2 ON a.blk = b2.blk AND a.name < b2.name
+WHERE levenshtein(a.name, b2.name) BETWEEN 1 AND 2
+ORDER BY name_a, name_b
+"""
+
+
 def segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson χ² independence test between market segment and nation
     (operators/stats.py::chi_square_independence): one contingency
@@ -1214,6 +1243,7 @@ QUERIES = {
     "orders_expectations": orders_expectations,
     "orders_price_drift": orders_price_drift,
     "segment_nation_chi2": segment_nation_chi2,
+    "part_name_fuzzy_matches": part_name_fuzzy_matches,
     "lineitem_corr_matrix": lineitem_corr_matrix,
     "customer_scd1_merge": customer_scd1_merge,
     "customer_cdc_apply": customer_cdc_apply,
@@ -1244,6 +1274,7 @@ QUERIES = {
 ORACLE = {
     "orders_price_drift": ORDERS_PRICE_DRIFT_SQL,
     "segment_nation_chi2": SEGMENT_NATION_CHI2_SQL,
+    "part_name_fuzzy_matches": PART_NAME_FUZZY_MATCHES_SQL,
     "lineitem_corr_matrix": LINEITEM_CORR_MATRIX_SQL,
     "customer_scd1_merge": CUSTOMER_SCD1_MERGE_SQL,
     "customer_cdc_apply": CUSTOMER_CDC_APPLY_SQL,

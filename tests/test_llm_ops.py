@@ -843,3 +843,61 @@ def test_corr_matrix_known_structure(spark):
     assert out[("x", "z")] == -1.0
     assert abs(out[("x", "w")]) < 0.2     # hash scramble ~uncorrelated
     assert len(out) == 6
+
+
+def test_fuzzy_match_blocking_and_hot_block_cap(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.linkage import (
+        fuzzy_match_pairs,
+    )
+
+    rows = [
+        ("acme corp",), ("acme korp",),      # block 'corp'/'korp' differ!
+        ("blue bolt",), ("blu bolt",), ("blue bolts",),
+        ("zeta inc",), ("zetta inc",),
+    ]
+    df = spark.createDataFrame(rows, "name string")
+    blk = F.element_at(F.split("name", " "), -1)
+    out = {
+        (r["name_a"], r["name_b"]): r["edit_distance"]
+        for r in fuzzy_match_pairs(df, "name", blk).collect()
+    }
+    assert out[("blu bolt", "blue bolt")] == 1
+    assert out[("zeta inc", "zetta inc")] == 1
+    # blocking miss by design: different last tokens never compared
+    assert ("acme corp", "acme korp") not in out
+    assert ("blue bolt", "blue bolts") not in out  # 'bolt' vs 'bolts' blocks
+
+    # hot-block cap: a block over max_block is dropped entirely
+    hot = spark.createDataFrame(
+        [(f"name {i} smith",) for i in range(50)], "name string"
+    )
+    capped = fuzzy_match_pairs(
+        hot, "name", F.element_at(F.split("name", " "), -1), max_block=10
+    )
+    assert capped.count() == 0
+
+
+def test_calendar_spine_fills_zero_days(spark):
+    """events_daily_complete's spine pattern on synthetic gappy data:
+    a day with no events must appear with n_events = 0."""
+    df = spark.createDataFrame(
+        [("2024-01-01", "a"), ("2024-01-01", "b"), ("2024-01-04", "a")],
+        "d string, event_type string",
+    ).select(F.to_date("d").alias("day"), "event_type")
+    bounds = df.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    types = df.select("event_type").distinct()
+    cnt = df.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        spine.crossJoin(types)
+        .join(cnt, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    ).collect()
+    assert len(out) == 8                      # 4 days x 2 types
+    zeros = {(r["day"], r["event_type"]) for r in out if r["n_events"] == 0}
+    assert ("2024-01-02", "a") in zeros and ("2024-01-03", "b") in zeros
+    assert ("2024-01-04", "b") in zeros and ("2024-01-01", "a") not in zeros
