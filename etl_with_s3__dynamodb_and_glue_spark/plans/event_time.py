@@ -494,9 +494,52 @@ ORDER BY day, t.event_type
 """
 
 
+def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week
+    (cohort), counted distinct in each subsequent week offset — the
+    product-analytics staple. Two aggregates keyed by user_id share
+    one exchange (first-seen is a min over the same key the activity
+    rows carry); the matrix itself is tiny (weeks × offsets).
+    Week = days-since-epoch ÷ 7 so cohort boundaries are engine-
+    neutral (no ISO-week disagreement)."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.floor(F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7)
+        .cast("long")
+        .alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+USER_WEEKLY_RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(FLOOR(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7.0)
+              AS BIGINT) AS week
+  FROM events
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+SELECT f.cohort_week,
+       e.week - f.cohort_week AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM ev e JOIN first f USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
+
+
 QUERIES = {
     "events_value_running_total": events_value_running_total,
     "events_daily_complete": events_daily_complete,
+    "user_weekly_retention": user_weekly_retention,
     "events_activity_concurrency": events_activity_concurrency,
     "user_conversion_funnel": user_conversion_funnel,
     "user_daily_anomalies": user_daily_anomalies,
@@ -511,6 +554,7 @@ QUERIES = {
 ORACLE = {
     "events_value_running_total": EVENTS_VALUE_RUNNING_TOTAL_SQL,
     "events_daily_complete": EVENTS_DAILY_COMPLETE_SQL,
+    "user_weekly_retention": USER_WEEKLY_RETENTION_SQL,
     "events_activity_concurrency": EVENTS_ACTIVITY_CONCURRENCY_SQL,
     "user_conversion_funnel": USER_CONVERSION_FUNNEL_SQL,
     "user_daily_anomalies": USER_DAILY_ANOMALIES_SQL,

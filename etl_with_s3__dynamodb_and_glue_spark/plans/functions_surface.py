@@ -1184,6 +1184,51 @@ def _corr_sql() -> str:
 LINEITEM_CORR_MATRIX_SQL = _corr_sql()
 
 
+def orders_price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global decile binning done scale-safe: `ntile(10) OVER ()` is
+    the single-task trap (an un-partitioned window), so the boundaries
+    come from ONE percentile aggregate, broadcast, and each row bins
+    itself by counting boundaries <= value — per-row array math, no
+    global sort. Output: per-decile row count and realized [lo, hi]."""
+    orders = _orders(spark, sf_dir)
+    qs = orders.agg(
+        F.expr(
+            "percentile(o_totalprice, "
+            "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("bounds")
+    )
+    binned = orders.crossJoin(F.broadcast(qs)).select(
+        F.col("o_totalprice").alias("v"),
+        F.size(
+            F.filter("bounds", lambda b: b <= F.col("o_totalprice"))
+        ).cast("int").alias("decile"),
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.min("v"), 6).alias("lo"),
+        F.round(F.max("v"), 6).alias("hi"),
+    )
+
+
+ORDERS_PRICE_DECILE_BINS_SQL = """
+WITH b AS (
+  SELECT quantile_cont(o_totalprice,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+  FROM orders
+),
+x AS (
+  SELECT o_totalprice AS v,
+         len(list_filter(bounds, bb -> bb <= o_totalprice)) AS decile
+  FROM orders, b
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(MIN(v), 6) AS lo,
+       ROUND(MAX(v), 6) AS hi
+FROM x GROUP BY 1 ORDER BY 1
+"""
+
+
 def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative quality gate over orders (sources/expectations.py):
     every rule checked in ONE aggregate pass; the report is what a
@@ -1245,6 +1290,7 @@ QUERIES = {
     "segment_nation_chi2": segment_nation_chi2,
     "part_name_fuzzy_matches": part_name_fuzzy_matches,
     "lineitem_corr_matrix": lineitem_corr_matrix,
+    "orders_price_decile_bins": orders_price_decile_bins,
     "customer_scd1_merge": customer_scd1_merge,
     "customer_cdc_apply": customer_cdc_apply,
     "orders_profile": orders_profile,
@@ -1276,6 +1322,7 @@ ORACLE = {
     "segment_nation_chi2": SEGMENT_NATION_CHI2_SQL,
     "part_name_fuzzy_matches": PART_NAME_FUZZY_MATCHES_SQL,
     "lineitem_corr_matrix": LINEITEM_CORR_MATRIX_SQL,
+    "orders_price_decile_bins": ORDERS_PRICE_DECILE_BINS_SQL,
     "customer_scd1_merge": CUSTOMER_SCD1_MERGE_SQL,
     "customer_cdc_apply": CUSTOMER_CDC_APPLY_SQL,
     "orders_profile": ORDERS_PROFILE_SQL,
