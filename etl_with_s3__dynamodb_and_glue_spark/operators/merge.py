@@ -88,6 +88,140 @@ def scd1_merge(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Version diff of two snapshots of the same table: per key,
+    ``change_type`` ∈ {'inserted', 'deleted', 'changed', 'unchanged'}
+    — the reverse primitive of :func:`apply_changes` (this GENERATES
+    the change log that apply_changes folds in; snapshot-diff → CDC is
+    how pipelines bootstrap change capture from sources that only
+    export full dumps).
+
+    Scale shape: each side reduces to (key, xxhash64(payload)) BEFORE
+    the full-outer join, so the shuffle carries 8-byte digests instead
+    of full rows; payload equality is digest equality (false-unchanged
+    needs a 64-bit collision on the SAME key — ~2⁻⁶⁴ per key). Join
+    on the key is the only wide operation.
+    """
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            "snapshot_diff requires matching schemas; got "
+            f"{sorted(old.columns)} vs {sorted(new.columns)}"
+        )
+    payload_cols = sorted(c for c in old.columns if c not in key_cols)
+
+    def digest(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.xxhash64(*[F.col(c) for c in payload_cols]).alias(name),
+        )
+
+    o = digest(old, "_h_old")
+    n = digest(new, "_h_new")
+    return o.join(n, key_cols, "full_outer").select(
+        *key_cols,
+        F.when(F.col("_h_old").isNull(), F.lit("inserted"))
+        .when(F.col("_h_new").isNull(), F.lit("deleted"))
+        .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    effective_col: str = "effective_date",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """SCD Type 2: fold ``updates`` into a full-history table where
+    each key's versions carry ``[valid_from, valid_to)`` ranges and
+    the current version has ``valid_to`` NULL.
+
+    Per key (latest update by ``effective_col`` wins within a batch):
+
+    - payload differs from the current version → the current row
+      CLOSES (``valid_to`` = effective) and a new current row opens;
+    - payload identical → history unchanged (no empty-range churn);
+    - key not in history → new current row;
+    - keys without updates, and all already-closed rows, pass through.
+
+    Plan: closed rows never shuffle (pass-through union); current
+    rows meet the per-key latest update in ONE full-outer join on the
+    key, and each joined row EXPLODES into its 1–2 output rows (the
+    close + the open) — no second join, no window. At 100 TB the
+    history table is partitioned by key hash and only touched
+    partitions rewrite (same deployment note as :func:`scd1_merge`).
+    """
+    data_cols = [c for c in updates.columns if c != effective_col]
+    payload_cols = [c for c in data_cols if c not in key_cols]
+    hist_cols = [*data_cols, valid_from_col, valid_to_col]
+    if set(history.columns) != set(hist_cols):
+        raise ValueError(
+            f"history must carry {sorted(hist_cols)}; got "
+            f"{sorted(history.columns)}"
+        )
+    closed = history.filter(F.col(valid_to_col).isNotNull())
+    current = history.filter(F.col(valid_to_col).isNull())
+
+    latest = updates.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload_cols]),
+            F.col(effective_col),
+        ).alias("_upd"),
+        F.max(effective_col).alias("_eff"),
+    )
+    cur = current.select(
+        *key_cols,
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_cur"),
+        F.col(valid_from_col).alias("_cur_from"),
+    )
+    joined = cur.join(latest, key_cols, "full_outer")
+
+    def row_t(payload, vf, vt):
+        # identical field names in every branch: array() requires
+        # branch-wise type equality including struct field names
+        return F.struct(payload.alias("p"), vf.alias("vf"), vt.alias("vt"))
+
+    no_update = F.col("_upd").isNull()
+    brand_new = F.col("_cur").isNull()
+    same = F.col("_upd") == F.col("_cur")
+    never = F.lit(None).cast("timestamp")
+    eff = F.col("_eff").cast("timestamp")
+    out_rows = (
+        F.when(
+            no_update | same,
+            F.array(row_t(F.col("_cur"), F.col("_cur_from"), never)),
+        )
+        .when(
+            brand_new,
+            F.array(row_t(F.col("_upd"), eff, never)),
+        )
+        .otherwise(
+            F.array(
+                row_t(F.col("_cur"), F.col("_cur_from"), eff),
+                row_t(F.col("_upd"), eff, never),
+            )
+        )
+    )
+    exploded = joined.select(
+        *key_cols, F.explode(out_rows).alias("_r")
+    ).select(
+        *key_cols,
+        *[F.col(f"_r.p.{c}").alias(c) for c in payload_cols],
+        F.col("_r.vf").alias(valid_from_col),
+        F.col("_r.vt").alias(valid_to_col),
+    )
+    return closed.select(*key_cols, *payload_cols, valid_from_col, valid_to_col).unionByName(
+        exploded
+    )
+
+
 def apply_changes(
     base: DataFrame,
     changes: DataFrame,

@@ -1229,6 +1229,153 @@ FROM x GROUP BY 1 ORDER BY 1
 """
 
 
+def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot version diff (operators/merge.py::snapshot_diff): the
+    change log BETWEEN two full dumps — deterministic mutations of the
+    customer table stand in for "yesterday vs today". The operator
+    compares 8-byte xxhash64 payload digests (only digests shuffle);
+    the oracle classifies by direct payload comparison — same result
+    unless a per-key 64-bit collision (~2^-64) occurs, so the driver
+    value-checks the semantics."""
+    from ..operators.merge import snapshot_diff
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    new = (
+        cust.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 13 == 0, F.round(F.col("c_acctbal") + 50, 2)
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 101 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.lit("new customer").alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return snapshot_diff(cust, new, ["c_custkey"])
+
+
+CUSTOMER_SNAPSHOT_DIFF_SQL = """
+WITH old AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+new AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 13 = 0 THEN ROUND(c_acctbal + 50, 2)
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000000, 'new customer', 0.0
+  FROM customer WHERE c_custkey % 101 = 0
+)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'inserted'
+            WHEN n.c_custkey IS NULL THEN 'deleted'
+            WHEN o.c_name = n.c_name AND o.c_acctbal = n.c_acctbal
+              THEN 'unchanged'
+            ELSE 'changed' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+ORDER BY c_custkey
+"""
+
+
+def customer_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history fold (operators/merge.py::scd2_apply):
+    changed keys close their current version and open a new one at
+    the effective date, identical payloads cause no churn, new keys
+    insert — full validity-ranged history out. Updates are a
+    deterministic function of the customer table so the oracle
+    replays the exact fold."""
+    from ..operators.merge import scd2_apply
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    hist = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    eff = F.lit("1996-06-01").cast("timestamp")
+    upd = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+            eff.alias("effective_date"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 5).select(
+                "c_custkey", "c_name", "c_acctbal", eff.alias("effective_date")
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 103 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("new customer").alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"),
+                eff.alias("effective_date"),
+            )
+        )
+    )
+    out = scd2_apply(hist, upd, ["c_custkey"])
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+    )
+
+
+CUSTOMER_SCD2_APPLY_SQL = """
+WITH hist AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         TIMESTAMP '1990-01-01 00:00:00' AS vf
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey, c_name, ROUND(c_acctbal + 100, 2) AS c_acctbal,
+         TIMESTAMP '1996-06-01 00:00:00' AS eff
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal, TIMESTAMP '1996-06-01 00:00:00'
+  FROM customer WHERE c_custkey % 10 = 5
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new customer', 0.0,
+         TIMESTAMP '1996-06-01 00:00:00'
+  FROM customer WHERE c_custkey % 103 = 0
+),
+j AS (
+  SELECT COALESCE(h.c_custkey, u.c_custkey) AS k,
+         h.c_name AS hname, h.c_acctbal AS hbal, h.vf,
+         u.c_name AS uname, u.c_acctbal AS ubal, u.eff
+  FROM hist h FULL OUTER JOIN upd u ON h.c_custkey = u.c_custkey
+)
+SELECT k AS c_custkey, hname AS c_name, hbal AS c_acctbal,
+       strftime(vf, '%Y-%m-%d') AS valid_from, NULL AS valid_to
+FROM j WHERE vf IS NOT NULL
+        AND (eff IS NULL OR (hname = uname AND hbal = ubal))
+UNION ALL
+SELECT k, hname, hbal, strftime(vf, '%Y-%m-%d'), strftime(eff, '%Y-%m-%d')
+FROM j WHERE vf IS NOT NULL AND eff IS NOT NULL
+        AND NOT (hname = uname AND hbal = ubal)
+UNION ALL
+SELECT k, uname, ubal, strftime(eff, '%Y-%m-%d'), NULL
+FROM j WHERE eff IS NOT NULL
+        AND (vf IS NULL OR NOT (hname = uname AND hbal = ubal))
+ORDER BY c_custkey, valid_from
+"""
+
+
 def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative quality gate over orders (sources/expectations.py):
     every rule checked in ONE aggregate pass; the report is what a
@@ -1291,6 +1438,8 @@ QUERIES = {
     "part_name_fuzzy_matches": part_name_fuzzy_matches,
     "lineitem_corr_matrix": lineitem_corr_matrix,
     "orders_price_decile_bins": orders_price_decile_bins,
+    "customer_snapshot_diff": customer_snapshot_diff,
+    "customer_scd2_apply": customer_scd2_apply,
     "customer_scd1_merge": customer_scd1_merge,
     "customer_cdc_apply": customer_cdc_apply,
     "orders_profile": orders_profile,
@@ -1323,6 +1472,8 @@ ORACLE = {
     "part_name_fuzzy_matches": PART_NAME_FUZZY_MATCHES_SQL,
     "lineitem_corr_matrix": LINEITEM_CORR_MATRIX_SQL,
     "orders_price_decile_bins": ORDERS_PRICE_DECILE_BINS_SQL,
+    "customer_snapshot_diff": CUSTOMER_SNAPSHOT_DIFF_SQL,
+    "customer_scd2_apply": CUSTOMER_SCD2_APPLY_SQL,
     "customer_scd1_merge": CUSTOMER_SCD1_MERGE_SQL,
     "customer_cdc_apply": CUSTOMER_CDC_APPLY_SQL,
     "orders_profile": ORDERS_PROFILE_SQL,

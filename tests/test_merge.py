@@ -150,3 +150,68 @@ def test_profile_approx_mode_avoids_expand(spark):
     )
     assert "Expand" in plan_str(profile_table(df, exact=True))
     assert "Expand" not in plan_str(profile_table(df, exact=False))
+
+
+# --- snapshot diff + SCD2 -------------------------------------------------
+
+
+def test_snapshot_diff_types(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "deleted", 4: "inserted"}
+
+
+def test_scd2_apply_versions(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.merge import scd2_apply
+
+    hist = spark.createDataFrame(
+        [
+            # key 1: one closed + one current version
+            (1, "v1", "2020-01-01", "2021-01-01"),
+            (1, "v2", "2021-01-01", None),
+            # key 2: current only, will be unchanged (same payload)
+            (2, "x", "2020-06-01", None),
+            # key 3: current only, no update at all
+            (3, "z", "2020-01-01", None),
+        ],
+        "k long, payload string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "payload",
+        "cast(valid_from as timestamp) valid_from",
+        "cast(valid_to as timestamp) valid_to",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "v2-old", "2021-06-01"),   # superseded within the batch
+            (1, "v3", "2022-01-01"),       # latest wins -> new version
+            (2, "x", "2022-01-01"),        # identical payload -> no churn
+            (9, "new", "2022-01-01"),      # brand-new key
+        ],
+        "k long, payload string, effective_date string",
+    ).selectExpr("k", "payload", "cast(effective_date as timestamp) effective_date")
+
+    out = scd2_apply(hist, upd, ["k"]).collect()
+    rows = sorted(
+        (r["k"], r["payload"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in out
+    )
+    assert rows == sorted([
+        (1, "v1", "2020-01-01 00:00:00", "2021-01-01 00:00:00"),
+        (1, "v2", "2021-01-01 00:00:00", "2022-01-01 00:00:00"),  # closed
+        (1, "v3", "2022-01-01 00:00:00", "None"),                 # opened
+        (2, "x", "2020-06-01 00:00:00", "None"),                  # unchanged
+        (3, "z", "2020-01-01 00:00:00", "None"),                  # untouched
+        (9, "new", "2022-01-01 00:00:00", "None"),                # inserted
+    ])
+    # exactly one current version per live key
+    cur = [r for r in out if r["valid_to"] is None]
+    assert sorted(r["k"] for r in cur) == [1, 2, 3, 9]
