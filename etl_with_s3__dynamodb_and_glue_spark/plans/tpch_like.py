@@ -506,8 +506,110 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    one quarter — fact-fact join on orderkey, dims broadcast, top-20
+    by a TakeOrdered cut (no global sort materialization)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+TOP_RETURN_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1-l_discount) AS DECIMAL(28,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / contribution analysis: per-nation revenue share and
+    cumulative share in descending order. The un-partitioned window
+    here is SAFE by construction — it runs over the already-aggregated
+    nation frame, whose row count is bounded by the dimension
+    cardinality (25), not the fact table; the fact-side work is one
+    keyed aggregate."""
+    from pyspark.sql import Window
+
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_nation = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("rev_dec"))
+    )
+    w = Window.orderBy(F.desc("rev_dec"), "n_name").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_nation.select(
+        "n_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev_dec") / F.sum("rev_dec").over(total)).cast("double"), 6
+        ).alias("share"),
+        F.round(
+            (F.sum("rev_dec").over(w) / F.sum("rev_dec").over(total)).cast(
+                "double"
+            ),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+NATION_REVENUE_PARETO_SQL = """
+WITH per AS (
+  SELECT n_name,
+         SUM(CAST(l_extendedprice * (1-l_discount) AS DECIMAL(28,4))) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name,
+       CAST(rev AS DOUBLE) AS revenue,
+       ROUND(CAST(rev / SUM(rev) OVER () AS DOUBLE), 6) AS share,
+       ROUND(CAST(SUM(rev) OVER (ORDER BY rev DESC, n_name
+                                 ROWS UNBOUNDED PRECEDING)
+                  / SUM(rev) OVER () AS DOUBLE), 6) AS cum_share
+FROM per
+ORDER BY revenue DESC, n_name
+"""
+
+
 QUERIES = {
     "volume_shipping": volume_shipping,
+    "top_return_customers": top_return_customers,
+    "nation_revenue_pareto": nation_revenue_pareto,
     "pricing_summary": pricing_summary,
     "shipping_priority": shipping_priority,
     "nation_revenue": nation_revenue,
@@ -526,6 +628,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "top_return_customers": TOP_RETURN_CUSTOMERS_SQL,
+    "nation_revenue_pareto": NATION_REVENUE_PARETO_SQL,
     "volume_shipping": VOLUME_SHIPPING_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "shipping_priority": SHIPPING_PRIORITY_SQL,
