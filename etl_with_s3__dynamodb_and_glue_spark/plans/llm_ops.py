@@ -1347,6 +1347,39 @@ ORDER BY n_occurrences DESC, term ASC LIMIT 50
 """
 
 
+def asset_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (operators/multimodal.py::
+    frame_sample_plan): per synthetic video asset, the frame
+    timestamps a decoder would extract at 1 fps — posexploded to one
+    row per frame. Pure arithmetic on asset metadata (no codec), so
+    the oracle replays it exactly; the decode of each sampled frame
+    is the documented stub boundary."""
+    assets = multimodal.make_asset_table(_docs(spark, sf_dir), modality="video")
+    plan = multimodal.frame_sample_plan(assets, every_ms=1000)
+    return plan.select(
+        "asset_id", F.posexplode("frame_ts_ms").alias("frame_idx", "frame_ts_ms")
+    ).select(
+        "asset_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )
+
+
+ASSET_FRAME_SAMPLES_SQL = """
+WITH a AS (SELECT doc_id AS asset_id, n_chars * 10 AS duration_ms
+           FROM documents),
+f AS (
+  SELECT asset_id,
+         unnest(range(0, GREATEST(CAST(FLOOR(duration_ms / 1000.0) AS INTEGER), 1)))
+           AS frame_idx
+  FROM a
+)
+SELECT asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_idx * 1000 AS BIGINT) AS frame_ts_ms
+FROM f ORDER BY asset_id, frame_idx
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_chunks": doc_chunks,
@@ -1383,6 +1416,7 @@ QUERIES = {
     "embedding_lsh_topk": embedding_lsh_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
     "asset_content_hashes": asset_content_hashes,
+    "asset_frame_samples": asset_frame_samples,
     "asset_features": asset_features,
 }
 
@@ -1413,6 +1447,7 @@ ORACLE = {
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,
     "embedding_dedup_final": EMBEDDING_DEDUP_FINAL_SQL,
     "asset_content_hashes": ASSET_CONTENT_HASHES_SQL,
+    "asset_frame_samples": ASSET_FRAME_SAMPLES_SQL,
     "asset_features": ASSET_FEATURES_SQL,
     # doc_minhash_near_dups, doc_simhash_near_dups, doc_dedup_final_lsh,
     # doc_arrivals_dedup_lsh, embedding_lsh_topk: approximate →
