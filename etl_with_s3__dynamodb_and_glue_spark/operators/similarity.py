@@ -83,6 +83,50 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    dup_threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: per query, the k
+    MOST similar vectors that are NOT near-duplicates (cos <
+    ``dup_threshold``) — close enough to be informative negatives,
+    far enough to not be positives mislabeled. The near-dup exclusion
+    happens BEFORE the top-k cut, so duplicates don't crowd real
+    negatives out of the k.
+
+    Same plan shape as :func:`brute_force_topk` (queries broadcast,
+    corpus never shuffles, WindowGroupLimit rank cut); at scale swap
+    the scoring join for the IVF/SRP candidate generators and keep
+    the filter-then-rank tail unchanged.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") < dup_threshold)
+    )
+    return top_k_per_group(
+        scored,
+        group_by=["query_id"],
+        order_by=[F.col("cos").desc(), F.col("neighbor_id").asc()],
+        k=k,
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float,

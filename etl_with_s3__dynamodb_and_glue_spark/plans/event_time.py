@@ -536,10 +536,58 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order path analysis: counts of (event_type -> next
+    event_type) transitions within each user's ordered stream, with
+    each type's outgoing transition probability. One lag window keyed
+    by user_id (the same exchange sessionization uses) feeds a tiny
+    (types x types) aggregate."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    out_w = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(out_w), 6
+        ).alias("p_next"),
+    )
+
+
+EVENT_TYPE_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM o WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, next_type, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY event_type), 6) AS p_next
+FROM c
+ORDER BY event_type, next_type
+"""
+
+
 QUERIES = {
     "events_value_running_total": events_value_running_total,
     "events_daily_complete": events_daily_complete,
     "user_weekly_retention": user_weekly_retention,
+    "event_type_transitions": event_type_transitions,
     "events_activity_concurrency": events_activity_concurrency,
     "user_conversion_funnel": user_conversion_funnel,
     "user_daily_anomalies": user_daily_anomalies,
@@ -555,6 +603,7 @@ ORACLE = {
     "events_value_running_total": EVENTS_VALUE_RUNNING_TOTAL_SQL,
     "events_daily_complete": EVENTS_DAILY_COMPLETE_SQL,
     "user_weekly_retention": USER_WEEKLY_RETENTION_SQL,
+    "event_type_transitions": EVENT_TYPE_TRANSITIONS_SQL,
     "events_activity_concurrency": EVENTS_ACTIVITY_CONCURRENCY_SQL,
     "user_conversion_funnel": USER_CONVERSION_FUNNEL_SQL,
     "user_daily_anomalies": USER_DAILY_ANOMALIES_SQL,

@@ -1021,6 +1021,40 @@ WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/similarity.py::hard_negatives): per query vector, the
+    3 most-similar NON-near-duplicate corpus vectors (cos < 0.4, the
+    same threshold the semantic-dedup path treats as duplicate).
+    Exclusion runs before the rank cut so duplicates can't crowd the
+    k. Exact scoring here; the rank column makes the output
+    deterministic for the oracle."""
+    return similarity.hard_negatives(
+        _emb(spark, sf_dir), _queries_df(spark, sf_dir), k=3, dup_threshold=0.4
+    )
+
+
+EMBEDDING_HARD_NEGATIVES_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS cos
+  FROM embeddings e JOIN q ON e.vec_id != q.query_id
+),
+filtered AS (SELECT * FROM scored WHERE cos < 0.4),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM filtered
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked
+WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
         _emb(spark, sf_dir), threshold=0.4
@@ -1409,6 +1443,7 @@ QUERIES = {
     "doc_top_tokens": doc_top_tokens,
     "doc_token_cms_estimates": doc_token_cms_estimates,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
+    "embedding_hard_negatives": embedding_hard_negatives,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_near_dup_pairs_lsh": embedding_near_dup_pairs_lsh,
     "embedding_dedup_final": embedding_dedup_final,
@@ -1444,6 +1479,7 @@ ORACLE = {
     "doc_training_order": DOC_TRAINING_ORDER_SQL,
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
+    "embedding_hard_negatives": EMBEDDING_HARD_NEGATIVES_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_SQL,
     "embedding_dedup_final": EMBEDDING_DEDUP_FINAL_SQL,
     "asset_content_hashes": ASSET_CONTENT_HASHES_SQL,
