@@ -843,6 +843,93 @@ ORDER BY doc_id
 """
 
 
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor policy: same clusters as
+    doc_dedup_final, but the kept document per cluster is the one
+    with the HIGHEST composite quality score (tie-break min doc_id) —
+    the policy real corpus dedup runs (min-id keeps whatever arrived
+    first; keep-best keeps the cleanest copy). The survivor choice is
+    a per-cluster window over the tiny assignment table, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.95)
+    assign = dedup.resolve_near_dups(docs, pairs).select("doc_id", "cluster_id")
+    staged = docs.select("doc_id", "text", tokens("text").alias("tk"))
+    quality = staged.select(
+        "doc_id",
+        F.round(quality_score("text", toks=F.col("tk")), 6).alias("quality"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        assign.join(quality, "doc_id")
+        .withColumn(
+            "is_survivor", (F.row_number().over(w) == 1).cast("int")
+        )
+        .select("doc_id", "cluster_id", "quality", "is_survivor")
+    )
+
+
+DOC_DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE
+t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.95
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+walk (vid, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.vid
+),
+c AS (SELECT vid AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY vid),
+tq AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> list_contains({_EN_SW}, x))) AS DOUBLE)
+             / GREATEST(len(toks), 1) AS sw_ratio,
+         CAST(strlen(text) - strlen(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / GREATEST(strlen(text), 1) AS p_ratio,
+         CAST(list_sum(list_transform(toks, x -> strlen(x))) AS DOUBLE)
+             / GREATEST(len(toks), 1) AS wlen,
+         LEAST(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) AS len_score
+  FROM tq
+),
+q AS (
+  SELECT doc_id,
+         ROUND(len_score * 0.3
+               + (CASE WHEN wlen >= 2.0 AND wlen <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+               + (1.0 - LEAST(p_ratio * 4.0, 1.0)) * 0.2
+               + LEAST(sw_ratio * 3.0, 1.0) * 0.2, 6) AS quality
+  FROM feat
+)
+SELECT c.doc_id, c.cluster_id, q.quality,
+       CAST(ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                               ORDER BY q.quality DESC, c.doc_id ASC) = 1
+            AS INTEGER) AS is_survivor
+FROM c JOIN q USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def doc_dedup_final_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE-PATH end-to-end dedup decision: MinHash-LSH candidate
     pairs (banded equi-join, never all-pairs) → the same connected-
@@ -1428,6 +1515,7 @@ QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
     "doc_jaccard_pairs": doc_jaccard_pairs,
     "doc_dedup_final": doc_dedup_final,
+    "doc_dedup_keep_best": doc_dedup_keep_best,
     "doc_dedup_cluster_stats": doc_dedup_cluster_stats,
     "doc_dedup_final_lsh": doc_dedup_final_lsh,
     "doc_minhash_near_dups": doc_minhash_near_dups,
@@ -1469,6 +1557,7 @@ ORACLE = {
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
     "doc_dedup_final": DOC_DEDUP_FINAL_SQL,
+    "doc_dedup_keep_best": DOC_DEDUP_KEEP_BEST_SQL,
     "doc_dedup_cluster_stats": DOC_DEDUP_CLUSTER_STATS_SQL,
     "doc_ngram_containment": DOC_NGRAM_CONTAINMENT_SQL,
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
