@@ -32,6 +32,31 @@ SUBSET = [
     "user_conversion_funnel",
     "event_key_skew_profile",
     "orders_price_histogram",
+    # round-5 session additions: prefix sum, sweep, CMS, drift,
+    # temperature mix, SCD2, snapshot diff, fuzzy matching, spine,
+    # retention, hard negatives, keep-best dedup, bloom decontam
+    "events_value_running_total",
+    "events_activity_concurrency",
+    "doc_token_cms_estimates",
+    "orders_price_drift",
+    "doc_temperature_mix",
+    "doc_char_entropy",
+    "doc_weighted_sample",
+    "customer_scd2_apply",
+    "customer_snapshot_diff",
+    "part_name_fuzzy_matches",
+    "events_daily_complete",
+    "user_weekly_retention",
+    "event_type_transitions",
+    "embedding_hard_negatives",
+    "doc_dedup_keep_best",
+    "doc_decontamination_bloom",
+    "segment_nation_chi2",
+    "lineitem_corr_matrix",
+    "orders_price_decile_bins",
+    "nation_revenue_pareto",
+    "top_return_customers",
+    "asset_frame_samples",
 ]
 
 
