@@ -212,3 +212,71 @@ def test_lsh_topk_large_query_batch_not_forced_broadcast(spark):
         assert key(shuffled) == key(hinted)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_running_sum_never_windows_the_full_frame(spark):
+    """The distributed prefix sum must not contain an un-partitioned
+    window over the data: every Window node either partitions by the
+    stamped pid (parallel) or runs over the numPartitions-row totals
+    frame. An empty PARTITION BY over the main input would be the
+    single-task collapse the operator exists to avoid."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.prefix import running_sum
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = running_sum(df, "v", ["k"], num_partitions=8)
+    plan = plan_str(out, mode="extended")
+    # the data-side window is keyed by the pid stamp
+    assert "windowspecdefinition(_pid" in plan.replace(" ", "").lower() or (
+        "partitionBy" not in plan
+    ), plan
+    # range partitioning happened (the global-order shuffle)
+    assert "rangepartitioning" in plan.lower(), plan
+    # offsets come back via a broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan_str(out), plan_str(out)
+
+
+def test_bloom_probe_joins_are_broadcast(spark):
+    """Every bloom word-table probe must be a broadcast join (the
+    table is <= m/64 rows by construction) — a shuffle join here
+    would move the corpus k times."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators import bloom
+
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    words = bloom.bloom_build(keys, "k", m_bits=1 << 12, n_hashes=4)
+    probed = bloom.bloom_might_contain(
+        spark.range(500).select(F.col("id").alias("k")),
+        "k",
+        words,
+        m_bits=1 << 12,
+        n_hashes=4,
+    )
+    plan = plan_str(probed)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_weighted_sample_uses_take_ordered(spark):
+    """The k=50 weighted-sample cut must be TakeOrdered (bounded
+    per-partition heaps + driver merge), never a full global sort."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["doc_weighted_sample"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = plan_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_decile_bins_have_no_window(spark):
+    """Scale-safe quantile binning must contain NO window operator at
+    all — boundaries broadcast, rows bin themselves."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["orders_price_decile_bins"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = plan_str(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
