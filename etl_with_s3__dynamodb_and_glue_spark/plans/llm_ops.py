@@ -1501,6 +1501,58 @@ FROM f ORDER BY asset_id, frame_idx
 """
 
 
+def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing: per source, keep documents in
+    deterministic hash order until the source's token budget (800)
+    is filled — the "give me N tokens per source" contract training
+    mixes are actually specified in (doc-count fractions drift with
+    doc length; token budgets don't). A per-source cumulative-sum
+    window (one shuffle on the stratum key) + a lossless cut: the doc
+    that CROSSES the budget is kept, so every source reaches its
+    budget exactly once, deterministically."""
+    from ..operators.sampling import hash_bucket
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        hash_bucket("doc_id", "tbudget").alias("pick_order"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pick_order", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = staged.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < 800
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+DOC_TOKEN_BUDGET_SAMPLE_SQL = """
+WITH staged AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         substr(md5('tbudget|' || CAST(doc_id AS VARCHAR)), 1, 8) AS pick_order
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY pick_order, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM staged
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum
+WHERE cum_tokens - n_tokens < 800
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_chunks": doc_chunks,
@@ -1509,6 +1561,7 @@ QUERIES = {
     "doc_char_entropy": doc_char_entropy,
     "doc_per_source_sample": doc_per_source_sample,
     "doc_weighted_sample": doc_weighted_sample,
+    "doc_token_budget_sample": doc_token_budget_sample,
     "doc_chunk_packs": doc_chunk_packs,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
@@ -1551,6 +1604,7 @@ ORACLE = {
     "doc_char_entropy": DOC_CHAR_ENTROPY_SQL,
     "doc_per_source_sample": DOC_PER_SOURCE_SAMPLE_SQL,
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
+    "doc_token_budget_sample": DOC_TOKEN_BUDGET_SAMPLE_SQL,
     "doc_chunk_packs": DOC_CHUNK_PACKS_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
