@@ -142,3 +142,87 @@ def test_word_ngram_hashes_groups_like_string_grams(spark):
             return tuple(seen.setdefault(x, len(seen)) for x in xs)
 
         assert groups(row.s) == groups(row.h), row.doc_id
+
+
+_stream = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),          # key
+        st.integers(min_value=-50, max_value=50),        # value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=_stream)
+@_slow
+def test_running_sum_equals_sequential_fold(spark, rows):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.prefix import running_sum
+
+    data = [(i, int(v)) for i, (_, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, v long")
+    out = {
+        r["k"]: r["running_total"]
+        for r in running_sum(df, "v", ["k"], num_partitions=5).collect()
+    }
+    acc = 0
+    for k, v in data:
+        acc += v
+        assert out[k] == acc
+
+
+@given(rows=_stream)
+@_slow
+def test_cms_never_undercounts_property(spark, rows):
+    from collections import Counter
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators import cms
+
+    df = spark.createDataFrame(
+        [(str(k),) for k, _ in rows], "term string"
+    )
+    true = Counter(str(k) for k, _ in rows)
+    sketch = cms.cms_build(df, "term", d=3, w=16)
+    est = {
+        r["term"]: r["est_count"]
+        for r in cms.cms_estimate(
+            df.distinct(), "term", sketch, d=3, w=16
+        ).collect()
+    }
+    for t, n in true.items():
+        assert est[t] >= n, (t, est[t], n)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Nd"), max_codepoint=0x7F
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_slow
+def test_char_entropy_bounds_property(spark, texts):
+    import math
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators.text import (
+        char_entropy,
+        normalize,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    out = df.select(
+        "i",
+        F.length(normalize("t")).alias("n"),
+        F.size(F.array_distinct(F.split(normalize("t"), ""))).alias("k"),
+        char_entropy("t").alias("e"),
+    ).collect()
+    for r in out:
+        # 0 <= H <= log2(distinct symbols); H == 0 iff <= 1 symbol kind
+        assert r["e"] >= 0.0
+        if r["n"] > 0:
+            assert r["e"] <= math.log2(max(r["k"], 1)) + 1e-9
