@@ -57,3 +57,34 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return left.join(right, [*on, "_salt"], how).drop("_salt")
+
+
+def null_bypass_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Left join with NULL-key rows routed AROUND the shuffle.
+
+    The quiet skew killer: every NULL join key hashes to the same
+    shuffle partition, so a fact table with 20% unmatched/NULL keys
+    concentrates 20% of its rows in one task. But NULL keys can never
+    equi-join anyway — a plain left join just emits them with NULL
+    payload after dragging them through the exchange. Splitting them
+    out FIRST (cheap per-row filter at the scan) and unioning them
+    back with NULL payload columns is result-identical and removes the
+    hot partition entirely.
+
+    AQE's skew splitting cannot help here: it subdivides by size but
+    every sub-partition of the NULL bucket still lands in the same
+    sort-merge group.
+    """
+    keys_nonnull = F.lit(True)
+    for k in on:
+        keys_nonnull = keys_nonnull & F.col(k).isNotNull()
+    matched = left.filter(keys_nonnull).join(right, on, "left")
+    payload = [c for c in right.columns if c not in on]
+    bypass = left.filter(~keys_nonnull).select(
+        "*", *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload]
+    )
+    return matched.unionByName(bypass)

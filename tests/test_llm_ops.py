@@ -901,3 +901,25 @@ def test_calendar_spine_fills_zero_days(spark):
     zeros = {(r["day"], r["event_type"]) for r in out if r["n_events"] == 0}
     assert ("2024-01-02", "a") in zeros and ("2024-01-03", "b") in zeros
     assert ("2024-01-04", "b") in zeros and ("2024-01-01", "a") not in zeros
+
+
+def test_null_bypass_left_join_equivalence(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.skew import (
+        null_bypass_left_join,
+    )
+    from tests.test_plan_shapes import plan_str
+
+    left = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c"), (None, "d"), (3, "e")],
+        "k long, lv string",
+    )
+    right = spark.createDataFrame([(1, "R1"), (3, "R3")], "k long, rv string")
+    got = sorted(
+        map(tuple, null_bypass_left_join(left, right, ["k"]).collect()),
+        key=str,
+    )
+    want = sorted(map(tuple, left.join(right, ["k"], "left").collect()), key=str)
+    assert got == want
+    # the joined branch filters null keys before the exchange
+    plan = plan_str(null_bypass_left_join(left, right, ["k"]))
+    assert "isnotnull(k" in plan.lower(), plan
