@@ -583,11 +583,67 @@ ORDER BY event_type, next_type
 """
 
 
+def events_daily_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the daily rollup
+    is kept as MERGEABLE partial aggregates (count + sum), so folding
+    an arriving batch in is `union -> re-aggregate` over (existing
+    rollup + the batch's partials) — the raw history is NEVER
+    re-read. The declared split (first 25 days = existing state,
+    the rest = arrivals) is deterministic, and the oracle computes
+    the same rollup from scratch over all events: hash-equality IS
+    the proof that incremental maintenance loses nothing. The same
+    mergeability argument carries avg (sum/count), min/max, and the
+    HLL/CMS sketch columns; it breaks for exact countDistinct — which
+    is why the sketch store (streaming/sketches.py) exists."""
+    ev = read_events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    min_day = ev.agg(F.min("day").alias("d0"))
+    ev2 = ev.crossJoin(F.broadcast(min_day)).withColumn(
+        "is_base", F.datediff("day", "d0") < 25
+    )
+
+    def rollup(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+
+    base = rollup(ev2.filter(F.col("is_base")))
+    arrivals = rollup(ev2.filter(~F.col("is_base")))
+    merged = (
+        base.unionByName(arrivals)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("sum_value"), 6).alias("sum_value"),
+        )
+    )
+    return merged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+EVENTS_DAILY_ROLLUP_INCREMENTAL_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
 QUERIES = {
     "events_value_running_total": events_value_running_total,
     "events_daily_complete": events_daily_complete,
     "user_weekly_retention": user_weekly_retention,
     "event_type_transitions": event_type_transitions,
+    "events_daily_rollup_incremental": events_daily_rollup_incremental,
     "events_activity_concurrency": events_activity_concurrency,
     "user_conversion_funnel": user_conversion_funnel,
     "user_daily_anomalies": user_daily_anomalies,
@@ -604,6 +660,7 @@ ORACLE = {
     "events_daily_complete": EVENTS_DAILY_COMPLETE_SQL,
     "user_weekly_retention": USER_WEEKLY_RETENTION_SQL,
     "event_type_transitions": EVENT_TYPE_TRANSITIONS_SQL,
+    "events_daily_rollup_incremental": EVENTS_DAILY_ROLLUP_INCREMENTAL_SQL,
     "events_activity_concurrency": EVENTS_ACTIVITY_CONCURRENCY_SQL,
     "user_conversion_funnel": USER_CONVERSION_FUNNEL_SQL,
     "user_daily_anomalies": USER_DAILY_ANOMALIES_SQL,
