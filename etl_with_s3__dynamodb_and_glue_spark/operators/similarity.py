@@ -309,8 +309,8 @@ def embedding_near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 4,
-    n_tables: int = 16,
+    n_planes: int = 8,
+    n_tables: int = 64,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold via SRP-LSH bucketing — the
     scale path that :func:`embedding_near_dup_pairs` verifies.
@@ -320,11 +320,29 @@ def embedding_near_dup_pairs_lsh(
     never an all-pairs comparison), then exact cosine over candidates
     only, so precision is exact and only recall is approximate.
     Candidates are deduped BEFORE vectors are re-attached: the
-    distinct shuffles 16-byte id pairs, not 512-byte vectors. Defaults
-    are tuned like :func:`lsh_topk` for near-uniform embeddings where
-    'near' means cosine ≈ 0.4-0.6; for clustered real-world embedding
-    spaces with tighter thresholds raise ``n_planes`` so buckets prune
-    harder."""
+    distinct shuffles 16-byte id pairs, not 512-byte vectors.
+
+    Banding defaults, A/B-measured at sf0.1 (2000 vectors, threshold
+    0.4, true pairs concentrated at cos 0.4-0.5 — SRP's weakest
+    regime, barely 0.15 collision-probability gap per bit between
+    positives and random pairs):
+
+    ======== ======== ========= ======== ====================
+    n_planes n_tables wall (s)  recall   candidate fraction
+    ======== ======== ========= ======== ====================
+    4        16       6.4       0.95     64% of all pairs(!)
+    **8**    **64**   **4.6**   **0.84** **~22%**
+    10       96       5.2       0.67     ~12% (recall too low)
+    ======== ======== ========= ======== ====================
+
+    4/16 kept near-perfect recall only by degenerating into brute
+    force — a banded join emitting 64% of the full cross product
+    does NOT survive 100×. 8/64 restores real pruning (candidates
+    scale with the fp rate, not n²) and holds recall above the 0.7
+    contract; raise ``n_planes`` further for the tighter thresholds
+    clustered real-world embedding spaces use (at cos ≥ 0.8 the
+    per-bit gap triples and 10-12 planes prune hard at recall ≈ 1).
+    """
     e = embeddings.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     ).persist()
