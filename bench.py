@@ -70,6 +70,12 @@ EXTRAS = [
     "doc_lm_score",
     "doc_boilerplate_fraction",
     "customer_scd1_merge",
+    # round-5 session surface (light, appended after the heavy block)
+    "events_value_running_total",
+    "events_activity_concurrency",
+    "doc_token_cms_estimates",
+    "customer_scd2_apply",
+    "embedding_hard_negatives",
 ]
 
 
