@@ -396,6 +396,68 @@ ORDER BY d.doc_id
 """
 
 
+# Deterministic mojibake injection (same trick as the PII audit): the
+# synthetic corpus is clean ASCII, so every 11th doc gets an appended
+# tail carrying one non-ascii char, one replacement char (U+FFFD — the
+# smoking gun of a decode-with-wrong-charset pass), and one control
+# char. Identical literal in the Spark plan and the oracle SQL.
+_MOJIBAKE_TAIL = " broken:\u00e9\ufffd\x07 end"
+
+
+def doc_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health audit: per doc, counts of control characters,
+    U+FFFD replacement characters, and the non-ascii ratio — the
+    cheap pre-filter that catches mojibake and binary-in-text before
+    any model sees it. Pure per-row regex arithmetic, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(_MOJIBAKE_TAIL)),
+        ).otherwise(F.col("text")),
+    )
+    t = F.col("text")
+
+    def n_matching(pat: str):
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+        ).cast("long")
+
+    return injected.select(
+        "doc_id",
+        n_matching(r"[\x00-\x08\x0b\x0c\x0e-\x1f]").alias("n_control"),
+        n_matching("\ufffd").alias("n_replacement"),
+        F.round(
+            n_matching(r"[^\x00-\x7f]") / F.greatest(F.length(t), F.lit(1)),
+            6,
+        ).alias("non_ascii_ratio"),
+    )
+
+
+DOC_ENCODING_AUDIT_SQL = """
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN text || '%TAIL%' ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) - length(regexp_replace(text,
+       '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS BIGINT)
+    AS n_control,
+  CAST(length(text) - length(regexp_replace(text, '%RCH%', '', 'g')) AS BIGINT)
+    AS n_replacement,
+  ROUND(CAST(length(text) - length(regexp_replace(text,
+        '[^\\x00-\\x7f]', '', 'g')) AS DOUBLE)
+        / GREATEST(length(text), 1), 6) AS non_ascii_ratio
+FROM injected
+ORDER BY doc_id
+""".replace("%TAIL%", _MOJIBAKE_TAIL.replace("'", "''")).replace(
+    "%RCH%", "\ufffd"
+)
+
+
 QUERIES = {
     "doc_quality_classifier": doc_quality_classifier,
     "doc_boilerplate_fraction": doc_boilerplate_fraction,
@@ -403,6 +465,7 @@ QUERIES = {
     "doc_pii_scrub": doc_pii_scrub,
     "doc_decontamination": doc_decontamination,
     "doc_decontamination_bloom": doc_decontamination_bloom,
+    "doc_encoding_audit": doc_encoding_audit,
     "doc_curation_funnel": doc_curation_funnel,
 }
 
@@ -412,5 +475,6 @@ ORACLE = {
     "doc_repetition_signals": DOC_REPETITION_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "doc_decontamination": DOC_DECONTAMINATION_SQL,
+    "doc_encoding_audit": DOC_ENCODING_AUDIT_SQL,
     "doc_curation_funnel": DOC_CURATION_FUNNEL_SQL,
 }

@@ -1376,6 +1376,36 @@ ORDER BY c_custkey, valid_from
 """
 
 
+def customer_balance_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise standardization (the feature-engineering staple):
+    per-segment z-score of account balance via mean/stddev windows
+    partitioned by the segment — parallel per group, no global pass;
+    at extreme group cardinality skew, swap the window for a tiny
+    per-group aggregate broadcast back (same numbers, same
+    single-scan cost)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_mktsegment")
+    mean = F.avg("c_acctbal").over(w)
+    sd = F.stddev("c_acctbal").over(w)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 6).alias("acctbal"),
+        F.round((F.col("c_acctbal") - mean) / sd, 6).alias("zscore"),
+    )
+
+
+CUSTOMER_BALANCE_ZSCORES_SQL = """
+SELECT c_custkey, c_mktsegment,
+       ROUND(c_acctbal, 6) AS acctbal,
+       ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment))
+             / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 6)
+         AS zscore
+FROM customer
+ORDER BY c_custkey
+"""
+
+
 def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative quality gate over orders (sources/expectations.py):
     every rule checked in ONE aggregate pass; the report is what a
@@ -1440,6 +1470,7 @@ QUERIES = {
     "orders_price_decile_bins": orders_price_decile_bins,
     "customer_snapshot_diff": customer_snapshot_diff,
     "customer_scd2_apply": customer_scd2_apply,
+    "customer_balance_zscores": customer_balance_zscores,
     "customer_scd1_merge": customer_scd1_merge,
     "customer_cdc_apply": customer_cdc_apply,
     "orders_profile": orders_profile,
@@ -1474,6 +1505,7 @@ ORACLE = {
     "orders_price_decile_bins": ORDERS_PRICE_DECILE_BINS_SQL,
     "customer_snapshot_diff": CUSTOMER_SNAPSHOT_DIFF_SQL,
     "customer_scd2_apply": CUSTOMER_SCD2_APPLY_SQL,
+    "customer_balance_zscores": CUSTOMER_BALANCE_ZSCORES_SQL,
     "customer_scd1_merge": CUSTOMER_SCD1_MERGE_SQL,
     "customer_cdc_apply": CUSTOMER_CDC_APPLY_SQL,
     "orders_profile": ORDERS_PROFILE_SQL,

@@ -118,6 +118,16 @@ def read_published(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(_version_dir(root, cur))
 
 
+def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Time-travel read: any version still inside the rollback window
+    is an immutable directory — reading it is just resolving the path
+    (the poor engineer's ``VERSION AS OF``)."""
+    d = _version_dir(root, version)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"version {version} not on disk under {root}")
+    return spark.read.parquet(d)
+
+
 def rollback(root: str, version: int) -> None:
     """Point ``_CURRENT`` back at an existing older version — O(1),
     same atomic pointer swap as publishing.

@@ -71,3 +71,15 @@ def test_version_pruning_never_removes_published(spark, tmp_path):
     assert vs == ["v=0003", "v=0004"]
     assert current_version(root) == 4
     assert read_published(spark, root).count() == 14
+
+
+def test_time_travel_read(spark, tmp_path):
+    from etl_with_s3__dynamodb_and_glue_spark.sources.publish import read_version
+
+    root = str(tmp_path / "tbl")
+    publish_snapshot(_df(spark, 10, "a"), root)
+    publish_snapshot(_df(spark, 20, "b"), root)
+    assert read_version(spark, root, 0).count() == 10
+    assert read_version(spark, root, 1).count() == 20
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, root, 7)
