@@ -458,6 +458,80 @@ ORDER BY doc_id
 )
 
 
+def doc_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/diversity signal: treating doc_id as arrival order,
+    the fraction of each document's distinct 5-grams whose FIRST
+    corpus occurrence is this document — how much genuinely new
+    content each doc contributes (1.0 = all new, 0.0 = everything
+    seen before). The dual of boilerplate_fraction (which asks how
+    much is SHARED); dedup keeps one copy of repeated content, novelty
+    ranks what remains for training order.
+
+    Plan shape: in-row gram dedup before the explode, first-seen =
+    one min-aggregate keyed by gram, one join back — the exact
+    two-shuffle skeleton of boilerplate_fraction, sharing its skew
+    discipline."""
+    from ..operators.text import tokens, word_ngrams
+
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", tokens("text").alias("tk")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(F.col("tk"), 5))).alias("gram"),
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+            F.round(
+                F.avg((F.col("first_doc") == F.col("doc_id")).cast("double")), 6
+            ).alias("novelty_frac"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct_grams", F.lit(0).cast("long")).alias(
+                "n_distinct_grams"
+            ),
+            "novelty_frac",
+        )
+    )
+
+
+DOC_NOVELTY_FRACTION_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(toks) - 3),
+           i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+  FROM t
+),
+fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+         ROUND(AVG(CASE WHEN first_doc = doc_id THEN 1.0 ELSE 0.0 END), 6)
+           AS novelty_frac
+  FROM g JOIN fs USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_distinct_grams, 0) AS n_distinct_grams,
+       p.novelty_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "doc_quality_classifier": doc_quality_classifier,
     "doc_boilerplate_fraction": doc_boilerplate_fraction,
@@ -466,6 +540,7 @@ QUERIES = {
     "doc_decontamination": doc_decontamination,
     "doc_decontamination_bloom": doc_decontamination_bloom,
     "doc_encoding_audit": doc_encoding_audit,
+    "doc_novelty_fraction": doc_novelty_fraction,
     "doc_curation_funnel": doc_curation_funnel,
 }
 
@@ -476,5 +551,6 @@ ORACLE = {
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "doc_decontamination": DOC_DECONTAMINATION_SQL,
     "doc_encoding_audit": DOC_ENCODING_AUDIT_SQL,
+    "doc_novelty_fraction": DOC_NOVELTY_FRACTION_SQL,
     "doc_curation_funnel": DOC_CURATION_FUNNEL_SQL,
 }

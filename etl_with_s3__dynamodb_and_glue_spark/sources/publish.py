@@ -30,6 +30,7 @@ streaming sketch store (streaming/sketches.py).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -62,6 +63,7 @@ def publish_snapshot(
     root: str,
     expectations: list[Expectation] | None = None,
     keep_versions: int = 3,
+    metadata: dict | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot version, audit it, promote it
     atomically. Returns the published version number.
@@ -89,6 +91,14 @@ def publish_snapshot(
     if expectations:
         spark = df.sparkSession
         enforce(spark.read.parquet(staged), expectations)  # raises on fail
+    if metadata:
+        # inside the version dir BEFORE promotion: metadata and data
+        # become visible in the same atomic pointer swap (underscore
+        # prefix = parquet metadata convention, readers skip it)
+        with open(os.path.join(staged, "_METADATA"), "w") as f:
+            json.dump(metadata, f)
+            f.flush()
+            os.fsync(f.fileno())
 
     tmp = _pointer_path(root) + ".tmp"
     with open(tmp, "w") as f:
@@ -144,3 +154,16 @@ def rollback(root: str, version: int) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, _pointer_path(root))
+
+
+def read_metadata(root: str, version: int | None = None) -> dict:
+    """Metadata of ``version`` (default: the published one); empty
+    dict if none was attached."""
+    v = current_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"nothing published under {root}")
+    try:
+        with open(os.path.join(_version_dir(root, v), "_METADATA")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}

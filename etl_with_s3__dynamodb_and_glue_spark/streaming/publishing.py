@@ -1,0 +1,91 @@
+"""Streaming rollup → WAP-published snapshots: each micro-batch folds
+its partial aggregates into the published daily rollup and promotes a
+NEW snapshot version atomically — downstream readers always see a
+complete, audited table, never a half-merged one.
+
+This closes the loop between three pieces that exist separately:
+
+- mergeable partial aggregates (plans/event_time.py::
+  events_daily_rollup_incremental — fold = union + re-aggregate,
+  raw history never re-read);
+- atomic snapshot promotion (sources/publish.py — readers resolve a
+  pointer to an immutable version directory);
+- foreachBatch's at-least-once contract, made exactly-once for the
+  non-idempotent count/sum merge by recording the folded batch_id in
+  the snapshot's metadata: marker and data promote in the SAME
+  pointer swap, so a replayed batch sees itself already folded and
+  skips. Same guard as the sketch store (streaming/sketches.py), but
+  the WAP layer supplies the atomicity instead of a hand-rolled
+  directory swap.
+
+The published table is rollup-sized (days × types), so each batch's
+read-merge-publish cycle is O(rollup) + O(batch) — never O(history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.publish import (
+    current_version,
+    publish_snapshot,
+    read_metadata,
+    read_published,
+)
+
+_BATCH_KEY = "last_batch_id"
+
+
+def _partials(events: DataFrame) -> DataFrame:
+    return events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def fold_and_publish(
+    batch: DataFrame, root: str, batch_id: int | None = None
+) -> int | None:
+    """Fold one batch into the published rollup and publish the result
+    as the next version. Returns the new version, or None if the
+    batch was already folded (replay)."""
+    spark = batch.sparkSession
+    if batch_id is not None and current_version(root) is not None:
+        last = read_metadata(root).get(_BATCH_KEY)
+        if last is not None and batch_id <= int(last):
+            return None
+    incoming = _partials(batch)
+    if current_version(root) is not None:
+        merged = (
+            read_published(spark, root)
+            .unionByName(incoming)
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+    else:
+        merged = incoming
+    meta = {} if batch_id is None else {_BATCH_KEY: int(batch_id)}
+    return publish_snapshot(merged.coalesce(1), root, metadata=meta)
+
+
+def rollup_publish_stream(
+    events: DataFrame, root: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Maintain the published daily rollup from an events stream
+    (columns: ts, event_type, value)."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        fold_and_publish(batch, root, batch_id=batch_id)
+
+    return (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -467,3 +467,61 @@ def test_sketch_store_replay_and_crash_recovery(spark, tmp_path):
         (r.day, r.n_events)
         for r in estimate_distinct_users(spark, store)[0].collect()
     } == {(d, n * 2) for d, n in baseline}
+
+
+def test_rollup_publish_stream_matches_batch_and_guards_replay(spark, tmp_path):
+    """Streaming WAP publication: micro-batched folding into published
+    snapshot versions must equal the single-pass batch rollup
+    (mergeable count+sum partials), each batch promotes a NEW version
+    readers see atomically, and a replayed batch id is skipped (the
+    fold is not idempotent)."""
+    from etl_with_s3__dynamodb_and_glue_spark.sources.publish import (
+        current_version,
+        read_published,
+    )
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.publishing import (
+        fold_and_publish,
+        rollup_publish_stream,
+    )
+
+    events = read_events(spark, SF_SMOKE).select("ts", "event_type", "value")
+    src = tmp_path / "events_src"
+    # split on a stable column present in the projection
+    events.filter(F.dayofmonth("ts") % 2 == 0).write.parquet(str(src / "f0"))
+    events.filter(F.dayofmonth("ts") % 2 == 1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    root = str(tmp_path / "published_rollup")
+    q = rollup_publish_stream(stream, root, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert current_version(root) == 1  # two micro-batches -> v0, v1
+    got = {
+        (str(r.day), r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in read_published(spark, root).collect()
+    }
+    want = {
+        (str(r.day), r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in events.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # replayed batch id: no new version, no double counting
+    replay = events.limit(100)
+    assert fold_and_publish(replay, root, batch_id=0) is None
+    assert current_version(root) == 1
+    assert {
+        (str(r.day), r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in read_published(spark, root).collect()
+    } == want
