@@ -126,3 +126,47 @@ def range_join(
         .drop(r_bucketed["_b"])
         .drop(r_bucketed[on])
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time-correct dimension join: attach to each fact the
+    SCD2 version that was valid AT the fact's timestamp
+    (``valid_from <= ts < valid_to``, open-ended current versions
+    have NULL ``valid_to``).
+
+    The temporal-correctness join every feature store runs: joining
+    facts to the CURRENT dimension leaks future attribute values into
+    historical training rows; joining to the full history without the
+    validity predicate duplicates facts. This is the third temporal
+    join next to as-of (nearest earlier event) and range (interval
+    containment) — here the right side is a VERSIONED dimension whose
+    intervals partition time per key, so each fact matches at most
+    one version.
+
+    Plan: one equi-join on the key (the only shuffle) with the
+    validity range as a residual join predicate — version counts per
+    key are small (bounded by update frequency), so the residual
+    filter runs over a few rows per fact, never a time-bucket
+    explosion. LEFT semantics: facts with no valid version (before
+    the key existed) keep NULL attributes.
+    """
+    h = history
+    for k in key_cols:
+        h = h.withColumnRenamed(k, f"_h_{k}")
+    cond = None
+    for k in key_cols:
+        c = facts[k] == h[f"_h_{k}"]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (facts[ts_col] >= h[valid_from_col])
+        & (h[valid_to_col].isNull() | (facts[ts_col] < h[valid_to_col]))
+    )
+    return facts.join(h, cond, "left").drop(*[f"_h_{k}" for k in key_cols])

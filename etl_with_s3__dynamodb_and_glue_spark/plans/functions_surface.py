@@ -1406,6 +1406,74 @@ ORDER BY c_custkey
 """
 
 
+def orders_pit_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension join (operators/temporal.py::
+    point_in_time_join): each order picks up the account balance that
+    was valid AT its order date from a two-version SCD2 history
+    (every 10th customer's balance changes on 1996-06-01) — orders
+    span the boundary, so both versions are exercised. Joining the
+    CURRENT dimension instead would leak the post-change balance into
+    pre-1996 orders; the oracle replays the validity predicate
+    exactly."""
+    from ..operators.temporal import point_in_time_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    boundary = F.lit("1996-06-01").cast("timestamp")
+    changed = F.col("c_custkey") % 10 == 0
+    v1 = cust.select(
+        "c_custkey",
+        F.round("c_acctbal", 6).alias("acctbal"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.when(changed, boundary).otherwise(F.lit(None).cast("timestamp")).alias("valid_to"),
+    )
+    v2 = cust.filter(changed).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100, 6).alias("acctbal"),
+        boundary.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    history = v1.unionByName(v2)
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_orderdate"
+    )
+    out = point_in_time_join(
+        orders, history, ["c_custkey"], "o_orderdate"
+    )
+    return out.select(
+        "o_orderkey",
+        "c_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        "acctbal",
+    )
+
+
+ORDERS_PIT_CUSTOMER_BALANCE_SQL = """
+WITH v1 AS (
+  SELECT c_custkey, ROUND(c_acctbal, 6) AS acctbal,
+         TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+         CASE WHEN c_custkey % 10 = 0
+              THEN TIMESTAMP '1996-06-01 00:00:00' END AS valid_to
+  FROM customer
+),
+v2 AS (
+  SELECT c_custkey, ROUND(c_acctbal + 100, 6) AS acctbal,
+         TIMESTAMP '1996-06-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer WHERE c_custkey % 10 = 0
+),
+hist AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+       h.acctbal
+FROM orders o
+LEFT JOIN hist h
+  ON o.o_custkey = h.c_custkey
+ AND o.o_orderdate >= h.valid_from
+ AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+ORDER BY o.o_orderkey
+"""
+
+
 def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative quality gate over orders (sources/expectations.py):
     every rule checked in ONE aggregate pass; the report is what a
@@ -1471,6 +1539,7 @@ QUERIES = {
     "customer_snapshot_diff": customer_snapshot_diff,
     "customer_scd2_apply": customer_scd2_apply,
     "customer_balance_zscores": customer_balance_zscores,
+    "orders_pit_customer_balance": orders_pit_customer_balance,
     "customer_scd1_merge": customer_scd1_merge,
     "customer_cdc_apply": customer_cdc_apply,
     "orders_profile": orders_profile,
@@ -1506,6 +1575,7 @@ ORACLE = {
     "customer_snapshot_diff": CUSTOMER_SNAPSHOT_DIFF_SQL,
     "customer_scd2_apply": CUSTOMER_SCD2_APPLY_SQL,
     "customer_balance_zscores": CUSTOMER_BALANCE_ZSCORES_SQL,
+    "orders_pit_customer_balance": ORDERS_PIT_CUSTOMER_BALANCE_SQL,
     "customer_scd1_merge": CUSTOMER_SCD1_MERGE_SQL,
     "customer_cdc_apply": CUSTOMER_CDC_APPLY_SQL,
     "orders_profile": ORDERS_PROFILE_SQL,

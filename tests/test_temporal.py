@@ -107,3 +107,39 @@ def test_range_join_rejects_empty_window(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_point_in_time_join_versions_and_gaps(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.temporal import (
+        point_in_time_join,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            (1, "v1", "2020-01-01", "2021-01-01"),
+            (1, "v2", "2021-01-01", None),
+            (2, "x", "2022-01-01", None),
+        ],
+        "k long, payload string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "payload",
+        "cast(valid_from as timestamp) valid_from",
+        "cast(valid_to as timestamp) valid_to",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2020-06-01"),  # inside v1
+            (101, 1, "2021-01-01"),  # boundary: v1 closes, v2 opens
+            (102, 1, "2023-01-01"),  # open-ended current
+            (103, 2, "2020-01-01"),  # before key existed -> NULL
+            (104, 3, "2022-01-01"),  # unknown key -> NULL
+        ],
+        "fid long, k long, ts string",
+    ).selectExpr("fid", "k", "cast(ts as timestamp) ts")
+    out = {
+        r["fid"]: r["payload"]
+        for r in point_in_time_join(facts, hist, ["k"], "ts").collect()
+    }
+    assert out == {100: "v1", 101: "v2", 102: "v2", 103: None, 104: None}
+    # each fact emitted exactly once (intervals partition time per key)
+    assert point_in_time_join(facts, hist, ["k"], "ts").count() == 5
