@@ -26,6 +26,11 @@ written and audited. A crash at ANY point leaves either the old
 pointer (old snapshot intact) or the new pointer (new snapshot fully
 written) — never an in-between. Same swap discipline as the
 streaming sketch store (streaming/sketches.py).
+
+Single-writer contract: concurrent publishers would race the version
+counter (this module has readers/writer isolation, not writer/writer
+— that is what a real table format's commit log adds). Run publishes
+from one orchestrated job per table, as every pipeline here does.
 """
 
 from __future__ import annotations
