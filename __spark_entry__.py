@@ -47,7 +47,9 @@ _MODULES = [
 #   events_daily_complete, user_weekly_retention, event_type_transitions,
 #   embedding_hard_negatives, doc_dedup_keep_best, doc_token_budget_sample,
 #   asset_frame_samples, events_daily_rollup_incremental,
-#   nation_revenue_pareto, top_return_customers.
+#   nation_revenue_pareto, top_return_customers, doc_encoding_audit,
+#   doc_novelty_fraction, customer_balance_zscores,
+#   orders_pit_customer_balance.
 #   1. no query goes more than ONE round unverified — everything rotated
 #      out in round 4 rotates back in now (the round-3 events.ts
 #      incident showed the environment can silently break parked
