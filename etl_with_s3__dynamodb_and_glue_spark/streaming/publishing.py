@@ -71,6 +71,9 @@ def fold_and_publish(
     else:
         merged = incoming
     meta = {} if batch_id is None else {_BATCH_KEY: int(batch_id)}
+    # coalesce(1): the published table is rollup-sized (days × types),
+    # one file reads fastest; a wider rollup would size files via
+    # write_sized_parquet instead
     return publish_snapshot(merged.coalesce(1), root, metadata=meta)
 
 
