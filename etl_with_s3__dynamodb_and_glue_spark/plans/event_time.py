@@ -638,12 +638,59 @@ ORDER BY day, event_type
 """
 
 
+def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for each (user, day) basket, which
+    event-type pairs appear together, counted across baskets — the
+    association-mining primitive. Pair generation happens IN-ROW from
+    each basket's sorted distinct-type array (indexed transform over
+    suffix slices — |types|² per basket, bounded by the type-alphabet,
+    never a basket self-join), so the only shuffles are the basket
+    aggregate and the tiny pair count."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    )
+    baskets = ev.groupBy("user_id", "day").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    types = F.col("types")
+    pairs = F.flatten(
+        F.transform(
+            types,
+            lambda x, i: F.transform(
+                F.slice(types, i + 2, F.size(types)),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    )
+
+
+EVENT_TYPE_COOCCURRENCE_SQL = """
+WITH b AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+),
+p AS (
+  SELECT a.event_type AS type_a, b2.event_type AS type_b
+  FROM b a JOIN b b2 ON a.user_id = b2.user_id AND a.day = b2.day
+                     AND a.event_type < b2.event_type
+)
+SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_baskets
+FROM p GROUP BY 1, 2
+ORDER BY type_a, type_b
+"""
+
+
 QUERIES = {
     "events_value_running_total": events_value_running_total,
     "events_daily_complete": events_daily_complete,
     "user_weekly_retention": user_weekly_retention,
     "event_type_transitions": event_type_transitions,
     "events_daily_rollup_incremental": events_daily_rollup_incremental,
+    "event_type_cooccurrence": event_type_cooccurrence,
     "events_activity_concurrency": events_activity_concurrency,
     "user_conversion_funnel": user_conversion_funnel,
     "user_daily_anomalies": user_daily_anomalies,
@@ -661,6 +708,7 @@ ORACLE = {
     "user_weekly_retention": USER_WEEKLY_RETENTION_SQL,
     "event_type_transitions": EVENT_TYPE_TRANSITIONS_SQL,
     "events_daily_rollup_incremental": EVENTS_DAILY_ROLLUP_INCREMENTAL_SQL,
+    "event_type_cooccurrence": EVENT_TYPE_COOCCURRENCE_SQL,
     "events_activity_concurrency": EVENTS_ACTIVITY_CONCURRENCY_SQL,
     "user_conversion_funnel": USER_CONVERSION_FUNNEL_SQL,
     "user_daily_anomalies": USER_DAILY_ANOMALIES_SQL,

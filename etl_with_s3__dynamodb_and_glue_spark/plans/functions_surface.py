@@ -1474,6 +1474,31 @@ ORDER BY o.o_orderkey
 """
 
 
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day via WINDOW-MERGED HLL
+    sketches: one per-day sketch aggregate over the events (the only
+    event-scale pass), then `hll_union_agg` as a window function over
+    the DAILY frame — the un-partitioned window is calendar-bounded
+    (rows = days), the classic sliding-distinct query exact
+    countDistinct cannot answer without re-scanning 7 days of raw
+    events per day. Rows-only for the driver (HLL internals aren't
+    replayable in DuckDB); tests/test_skew_and_approx.py bounds the
+    estimates against exact trailing sets and prints the error."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+        .cast("long")
+        .alias("est_users_7d"),
+    )
+
+
 def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative quality gate over orders (sources/expectations.py):
     every rule checked in ONE aggregate pass; the report is what a
@@ -1540,6 +1565,7 @@ QUERIES = {
     "customer_scd2_apply": customer_scd2_apply,
     "customer_balance_zscores": customer_balance_zscores,
     "orders_pit_customer_balance": orders_pit_customer_balance,
+    "rolling_7d_distinct_users": rolling_7d_distinct_users,
     "customer_scd1_merge": customer_scd1_merge,
     "customer_cdc_apply": customer_cdc_apply,
     "orders_profile": orders_profile,

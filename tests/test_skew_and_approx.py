@@ -133,3 +133,36 @@ def test_weekly_sketch_rollup_within_hll_error(spark, capsys):
             )
         assert rel_err <= 0.05, f"{week}: {rel_err:.4f}"
         assert row.n_events == exact[week].n_events
+
+
+def test_rolling_7d_sketch_window_vs_exact(spark, capsys):
+    """Window-merged HLL (rolling_7d_distinct_users) must land within
+    the sketch error envelope of the exact trailing-7-day distinct
+    sets, for every day."""
+    import __spark_entry__ as entry_mod
+    from etl_with_s3__dynamodb_and_glue_spark.sources.readers import read_events
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["day"]: r["est_users_7d"]
+        for r in entry_mod.queries()["rolling_7d_distinct_users"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    rows = (
+        read_events(spark, SF_SMOKE)
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .collect()
+    )
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    days = sorted(by_day)
+    worst = 0.0
+    for i, d in enumerate(days):
+        exact = len(set().union(*(by_day[x] for x in days[max(0, i - 6): i + 1])))
+        est = got[d.strftime("%Y-%m-%d")]
+        rel = abs(est - exact) / max(exact, 1)
+        worst = max(worst, rel)
+        assert rel <= 0.05, (d, est, exact)
+    print(f"[sketch-accuracy] rolling-7d worst rel_err={worst:.4f} (bound 0.05)")
