@@ -168,9 +168,18 @@ def main() -> None:
     # point lookup (includes the one-time write_dataset landing on
     # first call) and the incremental arrivals-vs-corpus dedup.
     extra_timings: dict[str, float | None] = {}
+    import gc
+
     for name in EXTRAS:
         try:
             spark.catalog.clearCache()
+            # drain Python-side finalizers (unpersist_on_release) and
+            # nudge the JVM to compact BEFORE timing: without this,
+            # late extras pay for the whole session's garbage —
+            # measured up to 6× run-to-run swings on the store-serving
+            # query with an identical plan
+            gc.collect()
+            spark._jvm.System.gc()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
             extra_timings[name] = round(time.perf_counter() - t0, 3)
