@@ -33,11 +33,19 @@ def as_of_join(
     right_time: str,
     right_payload: list[str],
     strict: bool = False,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row
     with the same key and ``right_time <= left_time`` (``<`` when
     ``strict``). Left rows with no prior right row keep nulls
     (left-outer as-of semantics).
+
+    ``tolerance_seconds`` bounds staleness (pandas ``merge_asof``'s
+    ``tolerance``): a match older than the bound nulls out, exactly as
+    if no prior row existed — "the last quote, but only if it's fresh
+    enough". Implemented by carrying the matched right TIME alongside
+    the payload through the same window (no extra shuffle) and
+    masking on the age.
 
     Ties on ``right_time`` within a key must be pre-resolved by the
     caller (dedup the right side) for deterministic output.
@@ -49,6 +57,7 @@ def as_of_join(
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_payload],
+        F.lit(None).cast("timestamp").alias("_r_time"),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
@@ -56,6 +65,7 @@ def as_of_join(
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+        F.col(right_time).cast("timestamp").alias("_r_time"),
     )
     merged = l_tagged.unionByName(r_tagged)
     # Right rows sort before left rows at equal time iff matching is
@@ -73,9 +83,18 @@ def as_of_join(
             F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
             for c in right_payload
         ],
+        F.last("_r_time", ignorenulls=True).over(w).alias("_asof_time"),
     )
+    fresh = F.lit(True)
+    if tolerance_seconds is not None:
+        age = F.col("_t").cast("double") - F.col("_asof_time").cast("double")
+        fresh = age <= F.lit(float(tolerance_seconds))
     return carried.filter(F.col("_is_left") == 1).select(
-        *lcols, *[F.col(f"_asof_{c}").alias(c) for c in right_payload]
+        *lcols,
+        *[
+            F.when(fresh, F.col(f"_asof_{c}")).alias(c)
+            for c in right_payload
+        ],
     )
 
 

@@ -143,3 +143,30 @@ def test_point_in_time_join_versions_and_gaps(spark):
     assert out == {100: "v1", 101: "v2", 102: "v2", 103: None, 104: None}
     # each fact emitted exactly once (intervals partition time per key)
     assert point_in_time_join(facts, hist, ["k"], "ts").count() == 5
+
+
+def test_as_of_join_tolerance(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.operators.temporal import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+         (1, "2024-01-01 12:00:00")],
+        "k long, lt string",
+    ).selectExpr("k", "cast(lt as timestamp) lt")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:59:00", 42.0)],
+        "k long, rt string, quote double",
+    ).selectExpr("k", "cast(rt as timestamp) rt", "quote")
+
+    # unbounded: all three see the 09:59 quote
+    unbounded = as_of_join(left, right, "k", "lt", "rt", ["quote"])
+    assert [r["quote"] for r in unbounded.orderBy("lt").collect()] == [
+        42.0, 42.0, 42.0
+    ]
+    # 15-minute tolerance: the 12:00 row's quote is too stale -> null
+    bounded = as_of_join(
+        left, right, "k", "lt", "rt", ["quote"], tolerance_seconds=900
+    )
+    assert [r["quote"] for r in bounded.orderBy("lt").collect()] == [
+        42.0, 42.0, None
+    ]
