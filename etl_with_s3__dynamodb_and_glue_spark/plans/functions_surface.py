@@ -249,6 +249,53 @@ ORDER BY c.user_id, c.click_id
 """
 
 
+def clicks_asof_recent_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of: the prior view only counts if it is at
+    most 10 minutes stale (pandas merge_asof's `tolerance`; the
+    attribution-window semantics ad pipelines use — an old view does
+    not earn the click). Same single-shuffle union+window plan; the
+    DuckDB twin applies the age mask after its native ASOF join."""
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    out = as_of_join(
+        clicks,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="view_ts",
+        right_payload=["view_id"],
+        tolerance_seconds=600,
+    )
+    return out.select("user_id", "click_id", "view_id")
+
+
+CLICKS_ASOF_RECENT_VIEW_SQL = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts
+  FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts AS view_ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts
+)
+SELECT c.user_id, c.click_id,
+       CASE WHEN epoch_us(c.ts) - epoch_us(v.view_ts) <= 600 * 1000000
+            THEN v.view_id END AS view_id
+FROM clicks c
+ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.view_ts
+ORDER BY c.user_id, c.click_id
+"""
+
+
 def error_followup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per error event: how many events the same user produced in the
     following 10 minutes (interval/range join; operators/temporal.py)."""
@@ -1588,6 +1635,7 @@ QUERIES = {
     "segment_distinct_stats": segment_distinct_stats,
     "part_text_features": part_text_features,
     "clicks_asof_prior_view": clicks_asof_prior_view,
+    "clicks_asof_recent_view": clicks_asof_recent_view,
     "error_followup_counts": error_followup_counts,
     "csv_quarantine_counts": csv_quarantine_counts,
 }
@@ -1625,6 +1673,7 @@ ORACLE = {
     "segment_distinct_stats": SEGMENT_DISTINCT_STATS_SQL,
     "part_text_features": PART_TEXT_FEATURES_SQL,
     "clicks_asof_prior_view": CLICKS_ASOF_PRIOR_VIEW_SQL,
+    "clicks_asof_recent_view": CLICKS_ASOF_RECENT_VIEW_SQL,
     "error_followup_counts": ERROR_FOLLOWUP_COUNTS_SQL,
     "csv_quarantine_counts": CSV_QUARANTINE_COUNTS_SQL,
 }
