@@ -280,3 +280,40 @@ def test_decile_bins_have_no_window(spark):
     plan = plan_str(df)
     assert "Window" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_point_in_time_join_is_hash_join_not_nested_loop(spark):
+    """The validity range must ride the key equi-join as a residual
+    predicate — a BroadcastNestedLoopJoin here would be the quadratic
+    trap the operator exists to avoid."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.temporal import (
+        point_in_time_join,
+    )
+
+    hist = spark.range(100).selectExpr(
+        "id as k", "cast(id as string) payload",
+        "timestamp'2020-01-01' as valid_from",
+        "cast(null as timestamp) as valid_to",
+    )
+    facts = spark.range(1000).selectExpr(
+        "id as fid", "id % 100 as k", "timestamp'2022-01-01' as ts"
+    )
+    plan = plan_str(point_in_time_join(facts, hist, ["k"], "ts"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_cms_probe_is_broadcast_and_build_combines_map_side(spark):
+    """The sketch side of a CMS probe must broadcast (it is <= d*w
+    rows by construction); the build's explode must partial-aggregate
+    before its one shuffle."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators import cms
+
+    toks = spark.range(5000).selectExpr("cast(id % 97 as string) term")
+    sketch = cms.cms_build(toks, "term")
+    est = cms.cms_estimate(toks.distinct(), "term", sketch)
+    plan = plan_str(est)
+    assert "BroadcastHashJoin" in plan, plan
+    build_plan = plan_str(sketch)
+    # partial_count before the exchange = map-side combine
+    assert "partial_count" in build_plan or "HashAggregate" in build_plan, build_plan
