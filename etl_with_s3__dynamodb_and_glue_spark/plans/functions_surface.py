@@ -1546,6 +1546,41 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_customers_null_bypass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key shuffle-bypass left join (operators/skew.py::
+    null_bypass_left_join) over a deterministically null-injected key
+    (every 17th user anonymized): rows whose key is NULL can never
+    equi-join, so they route AROUND the exchange instead of piling
+    into one hot partition. Result-invisible by design — the oracle
+    is the PLAIN left join over the same injected key, so the driver
+    hash-checks that the bypass changes nothing but the plan."""
+    from ..operators.skew import null_bypass_left_join
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("user_id") % 17 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = null_bypass_left_join(ev, cust, ["user_id"])
+    return out.select("event_id", "user_id", "c_mktsegment")
+
+
+EVENTS_CUSTOMERS_NULL_BYPASS_SQL = """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN user_id % 17 = 0 THEN NULL ELSE user_id END AS user_id
+  FROM events
+)
+SELECT ev.event_id, ev.user_id, c.c_mktsegment
+FROM ev LEFT JOIN customer c ON ev.user_id = c.c_custkey
+ORDER BY event_id
+"""
+
+
 def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative quality gate over orders (sources/expectations.py):
     every rule checked in ONE aggregate pass; the report is what a
@@ -1613,6 +1648,7 @@ QUERIES = {
     "customer_balance_zscores": customer_balance_zscores,
     "orders_pit_customer_balance": orders_pit_customer_balance,
     "rolling_7d_distinct_users": rolling_7d_distinct_users,
+    "events_customers_null_bypass": events_customers_null_bypass,
     "customer_scd1_merge": customer_scd1_merge,
     "customer_cdc_apply": customer_cdc_apply,
     "orders_profile": orders_profile,
@@ -1650,6 +1686,7 @@ ORACLE = {
     "customer_scd2_apply": CUSTOMER_SCD2_APPLY_SQL,
     "customer_balance_zscores": CUSTOMER_BALANCE_ZSCORES_SQL,
     "orders_pit_customer_balance": ORDERS_PIT_CUSTOMER_BALANCE_SQL,
+    "events_customers_null_bypass": EVENTS_CUSTOMERS_NULL_BYPASS_SQL,
     "customer_scd1_merge": CUSTOMER_SCD1_MERGE_SQL,
     "customer_cdc_apply": CUSTOMER_CDC_APPLY_SQL,
     "orders_profile": ORDERS_PROFILE_SQL,

@@ -321,10 +321,41 @@ ORDER BY listen_count DESC, custkey ASC
 LIMIT 5
 """
 
+def published_segment_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KPI table served THROUGH the write-audit-publish layer
+    (sources/publish.py): the batch layer publishes the segment KPIs
+    as an audited, atomically-promoted snapshot; the consumer resolves
+    the `_CURRENT` pointer and reads an immutable version directory —
+    never a torn or unaudited table. The oracle is the KPI SQL
+    itself: the driver hash-check proves the WAP round-trip is
+    byte-faithful. Build-once per (sf_dir, input fingerprint), like
+    every derived-dataset accessor."""
+    from ..sources.dataset import ensure_derived_dataset
+    from ..sources.expectations import Expectation
+    from ..sources.publish import publish_snapshot, read_published
+
+    def build(path: str) -> None:
+        publish_snapshot(
+            segment_kpis_compat(spark, sf_dir),
+            path,
+            expectations=[
+                Expectation("count_positive", F.col("listen_count") > 0),
+                Expectation("segment_not_null", F.col("segment").isNotNull()),
+            ],
+        )
+
+    root = ensure_derived_dataset(
+        "published_kpis",
+        [f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet"],
+        build,
+    )
+    return read_published(spark, root)
+
 
 QUERIES = {
     "flagship_daily_segment_topk": flagship_daily_segment_topk,
     "serving_top_rows_lookup": serving_top_rows_lookup,
+    "published_segment_kpis": published_segment_kpis,
     "segment_kpis_compat": segment_kpis_compat,
     "segment_kpis_intended": segment_kpis_intended,
     "top_rows_per_day_compat": top_rows_per_day_compat,
@@ -334,6 +365,7 @@ QUERIES = {
 ORACLE = {
     "flagship_daily_segment_topk": FLAGSHIP_SQL,
     "serving_top_rows_lookup": SERVING_TOP_ROWS_LOOKUP_SQL,
+    "published_segment_kpis": SEGMENT_KPIS_COMPAT_SQL,
     "segment_kpis_compat": SEGMENT_KPIS_COMPAT_SQL,
     "segment_kpis_intended": SEGMENT_KPIS_INTENDED_SQL,
     "top_rows_per_day_compat": TOP_ROWS_PER_DAY_COMPAT_SQL,
