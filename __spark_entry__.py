@@ -49,7 +49,9 @@ _MODULES = [
 #   asset_frame_samples, events_daily_rollup_incremental,
 #   nation_revenue_pareto, top_return_customers, doc_encoding_audit,
 #   doc_novelty_fraction, customer_balance_zscores,
-#   orders_pit_customer_balance.
+#   orders_pit_customer_balance, event_type_cooccurrence,
+#   rolling_7d_distinct_users, clicks_asof_recent_view,
+#   events_customers_null_bypass, published_segment_kpis.
 #   1. no query goes more than ONE round unverified — everything rotated
 #      out in round 4 rotates back in now (the round-3 events.ts
 #      incident showed the environment can silently break parked
