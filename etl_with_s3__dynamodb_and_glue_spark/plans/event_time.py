@@ -684,6 +684,55 @@ ORDER BY type_a, type_b
 """
 
 
+def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week reporting: weekly event totals with the previous
+    week's value and percent change — one keyed aggregate over the
+    fact, then a lag window over the WEEKS frame (calendar-bounded,
+    like the Pareto/rolling-sketch windows). Epoch-week arithmetic
+    keeps boundaries engine-neutral."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).select(
+        F.floor(F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7)
+        .cast("long")
+        .alias("week"),
+        "value",
+    )
+    weekly = ev.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "week",
+        "n_events",
+        "total_value",
+        prev.alias("prev_n_events"),
+        F.round(
+            (F.col("n_events") - prev) / prev * 100.0, 6
+        ).alias("pct_change"),
+    )
+
+
+EVENTS_WOW_CHANGE_SQL = """
+WITH weekly AS (
+  SELECT CAST(FLOOR(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              / 7.0) AS BIGINT) AS week,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 6) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT week, n_events, total_value,
+       lag(n_events) OVER (ORDER BY week) AS prev_n_events,
+       ROUND((n_events - lag(n_events) OVER (ORDER BY week))
+             / CAST(lag(n_events) OVER (ORDER BY week) AS DOUBLE) * 100.0, 6)
+         AS pct_change
+FROM weekly
+ORDER BY week
+"""
+
+
 QUERIES = {
     "events_value_running_total": events_value_running_total,
     "events_daily_complete": events_daily_complete,
@@ -691,6 +740,7 @@ QUERIES = {
     "event_type_transitions": event_type_transitions,
     "events_daily_rollup_incremental": events_daily_rollup_incremental,
     "event_type_cooccurrence": event_type_cooccurrence,
+    "events_wow_change": events_wow_change,
     "events_activity_concurrency": events_activity_concurrency,
     "user_conversion_funnel": user_conversion_funnel,
     "user_daily_anomalies": user_daily_anomalies,
@@ -709,6 +759,7 @@ ORACLE = {
     "event_type_transitions": EVENT_TYPE_TRANSITIONS_SQL,
     "events_daily_rollup_incremental": EVENTS_DAILY_ROLLUP_INCREMENTAL_SQL,
     "event_type_cooccurrence": EVENT_TYPE_COOCCURRENCE_SQL,
+    "events_wow_change": EVENTS_WOW_CHANGE_SQL,
     "events_activity_concurrency": EVENTS_ACTIVITY_CONCURRENCY_SQL,
     "user_conversion_funnel": USER_CONVERSION_FUNNEL_SQL,
     "user_daily_anomalies": USER_DAILY_ANOMALIES_SQL,

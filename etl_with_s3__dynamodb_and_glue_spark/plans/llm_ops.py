@@ -1553,6 +1553,62 @@ ORDER BY doc_id
 """
 
 
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-QA confusion matrix for the language identifier:
+    (actual lang, predicted lang) counts plus per-actual recall — the
+    evaluation every filter model needs before it gates a corpus. One
+    per-row prediction pass + a tiny langs² aggregate."""
+    docs = _docs(spark, sf_dir)
+    staged = docs.select("doc_id", "lang", tokens("text").alias("tk"))
+    pred = staged.select(
+        "lang", lang_id("tk", toks=F.col("tk")).alias("predicted_lang")
+    )
+    counts = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(tot), 6).alias(
+            "frac_of_actual"
+        ),
+    )
+
+
+def _lang_confusion_sql() -> str:
+    # reuse the lang-ID scoring CTEs verbatim so the matrix can never
+    # drift from the per-doc query it evaluates
+    base = DOC_LANG_ID_SQL[: DOC_LANG_ID_SQL.rindex("SELECT doc_id, lang,")]
+    return base + """
+,
+pred AS (
+  SELECT lang,
+         CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+              WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+              WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+              ELSE 'de' END AS predicted_lang
+  FROM s
+),
+c AS (
+  SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT lang, predicted_lang, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY lang), 6) AS frac_of_actual
+FROM c
+ORDER BY lang, predicted_lang
+"""
+
+
+DOC_LANG_CONFUSION_SQL = _lang_confusion_sql()
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_chunks": doc_chunks,
@@ -1565,6 +1621,7 @@ QUERIES = {
     "doc_chunk_packs": doc_chunk_packs,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
+    "doc_lang_confusion": doc_lang_confusion,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_jaccard_pairs": doc_jaccard_pairs,
     "doc_dedup_final": doc_dedup_final,
@@ -1608,6 +1665,7 @@ ORACLE = {
     "doc_chunk_packs": DOC_CHUNK_PACKS_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
+    "doc_lang_confusion": DOC_LANG_CONFUSION_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
     "doc_dedup_final": DOC_DEDUP_FINAL_SQL,
