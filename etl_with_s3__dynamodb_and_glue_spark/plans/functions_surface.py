@@ -678,11 +678,11 @@ WITH a AS (
   FROM lineitem GROUP BY l_orderkey
 )
 SELECT l_orderkey,
-       len(qtys) AS n_items,
+       CAST(len(qtys) AS INTEGER) AS n_items,
        ROUND(qtys[1], 6) AS min_qty,
        ROUND(qtys[-1], 6) AS max_qty,
        ROUND(list_sum(qtys), 6) AS total_qty,
-       len(list_filter(qtys, q -> q >= 25.0)) AS n_large,
+       CAST(len(list_filter(qtys, q -> q >= 25.0)) AS INTEGER) AS n_large,
        len(list_filter(qtys, q -> q > 49.0)) > 0 AS has_max_bucket
 FROM a
 ORDER BY l_orderkey
@@ -1018,8 +1018,9 @@ per_day AS (
   FROM first_seen GROUP BY first_day
 )
 SELECT day, n_new_users,
-       SUM(n_new_users) OVER (ORDER BY day
-                              ROWS UNBOUNDED PRECEDING) AS n_cumulative_users
+       CAST(SUM(n_new_users) OVER (ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_cumulative_users
 FROM per_day ORDER BY day
 """
 
@@ -1070,8 +1071,8 @@ WITH bounds AS (
   SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
 ),
 bucketed AS (
-  SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)) AS INTEGER),
-               19) AS bucket
+  SELECT CAST(LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)) AS INTEGER),
+                    19) AS INTEGER) AS bucket
   FROM orders CROSS JOIN bounds
 )
 SELECT bucket,

@@ -251,7 +251,8 @@ SELECT CAST(floor(log2(n_tokens)) AS INTEGER) AS bucket,
        MIN(n_tokens) AS min_tokens,
        MAX(n_tokens) AS max_tokens,
        ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
-       MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS padding_waste
+       CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
+         AS padding_waste
 FROM t
 GROUP BY bucket
 ORDER BY bucket
@@ -420,11 +421,11 @@ WITH t AS (
 s AS (
   SELECT doc_id, toks,
          CAST(u.s AS INTEGER) AS start,
-         CAST((u.s - 1) / 24 AS BIGINT) AS chunk_id
+         CAST((u.s - 1) / 24 AS INTEGER) AS chunk_id
   FROM t, UNNEST(range(1, GREATEST(len(toks) - 8, 1) + 1, 24)) AS u(s)
 )
 SELECT doc_id, chunk_id, start,
-       len(list_slice(toks, start, start + 31)) AS n_tokens,
+       CAST(len(list_slice(toks, start, start + 31)) AS INTEGER) AS n_tokens,
        array_to_string(list_slice(toks, start, start + 31), ' ') AS chunk_text
 FROM s
 ORDER BY doc_id, chunk_id
@@ -604,7 +605,7 @@ c AS (
              ch -> len(list_filter(string_split(s, ''), x -> x = ch)))) AS ks
   FROM t
 )
-SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars,
        ROUND(CASE WHEN n_chars = 0 THEN 0.0 ELSE
          -list_sum(list_transform(ks,
              k -> (CAST(k AS DOUBLE) / n_chars)
