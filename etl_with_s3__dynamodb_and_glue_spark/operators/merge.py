@@ -105,6 +105,15 @@ def snapshot_diff(
     of full rows; payload equality is digest equality (false-unchanged
     needs a 64-bit collision on the SAME key — ~2⁻⁶⁴ per key). Join
     on the key is the only wide operation.
+
+    NULL discipline: Spark's ``xxhash64`` SKIPS null inputs (the
+    running hash passes through unchanged), so hashing raw columns
+    would make ``('a', NULL)`` and ``(NULL, 'a')`` collide
+    systematically — a moved value between nullable columns would
+    read 'unchanged'. Each column is therefore encoded to a string
+    that spends one sentinel per null (``\\x00null``) and one
+    separator per position before hashing, making NULLs and column
+    position distinguishable.
     """
     if set(old.columns) != set(new.columns):
         raise ValueError(
@@ -114,9 +123,13 @@ def snapshot_diff(
     payload_cols = sorted(c for c in old.columns if c not in key_cols)
 
     def digest(df: DataFrame, name: str) -> DataFrame:
+        encoded = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in payload_cols
+        ]
         return df.select(
             *key_cols,
-            F.xxhash64(*[F.col(c) for c in payload_cols]).alias(name),
+            F.xxhash64(F.concat_ws("\x00;", *encoded)).alias(name),
         )
 
     o = digest(old, "_h_old")

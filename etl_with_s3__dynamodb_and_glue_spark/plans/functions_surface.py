@@ -1162,7 +1162,10 @@ def part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PART_NAME_FUZZY_MATCHES_SQL = """
 WITH p AS (SELECT DISTINCT p_name AS name FROM part),
-b AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM p)
+b AS (
+  SELECT name, string_split(name, ' ')[-1] AS blk FROM p
+  QUALIFY COUNT(*) OVER (PARTITION BY blk) <= 1000
+)
 SELECT a.name AS name_a, b2.name AS name_b,
        CAST(levenshtein(a.name, b2.name) AS INTEGER) AS edit_distance
 FROM b a JOIN b b2 ON a.blk = b2.blk AND a.name < b2.name
@@ -1529,16 +1532,21 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DAILY frame — the un-partitioned window is calendar-bounded
     (rows = days), the classic sliding-distinct query exact
     countDistinct cannot answer without re-scanning 7 days of raw
-    events per day. Rows-only for the driver (HLL internals aren't
-    replayable in DuckDB); tests/test_skew_and_approx.py bounds the
-    estimates against exact trailing sets and prints the error."""
+    events per day. The frame is a RANGE over epoch-day, not ROWS: on
+    a calendar with gaps a rows frame would span the last 7 ACTIVE
+    days and silently overcount. Rows-only for the driver (HLL
+    internals aren't replayable in DuckDB);
+    tests/test_skew_and_approx.py bounds the estimates against exact
+    CALENDAR-trailing sets and prints the error."""
     from pyspark.sql import Window
 
     ev = read_events(spark, sf_dir).select(
         F.to_date("ts").alias("day"), "user_id"
     )
     daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
-    w = Window.orderBy("day").rowsBetween(-6, 0)
+    w = Window.orderBy(
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    ).rangeBetween(-6, 0)
     return daily.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))

@@ -877,6 +877,34 @@ def test_fuzzy_match_blocking_and_hot_block_cap(spark):
     assert capped.count() == 0
 
 
+def test_fuzzy_dropped_blocks_report_and_error_mode(spark):
+    """The cap must be LOUD: dropped blocks appear in the companion
+    report, and on_oversize='error' fails the job instead."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.linkage import (
+        fuzzy_dropped_blocks,
+        fuzzy_match_pairs,
+    )
+
+    rows = [(f"name {i} smith",) for i in range(50)] + [
+        ("zeta inc",),
+        ("zetta inc",),
+    ]
+    df = spark.createDataFrame(rows, "name string")
+    blk = F.element_at(F.split("name", " "), -1)
+    report = fuzzy_dropped_blocks(df, "name", blk, max_block=10).collect()
+    assert [(r["blk"], r["blk_n"]) for r in report] == [("smith", 50)]
+    # small block still matched, hot block gone
+    out = fuzzy_match_pairs(df, "name", blk, max_block=10).collect()
+    assert {(r["name_a"], r["name_b"]) for r in out} == {("zeta inc", "zetta inc")}
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_block"):
+        fuzzy_match_pairs(
+            df, "name", blk, max_block=10, on_oversize="error"
+        ).count()
+
+
 def test_calendar_spine_fills_zero_days(spark):
     """events_daily_complete's spine pattern on synthetic gappy data:
     a day with no events must appear with n_events = 0."""

@@ -170,6 +170,25 @@ def test_snapshot_diff_types(spark):
     assert out == {1: "unchanged", 2: "changed", 3: "deleted", 4: "inserted"}
 
 
+def test_snapshot_diff_null_moves_are_changes(spark):
+    """Spark xxhash64 skips NULL inputs, so raw-column hashing would
+    call ('a', NULL) -> (NULL, 'a') 'unchanged'. The digest encodes
+    nulls and positions explicitly; a value moving between nullable
+    columns must read 'changed'."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, None, "b"), (3, None, None)],
+        "k long, x string, y string",
+    )
+    new = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, "", None)],
+        "k long, x string, y string",
+    )
+    out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "changed", 2: "unchanged", 3: "changed"}
+
+
 def test_scd2_apply_versions(spark):
     from etl_with_s3__dynamodb_and_glue_spark.operators.merge import scd2_apply
 

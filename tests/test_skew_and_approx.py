@@ -159,10 +159,44 @@ def test_rolling_7d_sketch_window_vs_exact(spark, capsys):
         by_day.setdefault(r["day"], set()).add(r["user_id"])
     days = sorted(by_day)
     worst = 0.0
-    for i, d in enumerate(days):
-        exact = len(set().union(*(by_day[x] for x in days[max(0, i - 6): i + 1])))
+    for d in days:
+        # CALENDAR-trailing window (not "last 7 active days"): a rows
+        # frame on a gapped calendar would overcount, and an exact twin
+        # computed the same row-based way could not catch it.
+        window = [
+            x for x in days if 0 <= (d - x).days <= 6
+        ]
+        exact = len(set().union(*(by_day[x] for x in window)))
         est = got[d.strftime("%Y-%m-%d")]
         rel = abs(est - exact) / max(exact, 1)
         worst = max(worst, rel)
         assert rel <= 0.05, (d, est, exact)
     print(f"[sketch-accuracy] rolling-7d worst rel_err={worst:.4f} (bound 0.05)")
+
+
+def test_rolling_7d_calendar_gap(spark, tmp_path):
+    """A rows-based frame would span the last 7 ACTIVE days; with a
+    10-day gap the trailing window must have forgotten the early
+    users entirely."""
+    import __spark_entry__ as entry_mod
+
+    rows = [
+        # 100 users on day 1-2, then a 10-day gap, then 5 fresh users
+        *[(i, "2024-01-01 10:00:00", i % 100) for i in range(100)],
+        *[(200 + i, "2024-01-02 10:00:00", i % 100) for i in range(100)],
+        *[(400 + i, "2024-01-13 10:00:00", 1000 + i) for i in range(5)],
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long"
+    ).select("event_id", F.col("ts").cast("timestamp"), "user_id")
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r["day"]: r["est_users_7d"]
+        for r in entry_mod.queries()["rolling_7d_distinct_users"](
+            spark, sf_dir
+        ).collect()
+    }
+    # day 13 is >6 days past both active days: only the 5 fresh users
+    assert got["2024-01-13"] == 5
+    assert got["2024-01-02"] >= 95  # ~100 distinct, sketch tolerance
