@@ -276,21 +276,30 @@ def event_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnosis: the 10 heaviest user_id keys with
     their share and cumulative share of all events — the report that
     decides between plain hash partitioning, AQE skew handling, and
-    explicit salting (operators/skew.py). One keyed count plus a
-    top-10 window over the aggregated keys (corpus-cardinality rows,
-    not events)."""
+    explicit salting (operators/skew.py). One keyed count, then the
+    top-10 keys come from ``orderBy(...).limit(10)`` — Spark plans
+    that as TakeOrderedAndProject, a parallel per-partition top-k +
+    driver merge. At 10⁸–10⁹ distinct keys an unpartitioned
+    ``row_number`` window here would collapse the whole per-key frame
+    into ONE task (the exact trap this query diagnoses); the only
+    window in the plan runs over the already-limited 10-row result."""
     from pyspark.sql import Window
 
     ev = read_events(spark, sf_dir)
     per_key = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events")
     )
-    total = per_key.agg(F.sum("n_events").alias("_total"))
+    # sum(per-key counts) == count(events): the broadcast total comes
+    # from one un-keyed aggregate over the scan, not a second keyed
+    # shuffle over per_key.
+    total = ev.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    top10 = per_key.orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    ).limit(10)
     w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
     ranked = (
-        per_key.crossJoin(F.broadcast(total))
+        top10.crossJoin(F.broadcast(total))
         .withColumn("key_rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("key_rank") <= 10)
         .withColumn(
             "share", F.round(F.col("n_events") / F.col("_total"), 6)
         )

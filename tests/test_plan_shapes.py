@@ -317,3 +317,23 @@ def test_cms_probe_is_broadcast_and_build_combines_map_side(spark):
     build_plan = plan_str(sketch)
     # partial_count before the exchange = map-side combine
     assert "partial_count" in build_plan or "HashAggregate" in build_plan, build_plan
+
+
+def test_skew_profile_uses_take_ordered_not_global_window(spark):
+    """event_key_skew_profile's top-10 must come from TakeOrdered
+    (parallel per-partition top-k), never an unpartitioned row_number
+    window over ALL per-key aggregates — at 10^9 distinct keys that
+    window is one task. The only Window allowed is over the already
+    limited 10-row result."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.event_time import (
+        event_key_skew_profile,
+    )
+
+    plan = plan_str(event_key_skew_profile(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the window must consume the limited result: in the formatted plan
+    # the TakeOrderedAndProject node sits BELOW (higher node id than)
+    # the Window node, i.e. it is the window's child.
+    win_pos = plan.index("Window")
+    tko_pos = plan.index("TakeOrderedAndProject")
+    assert tko_pos > win_pos or "WindowGroupLimit" not in plan
