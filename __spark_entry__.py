@@ -37,32 +37,81 @@ _MODULES = [
 
 # The driver's correctness harness checks the FIRST 50 registry entries
 # per round; the registry is larger than that, so ordering is coverage
-# policy (round 5 edition):
+# policy (round 6 edition). Rotation rules (tested by
+# tests/test_registry_rotation.py):
+#   1. every query never seen in ANY CORRECTNESS_r*.json artifact must
+#      be in the current window (first 50) — nothing ships a round
+#      without at least one driver check;
+#   2. every query whose code or oracle changed this round stays in
+#      the window (rotation follows the diff, not a static list);
+#   3. the incident-prone events.ts lineage (user_sessions) stays in
+#      the window every round;
+#   4. the overflow parks queries that were driver-green in the most
+#      recent round that checked them AND whose lineage this round's
+#      diff does not touch.
 #
-# ROUND-6 QUEUE (added late in round 5, verified this round by the
-# pytest oracle-parity suite + tests/oracle_harness.py full runs, but
-# not yet driver-checked — promote these into the window next round):
-#   segment_nation_chi2, lineitem_corr_matrix, orders_price_decile_bins,
-#   customer_snapshot_diff, customer_scd2_apply, part_name_fuzzy_matches,
-#   events_daily_complete, user_weekly_retention, event_type_transitions,
-#   embedding_hard_negatives, doc_dedup_keep_best, doc_token_budget_sample,
-#   asset_frame_samples, events_daily_rollup_incremental,
-#   nation_revenue_pareto, top_return_customers, doc_encoding_audit,
-#   doc_novelty_fraction, customer_balance_zscores,
-#   orders_pit_customer_balance, event_type_cooccurrence,
-#   rolling_7d_distinct_users, clicks_asof_recent_view,
-#   events_customers_null_bypass, published_segment_kpis.
-#   1. no query goes more than ONE round unverified — everything rotated
-#      out in round 4 rotates back in now (the round-3 events.ts
-#      incident showed the environment can silently break parked
-#      queries);
-#   2. every query whose code path changed this round stays in the
-#      window (rotation follows the diff, not a static list);
-#   3. the overflow parks queries that were hash-green in round 4 AND
-#      whose lineage this round's diff does not touch (tpch_like,
-#      curation, event_time, temporal/skew showcases).
+# ROUND-7 QUEUE: everything parked this round that was last checked in
+# round 4 or earlier rotates back in (tpch_like surface, temporal/skew
+# showcases, curation row checked r4) — compute it from the artifacts,
+# the rotation test enforces it.
 _CHECK_FIRST = [
-    # rotated out during round 4 (hash-green r2+r3) — re-verify now
+    # --- the 32 queries never driver-checked before round 6 ---
+    "published_segment_kpis",
+    "top_return_customers",
+    "nation_revenue_pareto",
+    "doc_token_budget_sample",
+    "doc_lang_confusion",
+    "doc_dedup_keep_best",
+    "embedding_hard_negatives",
+    "embedding_dedup_final_lsh",
+    "asset_frame_samples",
+    "events_daily_complete",
+    "user_weekly_retention",
+    "event_type_transitions",
+    "events_daily_rollup_incremental",
+    "event_type_cooccurrence",
+    "events_wow_change",
+    "segment_nation_chi2",
+    "part_name_fuzzy_matches",
+    "lineitem_corr_matrix",
+    "orders_price_decile_bins",
+    "customer_snapshot_diff",
+    "customer_scd2_apply",
+    "customer_balance_zscores",
+    "orders_pit_customer_balance",
+    "rolling_7d_distinct_users",
+    "events_customers_null_bypass",
+    "clicks_asof_recent_view",
+    "doc_encoding_audit",
+    "doc_novelty_fraction",
+    "doc_arrivals_dedup_lsh",
+    "doc_arrivals_dedup_store",
+    "doc_decontamination_bloom",
+    "doc_lm_outliers",
+    # --- round-5 reds, oracle CAST fixed this round: re-verify ---
+    "daily_new_users_cumulative",
+    "doc_length_buckets",
+    # --- code or oracle changed this round ---
+    "event_key_skew_profile",
+    "doc_char_entropy",
+    "doc_chunks",
+    "order_quantity_arrays",
+    "orders_price_histogram",
+    # --- incident-prone events.ts lineage, in-window every round ---
+    "user_sessions",
+    # --- last checked in round 3: two rounds parked, must re-verify ---
+    "eventers_orderers_full_outer",
+    "top_orders_global",
+    "customers_without_events_anti",
+    "returnflag_cube",
+    "order_date_parts",
+    "buyer_eventer_intersect",
+    "buyers_not_eventers_except",
+    "returnflag_status_pivot",
+]
+_CHECK_LAST = [
+    # hash-green in round 5 (or round 4 where noted), lineage untouched
+    # by this round's diff; round-7 rotates the r4-checked ones back in
     "segment_kpis_intended",
     "top_segments_per_day_intended",
     "part_scalar_showcase",
@@ -71,8 +120,6 @@ _CHECK_FIRST = [
     "events_json_extract",
     "priority_status_grouping_sets",
     "doc_chunk_packs",
-    "doc_chunks",
-    # new or code-changed this round
     "doc_bm25_topk",
     "doc_inverted_index",
     "doc_lm_score",
@@ -81,18 +128,13 @@ _CHECK_FIRST = [
     "customer_scd1_merge",
     "doc_hybrid_rrf",
     "doc_quality_classifier",
-    # connected-components lineage changed this round (observe-fused
-    # probe) — both exact-composition consumers stay in the window
     "doc_dedup_final",
     "customer_cdc_apply",
     "orders_profile",
     "user_conversion_funnel",
     "doc_per_source_sample",
     "fk_integrity_audit",
-    "daily_new_users_cumulative",
-    "orders_price_histogram",
     "orders_expectations",
-    "event_key_skew_profile",
     "events_forward_fill",
     "volume_shipping",
     "doc_dedup_cluster_stats",
@@ -100,49 +142,20 @@ _CHECK_FIRST = [
     "serving_top_rows_lookup",
     "doc_arrivals_dedup",
     "doc_training_order",
-    "doc_length_buckets",
     "doc_curation_funnel",
-    # terms.py / curation.py lineage changed this round (explode
-    # staging) — their queries stay in the window even though they
-    # were hash-green in r4; the slots come from parking two of the
-    # three set-ops and one of the three grouping-set queries, which
-    # share a code path with their in-window representative
-    # (active_user_ids_union / priority_status_grouping_sets)
     "doc_tfidf_top_terms",
     "doc_top_tokens",
     "doc_decontamination",
-    # events.ts has silently changed parquet type twice across rounds —
-    # the most incident-prone lineage stays in the window every round
-    "user_sessions",
     "segment_distinct_stats",
     "doc_bpe_token_counts",
     "doc_ngram_containment",
-    # new this session: temperature mixing, char entropy, PSI drift,
-    # bloom decontamination (the slots come from parking the two
-    # rows-only ANN serving queries, whose driver check carries no
-    # hash signal — their recall tests in tests/test_llm_ops.py are
-    # the real verification)
     "doc_temperature_mix",
-    "doc_char_entropy",
     "orders_price_drift",
-    # oracle-checked sketch + weighted sampling (slots from parking
-    # the rows-only doc_decontamination_bloom — superset/FP tests vs
-    # the exact twin are its real check — and doc_lm_outliers, whose
-    # bigram-LM lineage keeps its stronger 500-row representative
-    # doc_lm_score in the window)
     "doc_token_cms_estimates",
     "doc_weighted_sample",
-    # new this session: distributed prefix sum + sweep-line (slots
-    # from parking top_orders_global — TakeOrdered shape shared with
-    # in-window serving_top_rows_lookup — and order_quantity_arrays,
-    # whose array-agg path shares segment_distinct_stats' lineage)
     "events_value_running_total",
     "events_activity_concurrency",
-]
-_CHECK_LAST = [
-    # hash-green in round 4; lineage untouched by this round's diff
-    # (order_approx_stats is rows-only with its accuracy asserted and
-    # printed by tests/test_skew_and_approx.py every round)
+    # r4-green, untouched (round-7 priority returns)
     "order_approx_stats",
     "asset_content_hashes",
     "weekly_user_sketch_rollup",
@@ -151,29 +164,9 @@ _CHECK_LAST = [
     "csv_quarantine_counts",
     "doc_repetition_signals",
     "doc_pii_scrub",
-    # parked: share their code path with an in-window representative
-    # (doc_source_mix ↔ doc_per_source_sample via operators/sampling;
-    # anti ↔ semi; cube ↔ grouping_sets; order_date_parts ↔
-    # part_scalar_showcase)
     "doc_source_mix",
-    # rows-only for the driver anyway; recall/precision/agreement
-    # tests vs exact twins are the real check
-    "doc_arrivals_dedup_lsh",
-    "doc_arrivals_dedup_store",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
-    "doc_decontamination_bloom",
-    "doc_lm_outliers",
-    # full-outer shares the SQL-API join path with the in-window semi
-    "eventers_orderers_full_outer",
-    "top_orders_global",
-    "order_quantity_arrays",
-    "customers_without_events_anti",
-    "returnflag_cube",
-    "order_date_parts",
-    "buyer_eventer_intersect",
-    "buyers_not_eventers_except",
-    "returnflag_status_pivot",
     "clicks_asof_prior_view",
     "error_followup_counts",
     "priority_returns_exists",
