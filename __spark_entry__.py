@@ -97,6 +97,9 @@ _CHECK_FIRST = [
     "doc_chunks",
     "order_quantity_arrays",
     "orders_price_histogram",
+    # --- new this round (round 6): never checked, go first ---
+    "doc_split_assignment",
+    "lineitem_winsorized_stats",
     # --- incident-prone events.ts lineage, in-window every round ---
     "user_sessions",
     # --- last checked in round 3: two rounds parked, must re-verify ---

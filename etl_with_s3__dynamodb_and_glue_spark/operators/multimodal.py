@@ -3,11 +3,16 @@ columns with typed metadata.
 
 The Spark-side plumbing is real and tested — schema contract,
 Arrow-batched ``mapInPandas`` pipelines, content hashing, metadata
-handling, batch shapes. The actual media DECODE step is stubbed
-(this container ships no image/audio codecs): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder produces stable per-content features so
-every downstream stage is exercisable end-to-end.
+handling, batch shapes. Decode has two paths:
+
+- ``fake=True`` (default, the oracle path): a deterministic
+  digest-derived decoder, stable across runs/machines, so every
+  downstream stage is exercisable and DuckDB-checkable end-to-end.
+- ``fake=False``: REAL decode. Pillow when importable; without it a
+  pure-stdlib 8-bit PNG decoder (``_png_decode_rgb``) and a stdlib
+  WAV/PCM-16 decoder (``decode_audio``) handle those formats for
+  real, and anything else raises ``NotImplementedError`` at the exact
+  boundary where a production codec (libvips/ffmpeg) slots in.
 
 Schema contract for a multimodal asset table:
 
@@ -77,13 +82,174 @@ def _fake_decode(content: bytes) -> list[float]:
     return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
-def decode_image(content: bytes) -> list[float]:  # pragma: no cover - stub
-    """STUB: real image decode (e.g. Pillow/libvips) is unavailable in
-    this environment. The Spark plumbing around it is real; swap this
-    function for an actual decoder in deployment."""
-    raise NotImplementedError(
-        "image codecs not available in this environment; use fake=True"
-    )
+def _png_decode_rgb(content: bytes) -> tuple[int, int, list[int]]:
+    """Minimal REAL PNG decoder (pure stdlib): 8-bit non-interlaced
+    greyscale/RGB/RGBA, the subset every PNG encoder emits by default.
+    Parses IHDR/IDAT, zlib-inflates, undoes the per-scanline filters
+    (None/Sub/Up/Average/Paeth per the PNG spec), returns
+    (width, height, flat RGB bytes). Raises ValueError on anything it
+    cannot faithfully decode — a wrong answer is worse than no answer.
+    """
+    import struct as _struct
+    import zlib as _zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = b""
+    while pos < len(content):
+        (length,) = _struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = (
+                _struct.unpack(">IIBBBBB", data)
+            )
+            if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+                raise ValueError(
+                    f"unsupported PNG: depth={bit_depth} color={color_type} "
+                    f"interlace={interlace}"
+                )
+            nch = {0: 1, 2: 3, 6: 4}[color_type]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = _zlib.decompress(idat)
+    stride = width * nch
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        filt = raw[row_start]
+        row = bytearray(raw[row_start + 1 : row_start + 1 + stride])
+        for x in range(stride):
+            a = row[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if filt == 1:
+                row[x] = (row[x] + a) & 0xFF
+            elif filt == 2:
+                row[x] = (row[x] + b) & 0xFF
+            elif filt == 3:
+                row[x] = (row[x] + (a + b) // 2) & 0xFF
+            elif filt == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pr) & 0xFF
+            elif filt != 0:
+                raise ValueError(f"bad PNG filter {filt}")
+        prev = row
+        # normalize to RGB triples
+        for i in range(0, stride, nch):
+            if nch == 1:
+                out += bytes((row[i], row[i], row[i]))
+            else:
+                out += bytes(row[i : i + 3])
+    return width, height, list(out)
+
+
+def decode_image(content: bytes) -> list[float]:
+    """REAL image decode → FEATURE_DIM floats: mean/std per RGB
+    channel, aspect, and a 3×3 luma grid (pooled means) — the shape a
+    perceptual-hash / quality filter consumes. Pillow is used when
+    importable; otherwise the pure-stdlib PNG path decodes 8-bit PNGs
+    for real. Other formats without Pillow raise NotImplementedError
+    at the decode boundary (keep ``fake=True`` for the oracle path).
+    """
+    try:  # preferred: full-codec decode
+        from PIL import Image  # noqa: PLC0415
+        import io  # noqa: PLC0415
+
+        img = Image.open(io.BytesIO(content)).convert("RGB")
+        width, height = img.size
+        pix = list(img.tobytes())
+    except ImportError:
+        try:
+            width, height, pix = _png_decode_rgb(content)
+        except ValueError as exc:
+            raise NotImplementedError(
+                f"no codec for this image without Pillow ({exc}); "
+                "use fake=True"
+            ) from exc
+    n = width * height
+    feats: list[float] = []
+    for ch in range(3):  # per-channel mean/std, [0, 1]
+        vals = pix[ch::3]
+        mean = sum(vals) / n
+        var = sum((v - mean) ** 2 for v in vals) / n
+        feats += [mean / 255.0, var**0.5 / 255.0]
+    feats.append(min(width / height, 8.0))
+    # 3x3 pooled luma grid
+    luma = [
+        0.299 * pix[3 * i] + 0.587 * pix[3 * i + 1] + 0.114 * pix[3 * i + 2]
+        for i in range(n)
+    ]
+    for gy in range(3):
+        for gx in range(3):
+            cells = [
+                luma[y * width + x]
+                for y in range(gy * height // 3, max((gy + 1) * height // 3, gy * height // 3 + 1))
+                for x in range(gx * width // 3, max((gx + 1) * width // 3, gx * width // 3 + 1))
+            ]
+            feats.append(sum(cells) / len(cells) / 255.0)
+    return [float(f) for f in feats[:FEATURE_DIM]]
+
+
+def decode_audio(content: bytes) -> list[float]:
+    """REAL audio decode → FEATURE_DIM floats for WAV/PCM (stdlib
+    ``wave``): duration, channels, sample rate band, overall RMS and
+    a 12-segment RMS envelope — the features a silence/clipping
+    filter consumes. Non-WAV without a codec raises at the boundary.
+    """
+    import io  # noqa: PLC0415
+    import struct as _struct  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            nch, sw, rate, nframes = (
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getframerate(),
+                w.getnframes(),
+            )
+            raw = w.readframes(nframes)
+    except (wave.Error, EOFError) as exc:
+        raise NotImplementedError(
+            f"no codec for this audio without ffmpeg ({exc}); use fake=True"
+        ) from exc
+    if sw != 2:
+        raise NotImplementedError("only 16-bit PCM supported without ffmpeg")
+    samples = _struct.unpack(f"<{len(raw) // 2}h", raw)
+    mono = [
+        sum(samples[i : i + nch]) / nch for i in range(0, len(samples), nch)
+    ]
+    n = max(len(mono), 1)
+    scale = 32768.0
+    rms = (sum(s * s for s in mono) / n) ** 0.5 / scale
+    feats = [nframes / rate, float(nch), rate / 48000.0, rms]
+    seg = max(n // 12, 1)
+    for i in range(12):
+        chunk = mono[i * seg : (i + 1) * seg] or [0.0]
+        feats.append(
+            (sum(s * s for s in chunk) / len(chunk)) ** 0.5 / scale
+        )
+    return [float(f) for f in feats[:FEATURE_DIM]]
+
+
+def _dispatch_real(decoders: dict, modality: str, content: bytes) -> list[float]:
+    fn = decoders.get(modality)
+    if fn is None:
+        raise NotImplementedError(
+            f"no real decoder for modality {modality!r}; use fake=True"
+        )
+    feats = fn(content)
+    return feats + [0.0] * (FEATURE_DIM - len(feats))
 
 
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
@@ -95,10 +261,21 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     (so executor memory is safe even with large blobs).
     """
 
+    real = {"image": decode_image, "audio": decode_audio}
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decode = _fake_decode if fake else decode_image
             contents = pdf["content"]
+            if fake:
+                feats = contents.map(lambda b: _fake_decode(bytes(b)))
+            else:
+                feats = pd.Series(
+                    [
+                        _dispatch_real(real, mod, bytes(b))
+                        for mod, b in zip(pdf["modality"], contents)
+                    ],
+                    index=pdf.index,
+                )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -107,7 +284,7 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                         lambda b: hashlib.sha256(bytes(b)).hexdigest()
                     ),
                     "n_bytes": contents.map(len).astype("int64"),
-                    "features": contents.map(lambda b: decode(bytes(b))),
+                    "features": feats,
                 }
             )
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup, multimodal, similarity, terms
-from ..operators.sampling import hex_threshold
+from ..operators.sampling import hash_bucket, hex_threshold
 from ..operators.text import (
     LANG_PROFILES,
     avg_token_len,
@@ -1610,6 +1610,65 @@ ORDER BY lang, predicted_lang
 DOC_LANG_CONFUSION_SQL = _lang_confusion_sql()
 
 
+def doc_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free 80/10/10 train/val/test assignment summarized per
+    source (operators/sampling.py hash_bucket/hex_threshold): split
+    membership is a pure function of (salt, doc_id) — reproducible
+    across reruns, engines, and resumptions, and a doc can never leak
+    between splits because the three hash ranges partition the bucket
+    space. Per-row map + one grouped count; the share window runs
+    over the |sources|x3 summary frame, never the corpus."""
+    docs = _docs(spark, sf_dir)
+    bucket = hash_bucket("doc_id", "split3")
+    split = (
+        F.when(bucket < F.lit(hex_threshold(0.8)), F.lit("train"))
+        .when(bucket < F.lit(hex_threshold(0.9)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per = (
+        docs.select(F.col("source"), split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source")
+    return per.select(
+        "source",
+        "split",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("frac_of_source"),
+    )
+
+
+DOC_SPLIT_ASSIGNMENT_SQL = f"""
+WITH b AS (
+  SELECT source,
+         substring(md5(concat_ws('|', 'split3', CAST(doc_id AS VARCHAR))),
+                   1, 8) AS bucket
+  FROM documents
+),
+s AS (
+  SELECT source,
+         CASE WHEN bucket < '{hex_threshold(0.8)}' THEN 'train'
+              WHEN bucket < '{hex_threshold(0.9)}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+),
+c AS (
+  SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM s GROUP BY 1, 2
+)
+SELECT source, split, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY source), 6) AS frac_of_source
+FROM c
+ORDER BY source, split
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_chunks": doc_chunks,
@@ -1636,6 +1695,7 @@ QUERIES = {
     "doc_arrivals_dedup_store": doc_arrivals_dedup_store,
     "doc_bpe_token_counts": doc_bpe_token_counts,
     "doc_training_order": doc_training_order,
+    "doc_split_assignment": doc_split_assignment,
     "doc_length_buckets": doc_length_buckets,
     "doc_ngram_containment": doc_ngram_containment,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
@@ -1679,6 +1739,7 @@ ORACLE = {
     "doc_bpe_token_counts": DOC_BPE_TOKEN_COUNTS_SQL,
     "doc_arrivals_dedup": DOC_ARRIVALS_DEDUP_SQL,
     "doc_training_order": DOC_TRAINING_ORDER_SQL,
+    "doc_split_assignment": DOC_SPLIT_ASSIGNMENT_SQL,
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "embedding_hard_negatives": EMBEDDING_HARD_NEGATIVES_SQL,

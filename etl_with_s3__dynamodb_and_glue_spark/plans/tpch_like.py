@@ -606,8 +606,84 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (winsorized) price statistics per return flag — the
+    outlier-resistant profile a pricing-anomaly monitor consumes.
+    Two passes over the fact table: exact p05/p95 per group
+    (``percentile``, linear interpolation — same definition as
+    DuckDB's ``quantile_cont``), broadcast back, then one clamped
+    aggregate. Thresholds are ROUNDED to cents before clamping so the
+    clamped values stay on the 2-decimal price grid — that keeps the
+    winsorized sum exact under the decimal-sum contract and makes the
+    cross-engine threshold comparison robust to interpolation ULPs.
+    Scale: percentile table is |groups| rows (broadcast); the fact
+    table shuffles once for each aggregate, never sorts globally."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    pct = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.05), 2).alias("p05"),
+        F.round(F.percentile("l_extendedprice", 0.95), 2).alias("p95"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+    )
+    return (
+        li.join(F.broadcast(pct), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.first("p05"), 2).alias("p05"),
+            F.round(F.first("p95"), 2).alias("p95"),
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice"))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_price"),
+            F.round(
+                F.sum(_dec(clamped)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("winsorized_mean_price"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("p05"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(
+                F.when(F.col("l_extendedprice") > F.col("p95"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped_high"),
+        )
+    )
+
+
+LINEITEM_WINSORIZED_SQL = """
+WITH pct AS (
+  SELECT l_returnflag,
+         ROUND(quantile_cont(l_extendedprice, 0.05), 2) AS p05,
+         ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT li.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(ANY_VALUE(p05), 2) AS p05,
+       ROUND(ANY_VALUE(p95), 2) AS p95,
+       ROUND(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_price,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(li.l_extendedprice, p05), p95)
+                           AS DECIMAL(28,4))) AS DOUBLE)
+             / COUNT(*), 6) AS winsorized_mean_price,
+       CAST(SUM(CASE WHEN li.l_extendedprice < p05 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN li.l_extendedprice > p95 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_high
+FROM lineitem li JOIN pct USING (l_returnflag)
+GROUP BY li.l_returnflag
+ORDER BY li.l_returnflag
+"""
+
+
 QUERIES = {
     "volume_shipping": volume_shipping,
+    "lineitem_winsorized_stats": lineitem_winsorized_stats,
     "top_return_customers": top_return_customers,
     "nation_revenue_pareto": nation_revenue_pareto,
     "pricing_summary": pricing_summary,
@@ -629,6 +705,7 @@ QUERIES = {
 
 ORACLE = {
     "top_return_customers": TOP_RETURN_CUSTOMERS_SQL,
+    "lineitem_winsorized_stats": LINEITEM_WINSORIZED_SQL,
     "nation_revenue_pareto": NATION_REVENUE_PARETO_SQL,
     "volume_shipping": VOLUME_SHIPPING_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,

@@ -323,9 +323,114 @@ def test_multimodal_feature_shape(docs):
     assert again.content_sha == row.content_sha
 
 
-def test_real_decode_is_explicit_stub():
+def test_real_decode_unsupported_formats_raise():
+    # a JPEG (or garbage) without Pillow must fail loudly at the
+    # decode boundary, never return wrong features
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present: all formats decodable")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG fake")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 not a png")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"not a wav")
+
+
+def _make_png(width, height, pixel_fn):
+    """Minimal REAL PNG encoder (stdlib): 8-bit RGB, filter 0."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body))
+        )
+
+    raw = b"".join(
+        b"\x00"
+        + bytes(
+            v
+            for x in range(width)
+            for v in pixel_fn(x, y)
+        )
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_wav(rate, samples):
+    """Real 16-bit mono PCM WAV bytes (stdlib wave)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_real_png_decode_end_to_end(spark):
+    """A REAL image (PNG bytes) through the fake=False Spark path:
+    per-channel means must match the actual pixel values."""
+    # left half pure red, right half pure blue, 12x6
+    png = _make_png(
+        12, 6, lambda x, y: (255, 0, 0) if x < 6 else (0, 0, 255)
+    )
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(png), ("image/png", 12, 6, 0))],
+        multimodal.ASSET_SCHEMA,
+    )
+    row = multimodal.extract_features(assets, fake=False).first()
+    r_mean, r_std, g_mean, g_std, b_mean, b_std, aspect = row.features[:7]
+    assert abs(r_mean - 0.5) < 1e-6 and abs(b_mean - 0.5) < 1e-6
+    assert g_mean == 0.0 and abs(r_std - 0.5) < 1e-6
+    assert abs(aspect - 2.0) < 1e-6
+    # luma grid: left column red-luma, right column blue-luma
+    grid = row.features[7:16]
+    assert grid[0] > grid[2]  # red luma (0.299) > blue luma (0.114)
+
+
+def test_real_wav_decode_end_to_end(spark):
+    """A REAL audio clip (16-bit PCM WAV) through fake=False: duration
+    and RMS envelope must reflect the actual signal — first half
+    silence, second half full-scale square wave."""
+    n = 4800
+    samples = [0] * n + [(-1) ** i * 16384 for i in range(n)]
+    wav = _make_wav(48000, samples)
+    assets = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), ("audio/wav", 0, 0, 200))],
+        multimodal.ASSET_SCHEMA,
+    )
+    row = multimodal.extract_features(assets, fake=False).first()
+    duration, nch, rate_band, rms = row.features[:4]
+    assert abs(duration - 0.2) < 1e-6 and nch == 1.0 and rate_band == 1.0
+    envelope = row.features[4:16]
+    assert all(e == 0.0 for e in envelope[:5])      # leading silence
+    assert all(e > 0.4 for e in envelope[6:])       # square wave ~0.5
+    assert 0.3 < rms < 0.4                          # overall mix
+
+
+def test_real_decode_video_modality_raises(spark):
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(b"xx"), ("video/mp4", 0, 0, 1000))],
+        multimodal.ASSET_SCHEMA,
+    )
+    with pytest.raises(Exception, match="no real decoder"):
+        multimodal.extract_features(assets, fake=False).collect()
 
 
 def test_frame_sample_plan(spark, docs):
