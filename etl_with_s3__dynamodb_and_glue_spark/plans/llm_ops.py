@@ -1669,8 +1669,91 @@ ORDER BY source, split
 """
 
 
+_LEAKAGE_THRESHOLD = 0.9
+
+
+def doc_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate pairs that straddle
+    split boundaries — the check that catches an eval set contaminated
+    by training near-dups even when exact dedup is clean. Composes the
+    leak-free hash split (doc_split_assignment) with the exact
+    all-pairs Jaccard twin (small-N oracle path; at 100 TB swap in
+    ``dedup.minhash_near_dups`` — banded candidates, same downstream).
+    Pair cells are unordered (least/greatest) so train→test and
+    test→train land in one row; ``leaky`` marks cross-split cells.
+    The two split-lookup joins key on doc ids against the pairs table,
+    which is candidate-sized, never corpus-sized."""
+    docs = _docs(spark, sf_dir)
+    bucket = hash_bucket("doc_id", "split3")
+    split = (
+        F.when(bucket < F.lit(hex_threshold(0.8)), F.lit("train"))
+        .when(bucket < F.lit(hex_threshold(0.9)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assign = docs.select("doc_id", split.alias("split"))
+    pairs = dedup.jaccard_pairs(docs, threshold=_LEAKAGE_THRESHOLD)
+    labeled = (
+        pairs.join(
+            assign.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            assign.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+    )
+    return (
+        labeled.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("leaky"),
+        )
+    )
+
+
+DOC_SPLIT_LEAKAGE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks,
+         CASE WHEN substring(md5(concat_ws('|', 'split3',
+                                           CAST(doc_id AS VARCHAR))), 1, 8)
+                   < '{hex_threshold(0.8)}' THEN 'train'
+              WHEN substring(md5(concat_ws('|', 'split3',
+                                           CAST(doc_id AS VARCHAR))), 1, 8)
+                   < '{hex_threshold(0.9)}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+pairs AS (
+  SELECT LEAST(a.split, b.split) AS split_a,
+         GREATEST(a.split, b.split) AS split_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))), 6)
+        >= {_LEAKAGE_THRESHOLD}
+)
+SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       split_a <> split_b AS leaky
+FROM pairs
+GROUP BY split_a, split_b
+ORDER BY split_a, split_b
+"""
+
+
 QUERIES = {
     "doc_token_stats": doc_token_stats,
+    "doc_split_leakage_audit": doc_split_leakage_audit,
     "doc_chunks": doc_chunks,
     "doc_source_mix": doc_source_mix,
     "doc_temperature_mix": doc_temperature_mix,
@@ -1740,6 +1823,7 @@ ORACLE = {
     "doc_arrivals_dedup": DOC_ARRIVALS_DEDUP_SQL,
     "doc_training_order": DOC_TRAINING_ORDER_SQL,
     "doc_split_assignment": DOC_SPLIT_ASSIGNMENT_SQL,
+    "doc_split_leakage_audit": DOC_SPLIT_LEAKAGE_SQL,
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "embedding_hard_negatives": EMBEDDING_HARD_NEGATIVES_SQL,
