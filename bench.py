@@ -76,6 +76,11 @@ EXTRAS = [
     "doc_token_cms_estimates",
     "customer_scd2_apply",
     "embedding_hard_negatives",
+    # round-6 session surface
+    "lineitem_winsorized_stats",
+    "doc_split_assignment",
+    "doc_split_leakage_audit",
+    "event_key_skew_profile",
 ]
 
 
