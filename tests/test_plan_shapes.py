@@ -337,3 +337,31 @@ def test_skew_profile_uses_take_ordered_not_global_window(spark):
     win_pos = plan.index("Window")
     tko_pos = plan.index("TakeOrderedAndProject")
     assert tko_pos > win_pos or "WindowGroupLimit" not in plan
+
+
+def test_winsorized_stats_percentile_table_is_broadcast(spark):
+    """The per-group p05/p95 table is |groups| rows — it must come
+    back to the fact table as a broadcast join, never a sort-merge."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.tpch_like import (
+        lineitem_winsorized_stats,
+    )
+
+    plan = plan_str(lineitem_winsorized_stats(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_split_assignment_prunes_text_column(spark):
+    """The split is a pure function of doc_id; the parquet scan must
+    read only (doc_id, source) — dragging the text column through a
+    row-count query would be a 100 TB disaster."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.llm_ops import (
+        doc_split_assignment,
+    )
+
+    plan = plan_str(doc_split_assignment(spark, SF_SMOKE))
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas, plan
+    for line in read_schemas:
+        assert "text" not in line, line
+        assert "doc_id" in line and "source" in line, line
