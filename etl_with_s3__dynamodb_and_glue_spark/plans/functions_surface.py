@@ -1429,20 +1429,24 @@ ORDER BY c_custkey, valid_from
 
 def customer_balance_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-wise standardization (the feature-engineering staple):
-    per-segment z-score of account balance via mean/stddev windows
-    partitioned by the segment — parallel per group, no global pass;
-    at extreme group cardinality skew, swap the window for a tiny
-    per-group aggregate broadcast back (same numbers, same
-    single-scan cost)."""
+    per-segment z-score of account balance. NOT a window partitioned
+    by segment: |segments| is tiny (5), so that window collapses 30M+
+    customers per segment into 5 giant tasks at scale. Instead the
+    per-group mean/stddev reduce to a |segments|-row table (map-side
+    combined) broadcast back onto the scan — every stage fully
+    parallel, no wide shuffle of the fact at all."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    w = Window.partitionBy("c_mktsegment")
-    mean = F.avg("c_acctbal").over(w)
-    sd = F.stddev("c_acctbal").over(w)
-    return cust.select(
+    stats = cust.groupBy("c_mktsegment").agg(
+        F.avg("c_acctbal").alias("_mean"),
+        F.stddev("c_acctbal").alias("_sd"),
+    )
+    return cust.join(F.broadcast(stats), "c_mktsegment").select(
         "c_custkey",
         "c_mktsegment",
         F.round("c_acctbal", 6).alias("acctbal"),
-        F.round((F.col("c_acctbal") - mean) / sd, 6).alias("zscore"),
+        F.round((F.col("c_acctbal") - F.col("_mean")) / F.col("_sd"), 6).alias(
+            "zscore"
+        ),
     )
 
 

@@ -1507,10 +1507,21 @@ def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic hash order until the source's token budget (800)
     is filled — the "give me N tokens per source" contract training
     mixes are actually specified in (doc-count fractions drift with
-    doc length; token budgets don't). A per-source cumulative-sum
-    window (one shuffle on the stratum key) + a lossless cut: the doc
-    that CROSSES the budget is kept, so every source reaches its
-    budget exactly once, deterministically."""
+    doc length; token budgets don't). The doc that CROSSES the budget
+    is kept, so every source reaches its budget exactly once,
+    deterministically.
+
+    Scale shape: the cumsum window is NOT run over the whole corpus
+    per source (that is one task per source at 100 TB). Every doc
+    carries >=1 token (the empty string tokenizes to one element), so
+    at most budget+1 docs per source can land inside the budget — a
+    ``row_number() <= budget+1`` cut fires first, which Spark plans
+    as WindowGroupLimit (each map partition keeps budget+1 rows
+    BEFORE the shuffle), and the cumulative sum then runs over the
+    <=budget+1 surviving rows per source. Lossless: the (budget+2)th
+    doc in hash order has >=budget+1 predecessor tokens, already over
+    budget; and dropping later rows cannot change an earlier row's
+    backward-looking cumsum."""
     from ..operators.sampling import hash_bucket
     from pyspark.sql import Window
 
@@ -1521,14 +1532,15 @@ def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens("text")).cast("long").alias("n_tokens"),
         hash_bucket("doc_id", "tbudget").alias("pick_order"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("pick_order", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = staged.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    budget = 800
+    order = Window.partitionBy("source").orderBy("pick_order", "doc_id")
+    capped = staged.withColumn(
+        "_rk", F.row_number().over(order)
+    ).filter(F.col("_rk") <= budget + 1)
+    w = order.rowsBetween(Window.unboundedPreceding, 0)
+    cum = capped.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return cum.filter(
-        F.col("cum_tokens") - F.col("n_tokens") < 800
+        F.col("cum_tokens") - F.col("n_tokens") < budget
     ).select("doc_id", "source", "n_tokens", "cum_tokens")
 
 

@@ -365,3 +365,28 @@ def test_split_assignment_prunes_text_column(spark):
     for line in read_schemas:
         assert "text" not in line, line
         assert "doc_id" in line and "source" in line, line
+
+
+def test_zscores_use_broadcast_stats_not_segment_window(spark):
+    """Per-segment standardization must broadcast the 5-row stats
+    table, not window-partition the whole fact by segment (5 giant
+    tasks at scale)."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.functions_surface import (
+        customer_balance_zscores,
+    )
+
+    plan = plan_str(customer_balance_zscores(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_token_budget_sample_rank_cut_is_group_limited(spark):
+    """The budget+1 rank cut must plan as WindowGroupLimit so each map
+    partition prunes to budget+1 rows BEFORE the stratum shuffle — the
+    cumsum never sees the whole corpus per source."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.llm_ops import (
+        doc_token_budget_sample,
+    )
+
+    plan = plan_str(doc_token_budget_sample(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan, plan
