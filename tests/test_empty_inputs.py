@@ -57,6 +57,12 @@ SUBSET = [
     "nation_revenue_pareto",
     "top_return_customers",
     "asset_frame_samples",
+    # round-6 session additions
+    "lineitem_winsorized_stats",
+    "doc_split_assignment",
+    "doc_split_leakage_audit",
+    "customer_balance_zscores",
+    "doc_token_budget_sample",
 ]
 
 
