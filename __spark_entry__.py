@@ -94,11 +94,11 @@ _CHECK_FIRST = [
     # --- code or oracle changed this round ---
     "event_key_skew_profile",
     "doc_char_entropy",
-    "doc_chunks",
     "order_quantity_arrays",
     # --- new this round (round 6): never checked, go first ---
     "doc_split_assignment",
     "doc_split_leakage_audit",
+    "doc_vocab_coverage",
     "lineitem_winsorized_stats",
     # --- incident-prone events.ts lineage, in-window every round ---
     "user_sessions",
@@ -113,10 +113,11 @@ _CHECK_FIRST = [
     "returnflag_status_pivot",
 ]
 _CHECK_LAST = [
-    # oracle-cast-only change this round; driver-green r5, the width
-    # narrowing is pinned by tests/test_oracle_types.py + the local
-    # harness — parked to fit the 50 window, returns round 7
+    # oracle-cast-only changes this round; driver-green r5/r4, the
+    # width narrowing is pinned by tests/test_oracle_types.py + the
+    # local harness — parked to fit the 50 window, return round 7
     "orders_price_histogram",
+    "doc_chunks",
     # hash-green in round 5 (or round 4 where noted), lineage untouched
     # by this round's diff; round-7 rotates the r4-checked ones back in
     "segment_kpis_intended",

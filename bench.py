@@ -80,6 +80,7 @@ EXTRAS = [
     "lineitem_winsorized_stats",
     "doc_split_assignment",
     "doc_split_leakage_audit",
+    "doc_vocab_coverage",
     "event_key_skew_profile",
 ]
 

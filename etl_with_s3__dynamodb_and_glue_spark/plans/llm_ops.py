@@ -1681,6 +1681,80 @@ ORDER BY source, split
 """
 
 
+_VOCAB_K = 500
+
+
+def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit QA: per document, the share of token OCCURRENCES
+    not covered by the corpus's top-500 vocabulary — the out-of-vocab
+    rate that decides whether a fixed vocab (or a trained tokenizer's
+    merges) is big enough per language/source before committing to it.
+
+    Plan: one explode feeds both passes — the vocabulary head is a
+    keyed count cut by ``orderBy().limit(k)`` (TakeOrdered, never a
+    global sort materialization; ties broken by token string so both
+    engines cut identically), broadcast back as a membership probe;
+    coverage is then a per-doc aggregate. OOV rate is an integer
+    ratio — no cross-engine FP risk. At 100 TB persist the exploded
+    tokens (two consumers) and raise k; shape is unchanged."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+DOC_VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, u.tok
+  FROM documents,
+       UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS u(tok)
+),
+vocab AS (
+  SELECT tok FROM toks
+  GROUP BY tok
+  ORDER BY COUNT(*) DESC, tok ASC
+  LIMIT {_VOCAB_K}
+)
+SELECT t.doc_id, t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY t.doc_id, t.lang
+ORDER BY t.doc_id
+"""
+
+
 _LEAKAGE_THRESHOLD = 0.9
 
 
@@ -1766,6 +1840,7 @@ ORDER BY split_a, split_b
 QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_split_leakage_audit": doc_split_leakage_audit,
+    "doc_vocab_coverage": doc_vocab_coverage,
     "doc_chunks": doc_chunks,
     "doc_source_mix": doc_source_mix,
     "doc_temperature_mix": doc_temperature_mix,
@@ -1836,6 +1911,7 @@ ORACLE = {
     "doc_training_order": DOC_TRAINING_ORDER_SQL,
     "doc_split_assignment": DOC_SPLIT_ASSIGNMENT_SQL,
     "doc_split_leakage_audit": DOC_SPLIT_LEAKAGE_SQL,
+    "doc_vocab_coverage": DOC_VOCAB_COVERAGE_SQL,
     "doc_length_buckets": DOC_LENGTH_BUCKETS_SQL,
     "embedding_topk_bruteforce": EMBEDDING_TOPK_SQL,
     "embedding_hard_negatives": EMBEDDING_HARD_NEGATIVES_SQL,

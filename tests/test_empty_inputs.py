@@ -63,6 +63,7 @@ SUBSET = [
     "doc_split_leakage_audit",
     "customer_balance_zscores",
     "doc_token_budget_sample",
+    "doc_vocab_coverage",
 ]
 
 
