@@ -226,3 +226,95 @@ def test_char_entropy_bounds_property(spark, texts):
         assert r["e"] >= 0.0
         if r["n"] > 0:
             assert r["e"] <= math.log2(max(r["k"], 1)) + 1e-9
+
+
+_names = st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=12).map(str.strip).filter(bool),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(vals=st.lists(st.floats(min_value=0, max_value=1e6, allow_nan=False),
+                     min_size=2, max_size=60))
+@_slow
+def test_winsorized_mean_is_bounded_by_thresholds(spark, vals):
+    """Winsorizing clamps into [p05, p95]: the winsorized mean must lie
+    inside the (cent-rounded) threshold interval, and clipping counts
+    must account for exactly the out-of-band rows."""
+    df = spark.createDataFrame(
+        [(i % 2, float(v)) for i, v in enumerate(vals)], "g int, x double"
+    )
+    pct = df.groupBy("g").agg(
+        F.round(F.percentile("x", 0.05), 2).alias("p05"),
+        F.round(F.percentile("x", 0.95), 2).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("x"), F.col("p05")), F.col("p95"))
+    out = (
+        df.join(F.broadcast(pct), "g")
+        .groupBy("g")
+        .agg(
+            F.first("p05").alias("p05"),
+            F.first("p95").alias("p95"),
+            F.avg(clamped).alias("wmean"),
+            F.sum(F.when(F.col("x") < F.col("p05"), 1).otherwise(0)).alias("lo"),
+            F.sum(F.when(F.col("x") > F.col("p95"), 1).otherwise(0)).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    for r in out:
+        assert r.p05 - 1e-9 <= r.wmean <= r.p95 + 1e-9
+        assert 0 <= r.lo + r.hi <= r.n
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9),
+                    min_size=1, max_size=80, unique=True))
+@_slow
+def test_split_assignment_partitions_every_key_exactly_once(spark, ids):
+    """The 3-way hash split is a PARTITION of the bucket space: every
+    key lands in exactly one split, reproducibly."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.sampling import (
+        hash_bucket,
+        hex_threshold,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    bucket = hash_bucket("doc_id", "split3")
+    split = (
+        F.when(bucket < F.lit(hex_threshold(0.8)), F.lit("train"))
+        .when(bucket < F.lit(hex_threshold(0.9)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    rows = df.select("doc_id", split.alias("s")).collect()
+    assert len(rows) == len(ids)
+    assert all(r.s in ("train", "val", "test") for r in rows)
+    again = {r.doc_id: r.s for r in df.select("doc_id", split.alias("s")).collect()}
+    assert again == {r.doc_id: r.s for r in rows}
+
+
+@given(names=_names)
+@_slow
+def test_fuzzy_dropped_plus_kept_blocks_cover_all_blocks(spark, names):
+    """fuzzy_dropped_blocks and the pairs' implicit kept-set partition
+    the block space: every distinct block is either under the cap or
+    reported dropped."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.linkage import (
+        fuzzy_dropped_blocks,
+    )
+
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    blk = F.substring("name", 1, 1)
+    cap = 3
+    dropped = {
+        r.blk for r in fuzzy_dropped_blocks(df, "name", blk, max_block=cap).collect()
+    }
+    sizes = (
+        df.select(F.col("name"), blk.alias("b"))
+        .distinct()
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    expect_dropped = {r.b for r in sizes if r["count"] > cap}
+    assert dropped == expect_dropped
