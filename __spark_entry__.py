@@ -91,13 +91,14 @@ _CHECK_FIRST = [
     # --- round-5 reds, oracle CAST fixed this round: re-verify ---
     "daily_new_users_cumulative",
     "doc_length_buckets",
-    # --- code or oracle changed this round ---
-    "event_key_skew_profile",
-    "doc_char_entropy",
+    # --- code or oracle changed this round (order_quantity_arrays also
+    # last checked r3, so it cannot park) ---
     "order_quantity_arrays",
+    "event_key_skew_profile",
     # --- new this round (round 6): never checked, go first ---
     "doc_split_assignment",
     "doc_split_leakage_audit",
+    "doc_split_leakage_audit_lsh",
     "doc_vocab_coverage",
     "lineitem_winsorized_stats",
     # --- incident-prone events.ts lineage, in-window every round ---
@@ -118,6 +119,7 @@ _CHECK_LAST = [
     # local harness — parked to fit the 50 window, return round 7
     "orders_price_histogram",
     "doc_chunks",
+    "doc_char_entropy",
     # hash-green in round 5 (or round 4 where noted), lineage untouched
     # by this round's diff; round-7 rotates the r4-checked ones back in
     "segment_kpis_intended",

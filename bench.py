@@ -79,7 +79,7 @@ EXTRAS = [
     # round-6 session surface
     "lineitem_winsorized_stats",
     "doc_split_assignment",
-    "doc_split_leakage_audit",
+    "doc_split_leakage_audit_lsh",
     "doc_vocab_coverage",
     "event_key_skew_profile",
 ]

@@ -1758,18 +1758,10 @@ ORDER BY t.doc_id
 _LEAKAGE_THRESHOLD = 0.9
 
 
-def doc_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/test LEAKAGE audit: near-duplicate pairs that straddle
-    split boundaries — the check that catches an eval set contaminated
-    by training near-dups even when exact dedup is clean. Composes the
-    leak-free hash split (doc_split_assignment) with the exact
-    all-pairs Jaccard twin (small-N oracle path; at 100 TB swap in
-    ``dedup.minhash_near_dups`` — banded candidates, same downstream).
-    Pair cells are unordered (least/greatest) so train→test and
-    test→train land in one row; ``leaky`` marks cross-split cells.
-    The two split-lookup joins key on doc ids against the pairs table,
-    which is candidate-sized, never corpus-sized."""
-    docs = _docs(spark, sf_dir)
+def _leakage_cells(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Label near-dup pairs with both docs' split assignments and
+    aggregate into unordered (split_a, split_b) cells with a leaky
+    flag — shared by the exact-oracle and LSH-scale audits."""
     bucket = hash_bucket("doc_id", "split3")
     split = (
         F.when(bucket < F.lit(hex_threshold(0.8)), F.lit("train"))
@@ -1777,7 +1769,6 @@ def doc_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
     )
     assign = docs.select("doc_id", split.alias("split"))
-    pairs = dedup.jaccard_pairs(docs, threshold=_LEAKAGE_THRESHOLD)
     labeled = (
         pairs.join(
             assign.select(
@@ -1806,6 +1797,40 @@ def doc_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("split_a") != F.col("split_b")).alias("leaky"),
         )
     )
+
+
+def doc_split_leakage_audit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE path of doc_split_leakage_audit: the pair source is the
+    banded MinHash-LSH near-dup join (candidates from band-bucket
+    equi-joins, exact-Jaccard verified — precision 1, recall bounded
+    by the S-curve), so the audit never goes O(n²). Rows-only for the
+    driver; per-cell count<=exact and recall are asserted in tests
+    against the exact twin."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_near_dups(
+        docs, threshold=_LEAKAGE_THRESHOLD
+    ).select("id_a", "id_b")
+    return _leakage_cells(docs, pairs)
+
+
+def doc_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate pairs that straddle
+    split boundaries — the check that catches an eval set contaminated
+    by training near-dups even when exact dedup is clean. Composes the
+    leak-free hash split (doc_split_assignment) with the exact
+    all-pairs Jaccard twin (small-N oracle path; at 100 TB swap in
+    ``dedup.minhash_near_dups`` — banded candidates, same downstream).
+    Pair cells are unordered (least/greatest) so train→test and
+    test→train land in one row; ``leaky`` marks cross-split cells.
+    The two split-lookup joins key on doc ids against the pairs table,
+    which is candidate-sized, never corpus-sized. This exact variant
+    is the ORACLE twin (all-pairs, sf0.01-sized by design); run the
+    LSH variant at scale."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=_LEAKAGE_THRESHOLD).select(
+        "id_a", "id_b"
+    )
+    return _leakage_cells(docs, pairs)
 
 
 DOC_SPLIT_LEAKAGE_SQL = f"""
@@ -1841,6 +1866,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_split_leakage_audit": doc_split_leakage_audit,
     "doc_vocab_coverage": doc_vocab_coverage,
+    "doc_split_leakage_audit_lsh": doc_split_leakage_audit_lsh,
     "doc_chunks": doc_chunks,
     "doc_source_mix": doc_source_mix,
     "doc_temperature_mix": doc_temperature_mix,

@@ -64,6 +64,7 @@ SUBSET = [
     "customer_balance_zscores",
     "doc_token_budget_sample",
     "doc_vocab_coverage",
+    "doc_split_leakage_audit_lsh",
 ]
 
 

@@ -1056,3 +1056,26 @@ def test_null_bypass_left_join_equivalence(spark):
     # the joined branch filters null keys before the exchange
     plan = plan_str(null_bypass_left_join(left, right, ["k"]))
     assert "isnotnull(k" in plan.lower(), plan
+
+
+def test_split_leakage_lsh_agrees_with_exact(spark):
+    """The LSH leakage audit must never invent a pair (precision 1 via
+    verify-on-candidates => per-cell n_pairs <= exact) and must keep
+    most of the signal (total recall bound)."""
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_SMOKE
+
+    qs = entry_mod.queries()
+    exact = {
+        (r.split_a, r.split_b): r.n_pairs
+        for r in qs["doc_split_leakage_audit"](spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r.split_a, r.split_b): r.n_pairs
+        for r in qs["doc_split_leakage_audit_lsh"](spark, SF_SMOKE).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for cell, n in lsh.items():
+        assert n <= exact[cell], (cell, n, exact[cell])
+    total_exact, total_lsh = sum(exact.values()), sum(lsh.values())
+    assert total_lsh >= 0.8 * total_exact, (total_lsh, total_exact)
