@@ -128,17 +128,6 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["_ivf_index_build"] = f"{type(exc).__name__}: {exc}"[:500]
 
-    # The MinHash signature store is the same offline/serving split for
-    # incremental dedup: built once here, so the timed store-served
-    # query below measures the steady-state per-batch cost.
-    store_build_sec: float | None = None
-    try:
-        t0 = time.perf_counter()
-        llm_ops.ensure_minhash_store(spark, sf_dir)
-        store_build_sec = round(time.perf_counter() - t0, 3)
-    except Exception as exc:  # noqa: BLE001
-        errors["_minhash_store_build"] = f"{type(exc).__name__}: {exc}"[:500]
-
     # Failure isolation: one broken query must not erase the entire
     # perf signal — it records null + the error and the run continues.
     timings: dict[str, float | None] = {}
@@ -168,6 +157,22 @@ def main() -> None:
         requery_sec = round(time.perf_counter() - t0, 3)
     except Exception as exc:  # noqa: BLE001 — extras never sink the run
         errors["_ivf_requery"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # The MinHash signature store is the same offline/serving split for
+    # incremental dedup: built once, so the timed store-served query
+    # below measures the steady-state per-batch cost. Built HERE — after
+    # the headline loop — because only extras consume it: round 5 ran it
+    # pre-headline and the whole headline set drifted +10-27% vs round 4
+    # on unchanged code (the build's shuffle files + JVM garbage taxed
+    # every query that followed). Pre-headline work is now strictly the
+    # warm-up plus what the headline set itself needs (the IVF index).
+    store_build_sec: float | None = None
+    try:
+        t0 = time.perf_counter()
+        llm_ops.ensure_minhash_store(spark, sf_dir)
+        store_build_sec = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["_minhash_store_build"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Round-5 additions, timed as extras (the headline set stays fixed
     # so round-over-round totals compare like for like): the serving

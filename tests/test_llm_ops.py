@@ -17,12 +17,20 @@ from tests.conftest import SF_SMOKE
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+    # unpersist at module teardown: Spark's cache manager substitutes a
+    # cached relation into ANY later plan over the same file scan, so a
+    # leaked cache here turns downstream plan-shape tests (column
+    # pruning on the documents scan) into false failures
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def test_minhash_recall_vs_exact(docs):

@@ -15,7 +15,11 @@ from tests.oracle_harness import compare
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+    # teardown unpersist: a leaked cache would be substituted into later
+    # plan-shape tests' documents scans (see test_llm_ops.py::docs)
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.mark.parametrize("name", sorted(retrieval_plans.QUERIES))
