@@ -20,7 +20,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..caching import unpersist_on_release
@@ -293,14 +293,51 @@ def minhash_near_dups(
     un-hashed construction, so this is purely a verify-side encoding
     change (an A/B that also hashed inside the signatures shifted
     which borderline pairs collide and verified ~5% fewer pairs).
+
+    Exact duplicates are collapsed BEFORE any MinHash work (the
+    standard pipeline order — Lee et al. 2022 run exact dedup ahead
+    of near-dedup for the same reason): docs with identical token
+    sets share one representative through signatures, banding, and
+    verify, and the final pairs are expanded back through the
+    group-membership table. Identical-set groups are pathological
+    for LSH — every member collides with every other in EVERY band,
+    so a group of d docs costs C(d,2) verifies for pairs that are
+    Jaccard 1 by construction, and two near-dup groups of sizes
+    d₁,d₂ cost d₁·d₂ verifies for ONE representative comparison.
+    Expansion is two joins on 16-byte pair rows plus a per-group
+    self-join for the within-group (Jaccard = 1) pairs — output is
+    row-identical to the uncollapsed construction (exceptAll parity
+    0 both ways at sf0.1/t=0.95). Interleaved fresh-session A/B at
+    sf0.1, t=0.95, 21% of docs exact-dups: steady-state ~5.4 s →
+    ~3.5 s, first-run 13.1 s → 10.7 s. The win grows with dup
+    density (web crawls routinely exceed 30% exact dups); on a
+    corpus with no exact dups the overhead is one row-local
+    fingerprint projection and a window over singleton groups.
     """
     if bands is None:
         bands = pick_bands(num_hashes, threshold)
     toks = token_sets(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # exact-duplicate collapse: one representative (min id) per
+    # identical token SET. The fingerprint must be order-insensitive
+    # (sets, not documents), hence the sort before hashing. The window
+    # partitions by fingerprint — group sizes are bounded by the dup
+    # multiplicity, never corpus-sized.
+    w_fp = Window.partitionBy("fp")
+    members = (
+        toks.select(
+            F.col(id_col),
+            F.md5(F.to_json(F.array_sort("toks"))).alias("fp"),
+        )
+        .select(F.col(id_col), F.min(id_col).over(w_fp).alias("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rep_toks = toks.join(
+        members.filter(F.col(id_col) == F.col("rep")).select(id_col), id_col
+    )
     # include_set_size: the set size rides the signature aggregation
     # itself (same groupBy, zero extra shuffle or join).
     sigs = minhash_signatures(
-        toks.withColumnRenamed("toks", "shingles"),
+        rep_toks.withColumnRenamed("toks", "shingles"),
         id_col=id_col,
         shingle_col="shingles",
         num_hashes=num_hashes,
@@ -329,9 +366,9 @@ def minhash_near_dups(
     )
 
     hashed = F.transform("toks", lambda t: F.xxhash64(t))
-    a = toks.select(F.col(id_col).alias("id_a"), hashed.alias("toks_a"))
-    b = toks.select(F.col(id_col).alias("id_b"), hashed.alias("toks_b"))
-    verified = (
+    a = rep_toks.select(F.col(id_col).alias("id_a"), hashed.alias("toks_a"))
+    b = rep_toks.select(F.col(id_col).alias("id_b"), hashed.alias("toks_b"))
+    rep_pairs = (
         candidates.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -352,7 +389,34 @@ def minhash_near_dups(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return unpersist_on_release(verified, toks)
+    # expand representative pairs back to member pairs. Cross-group:
+    # J(x, y) for x∈A, y∈B equals J(rep_A, rep_B) because members
+    # share their rep's token set verbatim. Within-group: every member
+    # pair of one group is Jaccard exactly 1 (≥ any threshold ≤ 1).
+    ma = members.select(F.col("rep").alias("id_a"), F.col(id_col).alias("_da"))
+    mb = members.select(F.col("rep").alias("id_b"), F.col(id_col).alias("_db"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_da", "_db").alias("id_a"),
+            F.greatest("_da", "_db").alias("id_b"),
+            "jaccard",
+        )
+    )
+    wa = members.select("rep", F.col(id_col).alias("_da"))
+    wb = members.select("rep", F.col(id_col).alias("_db"))
+    within = (
+        wa.join(wb, "rep")
+        .filter(F.col("_da") < F.col("_db"))
+        .select(
+            F.col("_da").alias("id_a"),
+            F.col("_db").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    verified = cross.union(within)
+    return unpersist_on_release(verified, toks, members)
 
 
 def minhash_near_dups_incremental(
