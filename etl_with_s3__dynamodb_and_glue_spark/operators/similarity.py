@@ -536,6 +536,93 @@ def ivf_probe(
     )
 
 
+def ivf_assign(
+    index: IvfIndex,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment against a FIXED centroid matrix —
+    the building block of incremental index maintenance (same
+    argmin-of-matmul Pandas UDF shape as :func:`ivf_probe`, with
+    n_probe pinned to 1). Returns (neighbor_id, cvec, cluster) in the
+    assignments-table schema."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    centers = index.centers
+    center_sq = (centers**2).sum(axis=1)
+
+    def _assign_batch(vec):
+        v = np.stack(vec.to_numpy())
+        d = center_sq[None, :] - 2.0 * (v @ centers.T)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's hint inference can't resolve
+    assign_udf = pandas_udf(_assign_batch, "int")
+    return vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cvec"),
+    ).withColumn("cluster", assign_udf("cvec"))
+
+
+def ivf_append(
+    index: IvfIndex,
+    arrivals: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Incrementally extend a persisted IVF index: assign arrivals to
+    the nearest EXISTING centroid and append them to the partitioned
+    assignments layout. Per-batch cost scales with the batch — the
+    corpus is never re-read, the quantizer never re-fit.
+
+    The coarse quantizer degrades gracefully under drift: appended
+    vectors still land in their nearest cell, but cells grow uneven as
+    the distribution moves. :func:`ivf_imbalance` is the re-cluster
+    trigger — rebuild via :func:`build_ivf_index` when its factor
+    drifts far above 1 (the classic maintenance loop; FAISS ships the
+    same add-without-retrain contract).
+
+    Delivery contract: append-only, at-least-once — re-appending the
+    same batch duplicates rows. Callers that re-drive failed batches
+    must gate on a processed-batch ledger (``sources/ledger.py``), the
+    same discipline every at-least-once sink in this package uses.
+    """
+    assigned = ivf_assign(index, arrivals, id_col=id_col, vec_col=vec_col)
+    (
+        assigned.write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{path}/assignments")
+    )
+    return load_ivf_index(arrivals.sparkSession, path)
+
+
+def ivf_imbalance(index: IvfIndex) -> DataFrame:
+    """Cluster-occupancy report: per-cluster counts plus the global
+    imbalance factor (max/mean — 1.0 is perfectly even). One keyed
+    count over the assignments table; the factor window runs over the
+    n_clusters-row summary, never the corpus."""
+    from pyspark.sql import Window
+
+    per = index.assignments.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "cluster",
+        "n_vectors",
+        F.round(
+            F.max("n_vectors").over(w)
+            / F.avg("n_vectors").over(w),
+            4,
+        ).alias("imbalance_factor"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -252,6 +252,46 @@ def test_ivf_index_persist_roundtrip(emb, tmp_path):
     assert len(parts) == len(loaded.centers)
 
 
+def test_ivf_append_and_imbalance(emb, tmp_path):
+    """Incremental maintenance: appended arrivals land in their exact
+    nearest cell, become findable by a probe of the reloaded index, the
+    original rows are untouched, and the occupancy report accounts for
+    every vector."""
+    import numpy as np
+
+    path = str(tmp_path / "ivf_inc")
+    corpus = emb.filter(F.col("vec_id") >= 50)
+    arrivals = emb.filter(F.col("vec_id") < 50)
+    index = similarity.build_ivf_index(corpus, path=path)
+    n0 = index.assignments.count()
+
+    grown = similarity.ivf_append(index, arrivals, path)
+    assert grown.assignments.count() == n0 + arrivals.count()
+    # centroids are NOT refit by an append
+    assert (grown.centers == index.centers).all()
+
+    # every appended vector sits in its true nearest cell
+    appended = grown.assignments.filter(F.col("neighbor_id") < 50).collect()
+    assert len(appended) == arrivals.count()
+    for r in appended[:20]:
+        d = ((index.centers - np.array(r.cvec)) ** 2).sum(axis=1)
+        assert r.cluster == int(np.argmin(d))
+
+    # an appended vector is findable: probing with its own embedding
+    # returns it as the top neighbor (cos 1 with itself excluded only
+    # for identical ids — query ids here are offset out of range)
+    probe_q = arrivals.limit(3).select(
+        (F.col("vec_id") + 100000).alias("query_id"), "embedding"
+    )
+    hits = similarity.ivf_probe(grown, probe_q, k=1, n_probe=4).collect()
+    assert hits and all(r.cos >= 0.999999 for r in hits)
+
+    report = similarity.ivf_imbalance(grown).collect()
+    assert sum(r.n_vectors for r in report) == n0 + arrivals.count()
+    factors = {r.imbalance_factor for r in report}
+    assert len(factors) == 1 and min(factors) >= 1.0
+
+
 def test_bpe_token_count_bounds(spark):
     from etl_with_s3__dynamodb_and_glue_spark.operators.text import (
         bpe_ish_token_count,
