@@ -331,6 +331,167 @@ def pq_adc_topk(
     )
 
 
+def pq_encode_ivf(codebooks: PqCodebooks, index) -> DataFrame:
+    """PQ-encode an IVF index's assignments table: (neighbor_id,
+    cluster, code). This is the IVF-PQ storage layout — persist it
+    partitioned by cluster (``write_dataset``/``partitionBy``) and the
+    raw vector column can be dropped entirely from the serving copy."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    np = _require_numpy()
+    books = codebooks.codebooks
+    m, _, dsub = books.shape
+    center_sq = (books**2).sum(axis=2)
+
+    def _encode_batch(vec):
+        v = np.stack(vec.to_numpy())
+        nrm = np.linalg.norm(v, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        v = v / nrm
+        codes = np.empty((len(v), m), dtype=np.uint8)
+        for j in range(m):
+            sub = v[:, j * dsub : (j + 1) * dsub]
+            d = center_sq[j][None, :] - 2.0 * (sub @ books[j].T)
+            codes[:, j] = np.argmin(d, axis=1)
+        import pandas as pd
+
+        return pd.Series([c.tobytes() for c in codes])
+
+    encode_udf = pandas_udf(_encode_batch, "binary")
+    return index.assignments.select(
+        "neighbor_id", "cluster", encode_udf("cvec").alias("code")
+    )
+
+
+def ivf_pq_topk(
+    index,
+    codebooks: PqCodebooks,
+    encoded_assignments: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_probe: int = 3,
+    broadcast_queries_max: int = 10_000,
+) -> DataFrame:
+    """IVF-PQ (IVFADC without residual encoding): the IVF coarse
+    quantizer prunes the corpus to each query's ``n_probe`` nearest
+    cells, then ADC scores ONLY those cells' m-byte codes. Against a
+    cluster-partitioned encoded table the probe join prunes the scan
+    exactly like :func:`similarity.ivf_probe`, and scoring never
+    touches a raw vector — the full 100 TB serving shape: read
+    n_probe/n_clusters of a corpus that is itself ~100× smaller than
+    the embedding column it replaced.
+
+    Simplification vs Jégou et al.'s IVFADC: codes quantize the raw
+    (normalized) vectors, not the per-cell residuals, trading some
+    precision for one shared codebook and an encoding that is
+    independent of cluster assignment (so :func:`similarity.ivf_append`
+    arrivals encode without knowing their cell). With ``n_probe ≥
+    n_clusters`` the result is row-identical to :func:`pq_adc_topk`
+    over the same codes (asserted in tests).
+    """
+    np = _require_numpy()
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    books = codebooks.codebooks
+    m, kk, dsub = books.shape
+
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            _normalized(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("qvec"),
+        )
+        .limit(broadcast_queries_max + 1)
+        .collect()
+    )
+    if len(qrows) > broadcast_queries_max:
+        raise ValueError(
+            f"query batch exceeds broadcast_queries_max={broadcast_queries_max}; "
+            "ADC serves bounded query batches — split the batch or raise the cap"
+        )
+    if not qrows:
+        return encoded_assignments.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_cos double"
+        )
+    qids = np.array([r.qid for r in qrows])
+    qmat = np.stack([np.asarray(r.qvec) for r in qrows])
+    lut = np.empty((len(qids), m, kk))
+    for j in range(m):
+        sub = qmat[:, j * dsub : (j + 1) * dsub]
+        lut[:, j, :] = (
+            (sub**2).sum(axis=1, keepdims=True)
+            + (books[j] ** 2).sum(axis=1)[None, :]
+            - 2.0 * (sub @ books[j].T)
+        )
+    lut_by_qid = {int(q): lut[i] for i, q in enumerate(qids)}
+
+    # nearest-centroid probe (same matmul as ivf_probe)
+    centers = index.centers
+    center_sq = (centers**2).sum(axis=1)
+    n_probe_eff = min(n_probe, len(centers))
+
+    def _probe_batch(vec):
+        v = np.stack(vec.to_numpy())
+        d = center_sq[None, :] - 2.0 * (v @ centers.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe_eff]
+        return pd.Series(list(idx.astype("int32")))
+
+    probe_udf = pandas_udf(_probe_batch, "array<int>")
+    spark = encoded_assignments.sparkSession
+    probed = (
+        spark.createDataFrame(
+            [(int(r.qid), r.qvec) for r in qrows],
+            "query_id long, qvec array<double>",
+        )
+        .select("query_id", F.explode(probe_udf("qvec")).alias("cluster"))
+    )
+
+    hit = encoded_assignments.join(F.broadcast(probed), "cluster").select(
+        "query_id", "neighbor_id", "code"
+    )
+
+    out_schema = "query_id long, neighbor_id long, adc_cos double"
+
+    def _score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["code"]]
+            )
+            out_cos = np.empty(len(pdf))
+            q_arr = pdf["query_id"].to_numpy()
+            for q in np.unique(q_arr):
+                sel = q_arr == q
+                l = lut_by_qid[int(q)]  # (m, k)
+                d = np.zeros(sel.sum())
+                cq = codes[sel]
+                for j in range(m):
+                    d += l[j, cq[:, j]]
+                out_cos[sel] = 1.0 - d / 2.0
+            keep = pdf["neighbor_id"].to_numpy() != q_arr
+            yield pd.DataFrame(
+                {
+                    "query_id": q_arr[keep],
+                    "neighbor_id": pdf["neighbor_id"].to_numpy()[keep],
+                    "adc_cos": np.round(out_cos[keep], 6),
+                }
+            )
+
+    scored = hit.mapInPandas(_score, out_schema)
+    return top_k_per_group(
+        scored,
+        group_by=["query_id"],
+        order_by=[F.col("adc_cos").desc(), F.col("neighbor_id").asc()],
+        k=k,
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -139,6 +139,54 @@ def test_empty_query_batch(books, encoded, queries):
     assert out.count() == 0
 
 
+def test_ivf_pq_full_probe_equals_plain_adc(books, emb, queries):
+    """With every cell probed, IVF-PQ must reproduce plain ADC row for
+    row — the coarse quantizer only prunes, never rescores."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators import similarity
+
+    index = similarity.build_ivf_index(emb, n_clusters=8)
+    enc_ivf = Q.pq_encode_ivf(books, index)
+    full = Q.ivf_pq_topk(index, books, enc_ivf, queries, k=5, n_probe=8)
+    plain = Q.pq_adc_topk(books, Q.pq_encode(books, emb), queries, k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_ivf_pq_probe_restricts_candidates(books, emb, queries):
+    """Every returned neighbor must live in one of its query's probed
+    cells — the scan-pruning contract."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators import similarity
+
+    index = similarity.build_ivf_index(emb, n_clusters=8)
+    enc_ivf = Q.pq_encode_ivf(books, index).cache()
+    out = Q.ivf_pq_topk(index, books, enc_ivf, queries, k=5, n_probe=2)
+    assert out.count() > 0
+    cell = {
+        r.neighbor_id: r.cluster
+        for r in index.assignments.select("neighbor_id", "cluster").collect()
+    }
+    import numpy as np
+
+    centers = index.centers
+    center_sq = (centers**2).sum(axis=1)
+    qvecs = {
+        r.query_id: np.asarray(r.qvec)
+        for r in queries.select(
+            F.col("query_id"),
+            Q._normalized(
+                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            ).alias("qvec"),
+        ).collect()
+    }
+    for r in out.collect():
+        v = qvecs[r.query_id]
+        d = center_sq - 2.0 * (centers @ v)
+        probed = set(np.argsort(d, kind="stable")[:2])
+        assert cell[r.neighbor_id] in probed
+    enc_ivf.unpersist()
+
+
 def test_config_validation(emb):
     with pytest.raises(ValueError, match="not divisible"):
         Q.train_pq(emb, m=7, k=4, dim=DIM)
