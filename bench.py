@@ -192,6 +192,22 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — extras never sink the run
         errors["_ivf_requery"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # PQ serving (staged for the round-7 registry window, so timed here
+    # rather than through the registry): offline train+encode reported
+    # as the build, then ADC top-k scanning only the 16-byte code
+    # column — the compressed-corpus counterpart of the IVF numbers.
+    pq_build_sec: float | None = None
+    pq_serve_sec: float | None = None
+    try:
+        t0 = time.perf_counter()
+        llm_ops.ensure_pq_index(spark, sf_dir)
+        pq_build_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        llm_ops.embedding_pq_topk(spark, sf_dir).collect()
+        pq_serve_sec = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["_pq_serving"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # The MinHash signature store is the same offline/serving split for
     # incremental dedup: built once, so the timed store-served query
     # below measures the steady-state per-batch cost. Built HERE — after
@@ -243,6 +259,8 @@ def main() -> None:
                 "extra": {
                     "embedding_ivf_index_build": build_sec,
                     "embedding_ivf_requery": requery_sec,
+                    "pq_index_build": pq_build_sec,
+                    "embedding_pq_serving": pq_serve_sec,
                     "minhash_store_build": store_build_sec,
                     "warm_total": warm_total,
                     **extra_timings,

@@ -1281,6 +1281,62 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str):
     )
 
 
+def ensure_pq_index(spark: SparkSession, sf_dir: str):
+    """Build-once accessor for the PQ serving artifacts over
+    ``{sf_dir}/embeddings.parquet``: trained codebooks plus the encoded
+    m-byte code table (same input-fingerprint cache / concurrent-build
+    lock / exit-cleanup contract as :func:`ensure_ivf_index`).
+
+    m=16 sub-quantizers × k=16 centroids → 16-byte codes (16× smaller
+    than the raw 64-dim float column). On the near-random synthetic
+    embeddings this measures recall@10 ≈ 0.45 vs brute force — the
+    documented floor for a space with no real neighbor structure;
+    clustered real embedding spaces run the same config far higher
+    (see ``operators/quantization.py`` and tests).
+    Returns (codebooks, codes DataFrame).
+    """
+    from ..operators import quantization
+    from ..sources.dataset import ensure_derived_dataset
+
+    corpus = f"{sf_dir}/embeddings.parquet"
+
+    def build(path: str) -> None:
+        books = quantization.train_pq(
+            _emb(spark, sf_dir), m=16, k=16, dim=64, max_iter=5
+        )
+        books.write(spark, f"{path}/books")
+        (
+            quantization.pq_encode(books, _emb(spark, sf_dir))
+            .write.mode("overwrite")
+            .parquet(f"{path}/codes")
+        )
+
+    p = ensure_derived_dataset("pq_index", [corpus], build)
+    from ..operators.quantization import PqCodebooks
+
+    books = PqCodebooks.load(spark, f"{p}/books")
+    return books, spark.read.parquet(f"{p}/codes")
+
+
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN over PREBUILT product-quantization codes
+    (:func:`ensure_pq_index`): ADC serving scans only the 16-byte code
+    column — rows-only check; recall and the batching-invariance
+    contract are asserted in ``tests/test_quantization.py``.
+
+    STAGED for the round-7 registry window: the round-6 window is at
+    its 50-slot capacity, and a never-checked query may not ship
+    outside the window (rotation rule 1), so this function is exercised
+    by bench extras + tests this round and registers next round.
+    """
+    from ..operators import quantization
+
+    books, codes = ensure_pq_index(spark, sf_dir)
+    return quantization.pq_adc_topk(
+        books, codes, _queries_df(spark, sf_dir), k=5
+    )
+
+
 # --- multimodal ----------------------------------------------------------
 
 
