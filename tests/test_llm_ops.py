@@ -48,6 +48,37 @@ def test_minhash_recall_vs_exact(docs):
     assert recall >= 0.9, f"minhash recall {recall:.3f} < 0.9"
 
 
+def test_minhash_exact_dup_collapse_expands_completely(spark):
+    """The exact-duplicate collapse must be output-invisible: every
+    within-group pair (Jaccard 1), every cross-group member pair, and
+    no pair involving the unrelated doc. Constructed case: group A =
+    {1,2,3} identical, group B = {10, 11} identical and near-identical
+    to A, doc 20 unrelated."""
+    a_text = "alpha beta gamma delta epsilon zeta eta theta"
+    b_text = a_text + " extra"  # high-overlap near-dup of A
+    df = spark.createDataFrame(
+        [
+            (1, a_text),
+            (2, a_text),
+            (3, a_text),
+            (10, b_text),
+            (11, b_text),
+            (20, "totally different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.minhash_near_dups(df, threshold=0.8).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    within_a = {(1, 2), (1, 3), (2, 3)}
+    within_b = {(10, 11)}
+    cross = {(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (3, 11)}
+    assert set(got) == within_a | within_b | cross
+    for p in within_a | within_b:
+        assert got[p] == 1.0
+    # J(A, B) = 8/9 for every cross pair — identical across members
+    assert {round(got[p], 6) for p in cross} == {round(8 / 9, 6)}
+
+
 def test_incremental_minhash_recall_and_precision_vs_exact_cross(docs, spark):
     """Cross-side (arrivals × corpus) LSH pairs: precision 1 (exact
     verify) and recall ≥ 0.9 vs the exact cross-side twin."""
