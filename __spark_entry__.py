@@ -53,7 +53,11 @@ _MODULES = [
 # ROUND-7 QUEUE: everything parked this round that was last checked in
 # round 4 or earlier rotates back in (tpch_like surface, temporal/skew
 # showcases, curation row checked r4) — compute it from the artifacts,
-# the rotation test enforces it.
+# the rotation test enforces it. ALSO round 7: register
+# plans/llm_ops.py::embedding_pq_topk (PQ-ADC serving — implemented,
+# tested, and bench-timed this round; kept out of the registry because
+# this window is at capacity and rule 1 forbids shipping a
+# never-checked query outside it).
 _CHECK_FIRST = [
     # --- the 32 queries never driver-checked before round 6 ---
     "published_segment_kpis",
