@@ -292,6 +292,13 @@ def pq_adc_topk(
 
     out_schema = "query_id long, neighbor_id long, adc_cos double"
 
+    # Queries are scored in fixed-size chunks so the per-task distance
+    # block is (chunk × arrow_batch) — bounded regardless of how large
+    # a query batch the cap admits (at the 10k cap a single (Q × B)
+    # matrix would be ~0.8 GB per task; 512-query chunks hold it at
+    # ~40 MB with identical output).
+    q_chunk = 512
+
     def _score(batches):
         for pdf in batches:
             if pdf.empty:
@@ -300,27 +307,30 @@ def pq_adc_topk(
             codes = np.stack(
                 [np.frombuffer(b, dtype=np.uint8) for b in pdf["code"]]
             )  # (B, m)
-            dist = np.zeros((len(qids), len(ids)))
-            for j in range(m):
-                dist += lut[:, j, codes[:, j]]  # (Q, B) gather
-            cos = 1.0 - dist / 2.0
             take = min(k, len(ids))
-            for qi in range(len(qids)):
-                # self-match exclusion happens on ids, not scores: a
-                # query that exists in the corpus must not return itself
-                mask = ids != qids[qi]
-                cand_cos = cos[qi][mask]
-                cand_ids = ids[mask]
-                if not len(cand_ids):
-                    continue
-                order = np.lexsort((cand_ids, -cand_cos))[:take]
-                yield pd.DataFrame(
-                    {
-                        "query_id": qids[qi],
-                        "neighbor_id": cand_ids[order],
-                        "adc_cos": np.round(cand_cos[order], 6),
-                    }
-                )
+            for qs in range(0, len(qids), q_chunk):
+                chunk_lut = lut[qs : qs + q_chunk]  # (C, m, k)
+                dist = np.zeros((chunk_lut.shape[0], len(ids)))
+                for j in range(m):
+                    dist += chunk_lut[:, j, codes[:, j]]  # (C, B) gather
+                cos = 1.0 - dist / 2.0
+                for ci, qi in enumerate(range(qs, qs + chunk_lut.shape[0])):
+                    # self-match exclusion happens on ids, not scores: a
+                    # query that exists in the corpus must not return
+                    # itself
+                    mask = ids != qids[qi]
+                    cand_cos = cos[ci][mask]
+                    cand_ids = ids[mask]
+                    if not len(cand_ids):
+                        continue
+                    order = np.lexsort((cand_ids, -cand_cos))[:take]
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": cand_ids[order],
+                            "adc_cos": np.round(cand_cos[order], 6),
+                        }
+                    )
 
     pruned = encoded.mapInPandas(_score, out_schema)
     return top_k_per_group(
