@@ -367,6 +367,21 @@ def test_split_assignment_prunes_text_column(spark):
         assert "doc_id" in line and "source" in line, line
 
 
+def test_minhash_near_dups_never_goes_nested_loop(spark):
+    """The LSH promise is candidates-from-equi-joins: banding, verify
+    attachment, and the collapse expansion must all plan as hash/merge
+    joins — a CartesianProduct or nested-loop node anywhere means a
+    non-equi condition snuck in and the operator degenerated to
+    all-pairs."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.llm_ops import (
+        doc_minhash_near_dups,
+    )
+
+    plan = plan_str(doc_minhash_near_dups(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_zscores_use_broadcast_stats_not_segment_window(spark):
     """Per-segment standardization must broadcast the 5-row stats
     table, not window-partition the whole fact by segment (5 giant
