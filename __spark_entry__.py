@@ -57,7 +57,10 @@ _MODULES = [
 # plans/llm_ops.py::embedding_pq_topk (PQ-ADC serving — implemented,
 # tested, and bench-timed this round; kept out of the registry because
 # this window is at capacity and rule 1 forbids shipping a
-# never-checked query outside it).
+# never-checked query outside it). Optional round-7 registrations from
+# this round's tests-only surface: a rows-only doc_bpe_merges (ordered
+# merge table from operators/bpe.py::bpe_train — exact-twin-tested)
+# and an ivf_imbalance occupancy report query.
 _CHECK_FIRST = [
     # --- the 32 queries never driver-checked before round 6 ---
     "published_segment_kpis",
