@@ -318,3 +318,29 @@ def test_fuzzy_dropped_plus_kept_blocks_cover_all_blocks(spark, names):
     )
     expect_dropped = {r.b for r in sizes if r["count"] > cap}
     assert dropped == expect_dropped
+
+
+_words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(ws=_words)
+@_slow
+def test_bpe_train_matches_sequential_reference_on_random_corpora(spark, ws):
+    """The distributed trainer IS the textbook algorithm: for any word
+    multiset, the full merge sequence equals a sequential reference
+    with the same lexicographic tie-break (tests/test_bpe.py holds the
+    reference; this drives it over hypothesis-generated corpora where
+    ties and sentinel-edge words are common)."""
+    from collections import Counter
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators import bpe
+    from tests.test_bpe import _reference_bpe
+
+    df = spark.createDataFrame([(1, " ".join(ws))], "doc_id long, text string")
+    got = bpe.bpe_train(df, n_merges=8, min_pair_count=2)
+    want = _reference_bpe(Counter(ws), 8, 2)
+    assert got == want
