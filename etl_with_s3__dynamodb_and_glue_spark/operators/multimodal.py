@@ -321,6 +321,114 @@ def _fake_resize(content: bytes, width: int, height: int) -> bytes:
     return (digest * (n // len(digest) + 1))[:n]
 
 
+def _luma_grid(content: bytes, gw: int, gh: int) -> list[float]:
+    """REAL decode → box-averaged luma grid (gh rows × gw cols).
+    Pillow when importable, else the stdlib PNG path — same loudness
+    contract as :func:`decode_image`."""
+    try:
+        import io  # noqa: PLC0415
+
+        from PIL import Image  # noqa: PLC0415
+
+        img = Image.open(io.BytesIO(content)).convert("RGB")
+        width, height = img.size
+        pix = list(img.tobytes())
+    except ImportError:
+        try:
+            width, height, pix = _png_decode_rgb(content)
+        except ValueError as exc:
+            raise NotImplementedError(
+                f"no codec for this image without Pillow ({exc})"
+            ) from exc
+    luma = [
+        0.299 * pix[3 * i] + 0.587 * pix[3 * i + 1] + 0.114 * pix[3 * i + 2]
+        for i in range(width * height)
+    ]
+    grid: list[float] = []
+    for gy in range(gh):
+        y0, y1 = gy * height // gh, max((gy + 1) * height // gh, gy * height // gh + 1)
+        for gx in range(gw):
+            x0, x1 = gx * width // gw, max((gx + 1) * width // gw, gx * width // gw + 1)
+            cells = [luma[y * width + x] for y in range(y0, y1) for x in range(x0, x1)]
+            grid.append(sum(cells) / len(cells))
+    return grid
+
+
+def image_dhash(content: bytes) -> int:
+    """64-bit difference hash (dHash, the standard perceptual hash for
+    image near-dup detection): 9×8 box-averaged luma grid, one bit per
+    horizontal gradient sign. Robust to re-encoding, resizing, and
+    mild brightness shifts (gradients survive them); Hamming distance
+    between hashes approximates visual difference. Returned as a
+    SIGNED 64-bit int so it lands in a Spark ``long`` unchanged."""
+    g = _luma_grid(content, 9, 8)
+    bits = 0
+    k = 0
+    for y in range(8):
+        row = g[y * 9 : (y + 1) * 9]
+        for x in range(8):
+            if row[x] < row[x + 1]:
+                bits |= 1 << k
+            k += 1
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_dhashes(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-asset dHash: (id, simhash) — named to slot straight into
+    the SimHash banding machinery. One Arrow-batched pass over the
+    binary column, no shuffle."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _hash_batch(col):
+        return pd.Series([image_dhash(bytes(b)) for b in col])
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's hint inference can't resolve
+    dhash_udf = pandas_udf(_hash_batch, "long")
+    return assets.select(
+        F.col(id_col), dhash_udf(F.col(content_col)).alias("simhash")
+    )
+
+
+def image_near_dups(
+    assets: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+    blocks: int = 6,
+) -> DataFrame:
+    """Visually-near-duplicate image pairs: dHash fingerprints through
+    the EXISTING Manku block-combination banding
+    (``dedup.simhash_candidate_pairs``) — candidates from an equi-join
+    on block-combination keys, never an all-pairs image comparison —
+    then the exact popcount verify. (id_a, id_b, hamming ≤ budget).
+
+    The binary column is read exactly once (the fingerprint pass);
+    banding, joining, and verification shuffle only (id, 8-byte hash)
+    rows — at 100 TB the images never move."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .dedup import simhash_candidate_pairs
+    from ..caching import unpersist_on_release
+
+    fps = image_dhashes(assets, id_col=id_col, content_col=content_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    result = (
+        simhash_candidate_pairs(fps, max_hamming, id_col=id_col, blocks=blocks)
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return unpersist_on_release(result, fps)
+
+
 def resize_images(
     df: DataFrame, width: int, height: int, fake: bool = True
 ) -> DataFrame:

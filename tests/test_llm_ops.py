@@ -462,6 +462,86 @@ def _make_wav(rate, samples):
     return buf.getvalue()
 
 
+def test_image_dhash_perceptual_invariances():
+    """dHash must be invariant to what doesn't change the picture
+    (re-encoding, resolution) and sensitive to what does (structure)."""
+    import zlib
+
+    def grad_lr(x, y):  # left-to-right brightness ramp
+        return (x * 12 % 256,) * 3
+
+    def grad_tb(x, y):  # top-to-bottom ramp — different structure
+        return (y * 12 % 256,) * 3
+
+    a = multimodal.image_dhash(_make_png(18, 16, grad_lr))
+    # same pixels, different zlib effort -> identical bytes? no: build
+    # a re-encoded variant by decoding limits; easiest: same pixel_fn,
+    # same dims -> same pixels, byte-level PNG identical modulo
+    # compression (we force a different compression by re-deflating)
+    png = _make_png(18, 16, grad_lr)
+    import struct as _s
+
+    # re-encode IDAT at a different compression level
+    pos, chunks = 8, []
+    while pos < len(png):
+        (length,) = _s.unpack(">I", png[pos : pos + 4])
+        ctype = png[pos + 4 : pos + 8]
+        data = png[pos + 8 : pos + 8 + length]
+        chunks.append((ctype, data))
+        pos += 12 + length
+    rebuilt = b"\x89PNG\r\n\x1a\n"
+    for ctype, data in chunks:
+        if ctype == b"IDAT":
+            data = zlib.compress(zlib.decompress(data), 1)
+        body = ctype + data
+        rebuilt += (
+            _s.pack(">I", len(data)) + body + _s.pack(">I", zlib.crc32(body))
+        )
+    assert rebuilt != png  # genuinely different bytes
+    assert multimodal.image_dhash(rebuilt) == a  # same picture
+
+    # doubled resolution of the same pattern: box-averaging restores
+    # the same 9x8 grid ordering -> identical hash
+    a2x = multimodal.image_dhash(
+        _make_png(36, 32, lambda x, y: grad_lr(x // 2, y // 2))
+    )
+    assert a2x == a
+
+    # different structure -> far away in Hamming space
+    b = multimodal.image_dhash(_make_png(18, 16, grad_tb))
+    ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham > 16
+
+
+def test_image_near_dups_banded(spark):
+    """Visually-identical pairs surface through the banded path; the
+    structurally different image stays out."""
+
+    def grad_lr(x, y):
+        return (x * 12 % 256,) * 3
+
+    def grad_tb(x, y):
+        return (y * 12 % 256,) * 3
+
+    def noisy_lr(x, y):  # one brightness step off
+        return (min(255, x * 12 % 256 + 8),) * 3
+
+    rows = [
+        (1, "image", bytearray(_make_png(18, 16, grad_lr)), ("image/png", 18, 16, 0)),
+        (2, "image", bytearray(_make_png(36, 32, lambda x, y: grad_lr(x // 2, y // 2))), ("image/png", 36, 32, 0)),
+        (3, "image", bytearray(_make_png(18, 16, noisy_lr)), ("image/png", 18, 16, 0)),
+        (4, "image", bytearray(_make_png(18, 16, grad_tb)), ("image/png", 18, 16, 0)),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.image_near_dups(assets, max_hamming=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert all(4 not in p for p in pairs)
+
+
 def test_real_png_decode_end_to_end(spark):
     """A REAL image (PNG bytes) through the fake=False Spark path:
     per-channel means must match the actual pixel values."""
