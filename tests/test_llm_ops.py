@@ -462,6 +462,40 @@ def _make_wav(rate, samples):
     return buf.getvalue()
 
 
+def test_audio_spectral_features_known_signals(spark):
+    """Synthesized signals with KNOWN spectra: a pure tone's centroid
+    sits at its frequency, silence has zero RMS, a clipped square wave
+    reports clipping, and a higher tone rolls off higher."""
+    import math
+
+    rate = 8000
+
+    def tone(freq, n=8000, amp=0.5):
+        return [
+            int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate))
+            for i in range(n)
+        ]
+
+    square = [32767 if (i // 20) % 2 == 0 else -32767 for i in range(8000)]
+    rows = [
+        (1, "audio", bytearray(_make_wav(rate, tone(440))), ("audio/wav", 0, 0, 1000)),
+        (2, "audio", bytearray(_make_wav(rate, tone(2000))), ("audio/wav", 0, 0, 1000)),
+        (3, "audio", bytearray(_make_wav(rate, [0] * 8000)), ("audio/wav", 0, 0, 1000)),
+        (4, "audio", bytearray(_make_wav(rate, square)), ("audio/wav", 0, 0, 1000)),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    f = {r.asset_id: r for r in multimodal.audio_spectral_features(assets).collect()}
+
+    assert abs(f[1].duration_s - 1.0) < 1e-6
+    assert abs(f[1].spectral_centroid_hz - 440) < 15
+    assert abs(f[2].spectral_centroid_hz - 2000) < 30
+    assert f[2].rolloff_hz > f[1].rolloff_hz
+    assert f[3].rms == 0.0 and f[3].spectral_centroid_hz == 0.0
+    assert f[4].clip_fraction > 0.9 and f[1].clip_fraction == 0.0
+    # pure tone RMS = amp/sqrt(2)
+    assert abs(f[1].rms - 0.5 / math.sqrt(2)) < 0.01
+
+
 def test_image_dhash_perceptual_invariances():
     """dHash must be invariant to what doesn't change the picture
     (re-encoding, resolution) and sensitive to what does (structure)."""
