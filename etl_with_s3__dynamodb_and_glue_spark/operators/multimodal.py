@@ -344,6 +344,91 @@ def audio_spectral_features(
     ).select(id_col, "f.*")
 
 
+def audio_phash(content: bytes) -> int:
+    """64-bit audio perceptual hash (chromaprint's construction in
+    miniature): 9 time segments × 8 geometric frequency bands of rFFT
+    energy, one bit per TEMPORAL energy gradient within each band
+    (band b rising from segment t to t+1). Gradient signs are
+    invariant to global gain and robust to re-encoding — the audio
+    analogue of :func:`image_dhash`, and it feeds the same Manku
+    banding. Signed 64-bit for a Spark ``long``."""
+    import numpy as np
+
+    mono, rate = _wav_mono(bytes(content))
+    x = np.asarray(mono)
+    n = len(x)
+    if n < 18:
+        raise ValueError("audio too short for a spectral hash")
+    segs = np.array_split(x, 9)
+    nyquist = rate / 2.0
+    edges = 100.0 * (nyquist / 100.0) ** (np.arange(9) / 8.0)  # geometric
+    energies = np.zeros((9, 8))
+    for t, seg in enumerate(segs):
+        mag = np.abs(np.fft.rfft(seg)) ** 2
+        freqs = np.fft.rfftfreq(len(seg), d=1.0 / rate)
+        for b in range(8):
+            sel = (freqs >= edges[b]) & (freqs < edges[b + 1])
+            energies[t, b] = mag[sel].sum()
+    bits = 0
+    k = 0
+    for b in range(8):
+        for t in range(8):
+            if energies[t, b] < energies[t + 1, b]:
+                bits |= 1 << k
+            k += 1
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def audio_phashes(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-asset audio hash: (id, simhash) — slots into the SimHash
+    banding machinery, one Arrow pass over the binary column."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _hash_batch(col):
+        return pd.Series([audio_phash(bytes(b)) for b in col])
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's hint inference can't resolve
+    phash_udf = pandas_udf(_hash_batch, "long")
+    return assets.select(
+        F.col(id_col), phash_udf(F.col(content_col)).alias("simhash")
+    )
+
+
+def audio_near_dups(
+    assets: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+    blocks: int = 6,
+) -> DataFrame:
+    """Perceptually-near-duplicate audio pairs via the same banded
+    path as :func:`image_near_dups`: hash once, equi-join on
+    block-combination keys, popcount verify — audio bytes never
+    shuffle."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..caching import unpersist_on_release
+    from .dedup import simhash_candidate_pairs
+
+    fps = audio_phashes(assets, id_col=id_col, content_col=content_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    result = (
+        simhash_candidate_pairs(fps, max_hamming, id_col=id_col, blocks=blocks)
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return unpersist_on_release(result, fps)
+
+
 def _dispatch_real(decoders: dict, modality: str, content: bytes) -> list[float]:
     fn = decoders.get(modality)
     if fn is None:

@@ -496,6 +496,46 @@ def test_audio_spectral_features_known_signals(spark):
     assert abs(f[1].rms - 0.5 / math.sqrt(2)) < 0.01
 
 
+def test_audio_phash_invariances_and_banded_pairs(spark):
+    """Gain-scaling leaves the hash untouched (gradient signs are
+    ratio-invariant); a different melody lands far away; the banded
+    pairing surfaces only the perceptual matches."""
+    import math
+
+    rate = 8000
+
+    def melody(freqs, amp=0.4):
+        out = []
+        for f in freqs:
+            out += [
+                int(amp * 32767 * math.sin(2 * math.pi * f * i / rate))
+                for i in range(900)
+            ]
+        return out
+
+    up = melody([220, 330, 440, 660, 880, 1320, 1760, 2200, 2640])
+    up_quiet = [int(s * 0.4) for s in up]
+    down = melody(list(reversed([220, 330, 440, 660, 880, 1320, 1760, 2200, 2640])))
+
+    h_up = multimodal.audio_phash(_make_wav(rate, up))
+    h_quiet = multimodal.audio_phash(_make_wav(rate, up_quiet))
+    h_down = multimodal.audio_phash(_make_wav(rate, down))
+    assert h_up == h_quiet
+    assert bin((h_up ^ h_down) & ((1 << 64) - 1)).count("1") > 10
+
+    rows = [
+        (1, "audio", bytearray(_make_wav(rate, up)), ("audio/wav", 0, 0, 1012)),
+        (2, "audio", bytearray(_make_wav(rate, up_quiet)), ("audio/wav", 0, 0, 1012)),
+        (3, "audio", bytearray(_make_wav(rate, down)), ("audio/wav", 0, 0, 1012)),
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.audio_near_dups(assets, max_hamming=4).collect()
+    }
+    assert pairs == {(1, 2): 0}
+
+
 def test_image_dhash_perceptual_invariances():
     """dHash must be invariant to what doesn't change the picture
     (re-encoding, resolution) and sensitive to what does (structure)."""
