@@ -110,10 +110,13 @@ def snapshot_diff(
     running hash passes through unchanged), so hashing raw columns
     would make ``('a', NULL)`` and ``(NULL, 'a')`` collide
     systematically — a moved value between nullable columns would
-    read 'unchanged'. Each column is therefore encoded to a string
-    that spends one sentinel per null (``\\x00null``) and one
-    separator per position before hashing, making NULLs and column
-    position distinguishable.
+    read 'unchanged'. Each column is therefore encoded LENGTH-PREFIXED
+    (``len(v) ":" v``, NULL → the bare marker ``"N"``) before the
+    per-row concat: boundaries cannot shift no matter what bytes the
+    values contain (a sentinel/separator scheme is spoofable by values
+    that embed the separator — ('a<sep>b','c') vs ('a','b<sep>c')),
+    and NULL stays distinguishable from any real string because every
+    real value starts with a digit run + ':'.
     """
     if set(old.columns) != set(new.columns):
         raise ValueError(
@@ -123,14 +126,18 @@ def snapshot_diff(
     payload_cols = sorted(c for c in old.columns if c not in key_cols)
 
     def digest(df: DataFrame, name: str) -> DataFrame:
-        encoded = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-            for c in payload_cols
-        ]
-        return df.select(
-            *key_cols,
-            F.xxhash64(F.concat_ws("\x00;", *encoded)).alias(name),
+        def enc(c: str):
+            s = F.col(c).cast("string")
+            return F.when(s.isNull(), F.lit("N")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+
+        payload = (
+            F.concat(*[enc(c) for c in payload_cols])
+            if payload_cols
+            else F.lit("")
         )
+        return df.select(*key_cols, F.xxhash64(payload).alias(name))
 
     o = digest(old, "_h_old")
     n = digest(new, "_h_new")

@@ -244,10 +244,13 @@ def pq_adc_topk(
     is the squared distance from query q's j-th sub-vector to centroid
     c. Scoring a corpus code is then m byte-indexed gathers — no
     d-dim arithmetic, no raw vectors, no shuffle of the corpus. Each
-    Arrow batch is pruned to its own top-k per query (lexsort keeps
-    the smallest neighbor ids among score ties, so the result is
-    batching-invariant), and the global ``top_k_per_group`` rank cut
-    finishes on ≤ k · n_batches rows per query.
+    Arrow batch is pruned to its own top-k per query on the SAME key
+    the global rank cut uses — (round(adc_cos, 6) desc, neighbor_id
+    asc) — so the result is batching-invariant: pruning on the raw
+    score would resolve sub-1e-6 near-ties differently depending on
+    whether the two candidates share an Arrow batch. The global
+    ``top_k_per_group`` rank cut finishes on ≤ k · n_batches rows per
+    query.
 
     Returns (query_id, neighbor_id, adc_cos) with ``adc_cos`` the
     ADC-approximated cosine (1 − d²/2 on the unit sphere), rounded to
@@ -323,12 +326,19 @@ def pq_adc_topk(
                     cand_ids = ids[mask]
                     if not len(cand_ids):
                         continue
+                    # Prune on the SAME key the global rank cut uses —
+                    # the ROUNDED score. Pruning on raw cos while
+                    # emitting round(cos, 6) would let two candidates
+                    # that differ only past the 6th decimal tie at the
+                    # global cut but not at the prune, making output
+                    # depend on Arrow batch boundaries.
+                    cand_cos = np.round(cand_cos, 6)
                     order = np.lexsort((cand_ids, -cand_cos))[:take]
                     yield pd.DataFrame(
                         {
                             "query_id": qids[qi],
                             "neighbor_id": cand_ids[order],
-                            "adc_cos": np.round(cand_cos[order], 6),
+                            "adc_cos": cand_cos[order],
                         }
                     )
 

@@ -14,8 +14,14 @@ Idempotence layout (the ``ingest_dedup`` discipline): each batch's
 assignments land under ``assignments/batch_id=N`` (sub-partitioned by
 ``cluster``) with overwrite — foreachBatch is at-least-once, and a
 replayed batch rewrites its OWN subtree instead of duplicating rows.
-A ``_last_batch_id`` marker short-circuits fully-landed batches;
-correctness does not depend on it. The seed corpus is generation
+A ``_last_batch_id`` marker short-circuits fully-landed batches, and
+it is SCOPED TO A RUN (the checkpoint location): foreachBatch ids
+restart at 0 under a fresh checkpoint, so an unscoped ``batch_id <=
+last`` skip would silently drop new arrivals (and landing them anyway
+would clobber the old run's same-numbered subtree). A regressing
+batch_id from a DIFFERENT run therefore fails loudly instead of
+returning — reuse the original checkpoint to resume, or point a new
+run at a fresh ``index_dir``. The seed corpus is generation
 ``batch_id=-1``, so batch and streaming writes share one schema and
 ``load_vector_index`` is a single partitioned read — probe pruning
 keys on the ``cluster`` partition column exactly as for a static
@@ -41,11 +47,21 @@ def _marker_path(index_dir: str) -> str:
     return os.path.join(index_dir, _BATCH_MARKER)
 
 
+def _read_marker(index_dir: str) -> tuple[str, int] | None:
+    """(run_id, batch_id) of the last fully-landed batch, or None.
+    Legacy single-line markers (pre run-scoping) read as run_id ''."""
+    if not os.path.isfile(_marker_path(index_dir)):
+        return None
+    with open(_marker_path(index_dir)) as f:
+        lines = f.read().splitlines()
+    if len(lines) >= 2:
+        return lines[0], int(lines[1])
+    return "", int(lines[0].strip())
+
+
 def last_ingested_batch_id(index_dir: str) -> int | None:
-    if os.path.isfile(_marker_path(index_dir)):
-        with open(_marker_path(index_dir)) as f:
-            return int(f.read().strip())
-    return None
+    marker = _read_marker(index_dir)
+    return None if marker is None else marker[1]
 
 
 def seed_index(
@@ -105,12 +121,28 @@ def ingest_vector_batch(
     dim: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    run_id: str = "",
 ) -> None:
     """Embed + assign + land one batch. Runs identically under
-    foreachBatch and as a batch backfill."""
-    last = last_ingested_batch_id(index_dir)
-    if last is not None and batch_id <= last:
-        return
+    foreachBatch and as a batch backfill.
+
+    ``run_id`` scopes the replay short-circuit (the streaming wrapper
+    passes its checkpoint path). A batch_id that regresses WITHIN a run
+    is an at-least-once replay of a landed batch → skipped; one that
+    regresses ACROSS runs means a fresh checkpoint is re-numbering from
+    0 against an index another run built → raises instead of silently
+    skipping (or clobbering the same-numbered subtree)."""
+    marker = _read_marker(index_dir)
+    if marker is not None and batch_id <= marker[1]:
+        if marker[0] == run_id:
+            return
+        raise ValueError(
+            f"batch_id {batch_id} regressed below the landed "
+            f"{marker[1]} but came from a different run "
+            f"({run_id!r} vs {marker[0]!r}): a restart with a fresh "
+            "checkpoint would drop or clobber batches — resume from "
+            "the original checkpoint, or seed a fresh index_dir"
+        )
     spark = batch.sparkSession
     index = load_vector_index(spark, index_dir)
     emb = embed_texts(
@@ -123,7 +155,7 @@ def ingest_vector_batch(
         .parquet(f"{index_dir}/assignments/batch_id={batch_id}")
     )
     with open(_marker_path(index_dir), "w") as f:
-        f.write(str(batch_id))
+        f.write(f"{run_id}\n{batch_id}")
 
 
 def vector_ingest_stream(
@@ -138,6 +170,8 @@ def vector_ingest_stream(
     """Run the ingest loop over a document stream (columns: doc_id,
     text, ...) against a seeded index."""
 
+    run_id = os.path.abspath(checkpoint_dir)
+
     def handle(batch: DataFrame, batch_id: int) -> None:
         ingest_vector_batch(
             batch,
@@ -147,6 +181,7 @@ def vector_ingest_stream(
             dim=dim,
             id_col=id_col,
             text_col=text_col,
+            run_id=run_id,
         )
 
     return (

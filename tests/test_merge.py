@@ -189,6 +189,26 @@ def test_snapshot_diff_null_moves_are_changes(spark):
     assert out == {1: "changed", 2: "unchanged", 3: "changed"}
 
 
+def test_snapshot_diff_digest_boundaries_cannot_shift(spark):
+    """The digest is length-prefixed per column, so payload values that
+    embed any would-be separator bytes cannot spoof 'unchanged':
+    ('a<sep>b', 'c') vs ('a', 'b<sep>c') encode differently for EVERY
+    separator choice, and a literal sentinel-looking string is
+    distinguishable from a real NULL."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a\x00;b", "c"), (2, "\x00null", "z"), (3, "12", "3")],
+        "k long, x string, y string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "b\x00;c"), (2, None, "z"), (3, "1", "23")],
+        "k long, x string, y string",
+    )
+    out = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "changed", 2: "changed", 3: "changed"}
+
+
 def test_scd2_apply_versions(spark):
     from etl_with_s3__dynamodb_and_glue_spark.operators.merge import scd2_apply
 

@@ -106,6 +106,38 @@ def test_adc_is_batching_invariant(books, encoded, queries):
     )
 
 
+def test_adc_prune_resolves_sub_rounding_ties_like_global_cut(spark):
+    """Two candidates whose RAW ADC scores differ only past the 6th
+    decimal are a tie after rounding — the per-batch prune must rank
+    them on the rounded score (the global cut's key), or a single-batch
+    run would keep the raw-closer candidate while a split run keeps the
+    smaller neighbor_id (ADVICE r6: batching-invariance violation)."""
+    import math
+
+    eps = 1e-9
+    books = Q.PqCodebooks(
+        [
+            [
+                [math.cos(0.1), math.sin(0.1)],
+                [math.cos(0.1 + eps), math.sin(0.1 + eps)],
+            ]
+        ]
+    )
+    # neighbor 1 carries the RAW-farther code, neighbor 2 the closer:
+    # the rounded tie must break toward the smaller id in BOTH layouts
+    encoded = spark.createDataFrame(
+        [(1, bytes([1])), (2, bytes([0]))], "neighbor_id long, code binary"
+    )
+    qdf = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    for parts in (1, 2):
+        rows = Q.pq_adc_topk(
+            books, encoded.repartition(parts), qdf, k=1
+        ).collect()
+        assert [r.neighbor_id for r in rows] == [1], (parts, rows)
+
+
 def test_adc_scores_track_true_cosine(books, encoded, emb, queries):
     """ADC is approximate, but it must rank REAL neighbors above the
     corpus average: the true cosine of ADC's picks beats the corpus

@@ -107,6 +107,35 @@ def test_vector_ingest_replay_is_idempotent(spark, tmp_path):
     assert n1 == n2 == docs.count()
 
 
+def test_cross_run_batch_id_regression_fails_loudly(spark, tmp_path):
+    """A restart with a FRESH checkpoint re-numbers foreachBatch ids
+    from 0; against an index another run already grew, an unscoped
+    'batch_id <= last' skip would silently drop the new arrivals (and
+    landing them would clobber the old run's subtree). Same-run replay
+    still short-circuits; a different run_id with a regressed id must
+    raise (ADVICE r6)."""
+    import pytest
+
+    docs = _docs(spark).limit(100)
+    index_dir = str(tmp_path / "vec_index")
+    seed_index(docs.filter(F.col("doc_id") < 50), index_dir, n_clusters=2)
+    arr = docs.filter(F.col("doc_id") >= 50)
+
+    ingest_vector_batch(arr, 0, index_dir, run_id="ckpt-A")
+    ingest_vector_batch(arr, 1, index_dir, run_id="ckpt-A")
+    n = load_vector_index(spark, index_dir).assignments.count()
+    # same run, replayed id: silent no-op
+    ingest_vector_batch(arr, 1, index_dir, run_id="ckpt-A")
+    assert load_vector_index(spark, index_dir).assignments.count() == n
+    # different run, regressed id: loud failure, index untouched
+    with pytest.raises(ValueError, match="different run"):
+        ingest_vector_batch(arr, 0, index_dir, run_id="ckpt-B")
+    assert load_vector_index(spark, index_dir).assignments.count() == n
+    # different run, ADVANCING id: legitimate continuation, lands
+    ingest_vector_batch(arr, 2, index_dir, run_id="ckpt-B")
+    assert load_vector_index(spark, index_dir).assignments.count() > n
+
+
 def test_probe_prunes_to_probed_clusters(spark, tmp_path):
     """The grown (multi-generation) layout must still partition-prune
     on cluster: a 1-cluster probe's scan reads cluster=K directories
