@@ -37,98 +37,107 @@ _MODULES = [
 
 # The driver's correctness harness checks the FIRST 50 registry entries
 # per round; the registry is larger than that, so ordering is coverage
-# policy (round 6 edition). Rotation rules (tested by
+# policy (round 7 edition). Rotation rules (tested by
 # tests/test_registry_rotation.py):
 #   1. every query never seen in ANY CORRECTNESS_r*.json artifact must
 #      be in the current window (first 50) — nothing ships a round
 #      without at least one driver check;
 #   2. every query whose code or oracle changed this round stays in
-#      the window (rotation follows the diff, not a static list);
+#      the window — encoded as _TOUCHED_THIS_ROUND below (updated as
+#      part of each round's diff; the rotation test asserts it is a
+#      subset of the window);
 #   3. the incident-prone events.ts lineage (user_sessions) stays in
 #      the window every round;
 #   4. the overflow parks queries that were driver-green in the most
 #      recent round that checked them AND whose lineage this round's
 #      diff does not touch.
 #
-# ROUND-7 QUEUE: everything parked this round that was last checked in
-# round 4 or earlier rotates back in (tpch_like surface, temporal/skew
-# showcases, curation row checked r4) — compute it from the artifacts,
-# the rotation test enforces it. ALSO round 7: register
-# plans/llm_ops.py::embedding_pq_topk (PQ-ADC serving — implemented,
-# tested, and bench-timed this round; kept out of the registry because
-# this window is at capacity and rule 1 forbids shipping a
-# never-checked query outside it). Optional round-7 registrations from
-# this round's tests-only surface: a rows-only doc_bpe_merges (ordered
-# merge table from operators/bpe.py::bpe_train — exact-twin-tested)
-# and an ivf_imbalance occupancy report query.
+# ROUND-7 WINDOW: the 42 queries last checked in round 4 or earlier
+# (the rotation test's r6 failure list — tpch surface, temporal/skew
+# showcases, the minhash/embedding lineage, flagship compat rows)
+# rotate back in, plus user_sessions (rule 3), customer_snapshot_diff
+# (rule 2: merge.py digest encoding rewritten this round), and the six
+# round-7 registrations (rule 1): embedding_pq_topk, ivf_imbalance,
+# doc_bpe_merges, asset_near_dups, doc_duplicate_spans,
+# rolling_7d_distinct_exact. Exactly 50.
+
+# Rule-2 ledger: queries whose code or oracle this round's diff
+# touched (directly or through an operator they consume). The rotation
+# test enforces these sit inside the window.
+_TOUCHED_THIS_ROUND = [
+    "customer_snapshot_diff",   # operators/merge.py digest encoding
+    "embedding_pq_topk",        # operators/quantization.py prune key
+    "ivf_imbalance",            # new registration
+    "doc_bpe_merges",           # new registration
+    "asset_near_dups",          # new registration (+ multimodal synth)
+    "doc_duplicate_spans",      # new operator + oracle
+    "rolling_7d_distinct_exact",  # new oracle companion
+]
+
 _CHECK_FIRST = [
-    # --- the 32 queries never driver-checked before round 6 ---
-    "published_segment_kpis",
-    "top_return_customers",
-    "nation_revenue_pareto",
-    "doc_token_budget_sample",
-    "doc_lang_confusion",
-    "doc_dedup_keep_best",
-    "embedding_hard_negatives",
-    "embedding_dedup_final_lsh",
-    "asset_frame_samples",
-    "events_daily_complete",
-    "user_weekly_retention",
-    "event_type_transitions",
-    "events_daily_rollup_incremental",
-    "event_type_cooccurrence",
-    "events_wow_change",
-    "segment_nation_chi2",
-    "part_name_fuzzy_matches",
-    "lineitem_corr_matrix",
-    "orders_price_decile_bins",
-    "customer_snapshot_diff",
-    "customer_scd2_apply",
-    "customer_balance_zscores",
-    "orders_pit_customer_balance",
-    "rolling_7d_distinct_users",
-    "events_customers_null_bypass",
-    "clicks_asof_recent_view",
-    "doc_encoding_audit",
-    "doc_novelty_fraction",
-    "doc_arrivals_dedup_lsh",
-    "doc_arrivals_dedup_store",
-    "doc_decontamination_bloom",
-    "doc_lm_outliers",
-    # --- round-5 reds, oracle CAST fixed this round: re-verify ---
-    "daily_new_users_cumulative",
-    "doc_length_buckets",
-    # --- code or oracle changed this round (order_quantity_arrays also
-    # last checked r3, so it cannot park) ---
-    "order_quantity_arrays",
-    "event_key_skew_profile",
-    # --- new this round (round 6): never checked, go first ---
-    "doc_split_assignment",
-    "doc_split_leakage_audit",
-    "doc_split_leakage_audit_lsh",
-    "doc_vocab_coverage",
-    "lineitem_winsorized_stats",
+    # --- last checked r4 or earlier: parked two artifacts, must return
+    # (order = the rotation test's r6 failure list) ---
+    "flagship_daily_segment_topk",
+    "segment_kpis_compat",
+    "top_rows_per_day_compat",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_lang_id",
+    "doc_exact_dedup",
+    "doc_jaccard_pairs",
+    "doc_dedup_final_lsh",
+    "doc_minhash_near_dups",
+    "doc_simhash_near_dups",
+    "embedding_topk_bruteforce",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_lsh",
+    "asset_features",
+    "order_approx_stats",
+    "asset_content_hashes",
+    "weekly_user_sketch_rollup",
+    "customer_rolling_spend",
+    "part_text_features",
+    "csv_quarantine_counts",
+    "doc_repetition_signals",
+    "doc_pii_scrub",
+    "doc_source_mix",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "clicks_asof_prior_view",
+    "error_followup_counts",
+    "priority_returns_exists",
+    "small_qty_part_revenue",
+    "segment_event_value_salted",
+    "activity_union_by_name",
+    "order_price_percentiles",
+    "order_rank_flavors",
+    "pricing_summary",
+    "shipping_priority",
+    "nation_revenue",
+    "returnflag_rollup",
+    "customer_order_deltas",
+    "user_sessions_native",
+    "events_daily_tumbling",
+    "events_sliding_windows",
     # --- incident-prone events.ts lineage, in-window every round ---
     "user_sessions",
-    # --- last checked in round 3: two rounds parked, must re-verify ---
-    "eventers_orderers_full_outer",
-    "top_orders_global",
-    "customers_without_events_anti",
-    "returnflag_cube",
-    "order_date_parts",
-    "buyer_eventer_intersect",
-    "buyers_not_eventers_except",
-    "returnflag_status_pivot",
+    # --- rule 2: lineage touched by this round's diff ---
+    "customer_snapshot_diff",
+    # --- new this round (rule 1): never checked, go first-run now ---
+    "embedding_pq_topk",
+    "ivf_imbalance",
+    "doc_bpe_merges",
+    "asset_near_dups",
+    "doc_duplicate_spans",
+    "rolling_7d_distinct_exact",
 ]
 _CHECK_LAST = [
-    # oracle-cast-only changes this round; driver-green r5/r4, the
-    # width narrowing is pinned by tests/test_oracle_types.py + the
-    # local harness — parked to fit the 50 window, return round 7
+    # hash-green r6 (or r5 where noted), lineage untouched by this
+    # round's diff — parked; the r5-checked block is first in the
+    # round-8 return queue
     "orders_price_histogram",
     "doc_chunks",
     "doc_char_entropy",
-    # hash-green in round 5 (or round 4 where noted), lineage untouched
-    # by this round's diff; round-7 rotates the r4-checked ones back in
     "segment_kpis_intended",
     "top_segments_per_day_intended",
     "part_scalar_showcase",
@@ -172,34 +181,55 @@ _CHECK_LAST = [
     "doc_weighted_sample",
     "events_value_running_total",
     "events_activity_concurrency",
-    # r4-green, untouched (round-7 priority returns)
-    "order_approx_stats",
-    "asset_content_hashes",
-    "weekly_user_sketch_rollup",
-    "customer_rolling_spend",
-    "part_text_features",
-    "csv_quarantine_counts",
-    "doc_repetition_signals",
-    "doc_pii_scrub",
-    "doc_source_mix",
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
-    "clicks_asof_prior_view",
-    "error_followup_counts",
-    "priority_returns_exists",
-    "small_qty_part_revenue",
-    "segment_event_value_salted",
-    "activity_union_by_name",
-    "order_price_percentiles",
-    "order_rank_flavors",
-    "pricing_summary",
-    "shipping_priority",
-    "nation_revenue",
-    "returnflag_rollup",
-    "customer_order_deltas",
-    "user_sessions_native",
-    "events_daily_tumbling",
-    "events_sliding_windows",
+    # checked r6, parked
+    "published_segment_kpis",
+    "top_return_customers",
+    "nation_revenue_pareto",
+    "doc_token_budget_sample",
+    "doc_lang_confusion",
+    "doc_dedup_keep_best",
+    "embedding_hard_negatives",
+    "embedding_dedup_final_lsh",
+    "asset_frame_samples",
+    "events_daily_complete",
+    "user_weekly_retention",
+    "event_type_transitions",
+    "events_daily_rollup_incremental",
+    "event_type_cooccurrence",
+    "events_wow_change",
+    "segment_nation_chi2",
+    "part_name_fuzzy_matches",
+    "lineitem_corr_matrix",
+    "orders_price_decile_bins",
+    "customer_scd2_apply",
+    "customer_balance_zscores",
+    "orders_pit_customer_balance",
+    "rolling_7d_distinct_users",
+    "events_customers_null_bypass",
+    "clicks_asof_recent_view",
+    "doc_encoding_audit",
+    "doc_novelty_fraction",
+    "doc_arrivals_dedup_lsh",
+    "doc_arrivals_dedup_store",
+    "doc_decontamination_bloom",
+    "doc_lm_outliers",
+    "daily_new_users_cumulative",
+    "doc_length_buckets",
+    "order_quantity_arrays",
+    "event_key_skew_profile",
+    "doc_split_assignment",
+    "doc_split_leakage_audit",
+    "doc_split_leakage_audit_lsh",
+    "doc_vocab_coverage",
+    "lineitem_winsorized_stats",
+    "eventers_orderers_full_outer",
+    "top_orders_global",
+    "customers_without_events_anti",
+    "returnflag_cube",
+    "order_date_parts",
+    "buyer_eventer_intersect",
+    "buyers_not_eventers_except",
+    "returnflag_status_pivot",
 ]
 
 

@@ -248,28 +248,47 @@ def main() -> None:
             extra_timings[name] = None
             errors[f"_{name}"] = f"{type(exc).__name__}: {exc}"[:500]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "extra": {
-                    "embedding_ivf_index_build": build_sec,
-                    "embedding_ivf_requery": requery_sec,
-                    "pq_index_build": pq_build_sec,
-                    "embedding_pq_serving": pq_serve_sec,
-                    "minhash_store_build": store_build_sec,
-                    "warm_total": warm_total,
-                    **extra_timings,
-                },
-                "queries_warm": warm_timings,
-                **({"errors": errors} if errors else {}),
-            }
-        )
-    )
+    # Key order matters for the grading driver's FIXED-SIZE TAIL
+    # capture (the r6 artifact arrived with the line's head — and the
+    # headline metric — cut off): the bulky per-query dicts go FIRST
+    # and the headline metric/value/unit/sf go LAST, so whatever prefix
+    # the capture drops, the metric survives verbatim.
+    payload = {
+        "queries": timings,
+        "queries_warm": warm_timings,
+        "extra": {
+            "embedding_ivf_index_build": build_sec,
+            "embedding_ivf_requery": requery_sec,
+            "pq_index_build": pq_build_sec,
+            "embedding_pq_serving": pq_serve_sec,
+            "minhash_store_build": store_build_sec,
+            "warm_total": warm_total,
+            **extra_timings,
+        },
+        **({"errors": errors} if errors else {}),
+        "metric": "headline_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+    }
+    line = json.dumps(payload)
+    # Belt and braces: mirror the full line to a committed-alongside
+    # local artifact so the round's numbers are reconstructible even if
+    # the captured tail still clips (round = latest CORRECTNESS + 1).
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            for m in [re.match(r"CORRECTNESS_r(\d+)\.json$", f)]
+            if m
+        ]
+        rnd = max(rounds) + 1 if rounds else 0
+        with open(os.path.join(here, f"BENCH_LOCAL_r{rnd:02d}.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # the stdout line is still the contract
+    print(line)
     spark.stop()
 
 

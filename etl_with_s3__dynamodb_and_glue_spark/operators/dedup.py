@@ -852,6 +852,126 @@ def simhash_candidate_pairs(
     )
 
 
+# --- substring-level exact dedup (Lee et al. 2022) ------------------------
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-substring extraction at token
+    granularity — the substring-level exact-dedup modality of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better": boilerplate, licenses, and templated passages repeat
+    VERBATIM across otherwise-distinct documents, and doc-level dedup
+    never sees them).
+
+    Construction (the distributed re-expression of the paper's suffix
+    array): every token position anchors one ``min_tokens``-gram; a
+    gram appearing in ≥ 2 DISTINCT documents marks its anchor position
+    duplicated; consecutive duplicated positions per document merge
+    into maximal spans via the gaps-and-islands window. Any verbatim
+    token run of length ≥ min_tokens shared across documents is
+    covered by exactly one maximal span per document (overlapping
+    shared runs union).
+
+    Returns (doc_id, span_start [0-based token index], span_len
+    [tokens], span_text).
+
+    Scale shape: gram identity is ``xxhash64`` over the sliced token
+    array (8-byte keys — gram STRINGS never shuffle), the only wide
+    ops are one groupBy on gram hash (map-side-combinable distinct-doc
+    count) and one equi-join of positions back to the duplicated-gram
+    set; islands/spans window only the duplicated positions — at
+    realistic dup rates a small fraction of total tokens. Cost is
+    O(total tokens), never O(docs²); no nested-loop join anywhere
+    (plan-asserted in tests/test_plan_shapes.py).
+    """
+    from .text import tokens, word_ngram_hashes
+
+    staged = docs.select(F.col(id_col), tokens(text_col).alias("tk"))
+    grams = staged.select(
+        id_col,
+        F.posexplode(word_ngram_hashes(F.col("tk"), min_tokens)).alias(
+            "pos", "gram"
+        ),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        dup_pos.withColumn("isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + min_tokens).alias("span_len"),
+        )
+        .drop("isl")
+    )
+    return spans.join(staged, id_col).select(
+        id_col,
+        "span_start",
+        "span_len",
+        F.concat_ws(
+            " ", F.slice("tk", F.col("span_start") + 1, F.col("span_len"))
+        ).alias("span_text"),
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The removal transform over :func:`duplicate_spans`: drop every
+    token that falls inside a cross-document duplicated span and emit
+    the scrubbed text (plus how many tokens were cut). Deliberately
+    aggressive — EVERY occurrence goes, the conservative variant for
+    decontamination-style scrubbing; Lee et al.'s keep-one-occurrence
+    policy is a keep-best choice layered on the same span table.
+
+    One left join of per-doc span lists onto the corpus; the token
+    filter is a native indexed higher-order function — no UDF, no
+    shuffle beyond the join.
+    """
+    if spans is None:
+        spans = duplicate_spans(
+            docs, min_tokens=min_tokens, id_col=id_col, text_col=text_col
+        )
+    from .text import tokens
+
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
+    )
+    staged = docs.select(F.col(id_col), tokens(text_col).alias("tk"))
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_len:int>>"),
+    )
+    kept = F.filter(
+        F.col("tk"),
+        lambda x, i: ~F.exists(
+            sp,
+            lambda s: (i >= s["span_start"])
+            & (i < s["span_start"] + s["span_len"]),
+        ),
+    )
+    return staged.join(span_arr, id_col, "left").select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("tk") - F.size(kept)).alias("n_tokens_removed"),
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     max_hamming: int = 3,

@@ -666,6 +666,153 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def synth_png(group: int, variant: int) -> bytes:
+    """REAL PNG bytes (stdlib encoder: 8-bit RGB, filter 0) with
+    PLANNED perceptual structure: ``group`` picks a diagonal-ramp
+    pattern (structurally distinct in dHash space), ``variant`` picks a
+    rendition that should (0→1) hash identically — the same picture at
+    doubled resolution, which box-averaging collapses back to the same
+    9×8 grid — or (0→2) land a few gradient-sign flips away (+8
+    brightness, clipped). Deterministic: pure function of (group,
+    variant)."""
+    import struct
+    import zlib
+
+    sx, sy = 7 + 2 * (group % 4), 3 + 5 * (group // 4)
+
+    def base(x: int, y: int) -> int:
+        return (x * sx + y * sy) * 11 % 256
+
+    if variant == 1:
+        width, height = 36, 32
+
+        def pix(x: int, y: int) -> int:
+            return base(x // 2, y // 2)
+
+    else:
+        width, height = 18, 16
+        if variant == 2:
+
+            def pix(x: int, y: int) -> int:
+                return min(255, base(x, y) + 8)
+
+        else:
+            pix = base
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body))
+        )
+
+    raw = b"".join(
+        b"\x00" + bytes(v for x in range(width) for v in (pix(x, y),) * 3)
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_wav(group: int, variant: int) -> bytes:
+    """REAL 16-bit mono PCM WAV bytes (stdlib ``wave``) with planned
+    perceptual structure: ``group`` picks a 6-note melody, ``variant``
+    0→1 is a pure gain cut (temporal-spectral gradient signs are
+    ratio-invariant → identical perceptual hash), 0→2 reverses the
+    melody (far in Hamming space). Deterministic."""
+    import io
+    import math
+    import struct
+    import wave
+
+    rate = 8000
+    freqs = [200.0 + 120.0 * ((group * 7 + j * 3) % 11 + 1) for j in range(6)]
+    if variant == 2:
+        freqs = list(reversed(freqs))
+    samples = [
+        int(0.4 * 32767 * math.sin(2 * math.pi * f * i / rate))
+        for f in freqs
+        for i in range(900)
+    ]
+    if variant == 1:
+        samples = [int(s * 0.4) for s in samples]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def make_media_asset_table(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    n_per_modality: int = 24,
+    n_groups: int = 8,
+) -> DataFrame:
+    """Asset table with REAL encoded media: for each of the first
+    ``n_per_modality`` document ids, one synthesized PNG and one WAV
+    (``synth_png``/``synth_wav``; group = id % n_groups, variant =
+    id // n_groups mod 3 — so each group carries an identical-looking
+    pair and a near-miss by construction). Image asset_id = doc id,
+    audio asset_id = doc id + 1000.
+
+    The synthesis runs as one Arrow-batched ``mapInPandas`` pass — the
+    same task shape a real ingest's decode/transcode step has — and the
+    result satisfies ``ASSET_SCHEMA`` exactly."""
+    base = (
+        documents.select(F.col(id_col).cast("long").alias("seq"))
+        .filter(F.col("seq") < n_per_modality)
+    )
+
+    flat_schema = (
+        "asset_id long, modality string, content binary, mime string, "
+        "width int, height int, duration_ms long"
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for seq in pdf["seq"]:
+                seq = int(seq)
+                g, v = seq % n_groups, (seq // n_groups) % 3
+                png = synth_png(g, v)
+                w = 36 if v == 1 else 18
+                h = 32 if v == 1 else 16
+                rows.append((seq, "image", png, "image/png", w, h, 0))
+                wav = synth_wav(g, v)
+                rows.append(
+                    (seq + 1000, "audio", wav, "audio/wav", 0, 0, 675)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "modality",
+                    "content",
+                    "mime",
+                    "width",
+                    "height",
+                    "duration_ms",
+                ],
+            )
+
+    return base.mapInPandas(_gen, flat_schema).select(
+        "asset_id",
+        "modality",
+        "content",
+        F.struct("mime", "width", "height", "duration_ms").alias("meta"),
+    )
+
+
 def make_asset_table(documents: DataFrame, modality: str = "image") -> DataFrame:
     """Build a synthetic asset table from the documents testdata:
     text bytes play the role of encoded media (the harness ships no

@@ -1559,6 +1559,65 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_7d_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-CALENDAR-day distinct users per active day —
+    the oracle-checkable companion that pins the calendar-range
+    semantics of :func:`rolling_7d_distinct_users` in the driver loop
+    (the r5 bug class was a ROWS frame silently spanning the last 7
+    ACTIVE days on a gapped calendar; the HLL query itself is
+    rows-only, so without this twin that semantics lived only in
+    pytest).
+
+    Scale shape: events reduce to DISTINCT (day, user) pairs first —
+    the only event-scale shuffle — then each pair fans out to the ≤ 7
+    trailing days it covers (a bounded explode on already-reduced
+    data), dedups, and a broadcast semi-join restricts output to
+    ACTIVE days (matching the sketch query's row set). No 7× re-scan
+    of raw events, no window over the fact table."""
+    ev = read_events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    pairs = ev.distinct().select(
+        "user_id",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias(
+            "d_epoch"
+        ),
+    )
+    covered = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d_epoch"), F.col("d_epoch") + 6)
+        ).alias("d_epoch"),
+    ).distinct()
+    active_days = pairs.select("d_epoch").distinct()
+    return (
+        covered.join(F.broadcast(active_days), "d_epoch")
+        .groupBy("d_epoch")
+        .agg(F.count(F.lit(1)).alias("users_7d"))
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("d_epoch")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "users_7d",
+        )
+    )
+
+
+ROLLING_7D_DISTINCT_EXACT_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS users_7d
+FROM days d
+JOIN pairs p ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+ORDER BY day
+"""
+
+
 def events_customers_null_bypass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL-key shuffle-bypass left join (operators/skew.py::
     null_bypass_left_join) over a deterministically null-injected key
@@ -1661,6 +1720,7 @@ QUERIES = {
     "customer_balance_zscores": customer_balance_zscores,
     "orders_pit_customer_balance": orders_pit_customer_balance,
     "rolling_7d_distinct_users": rolling_7d_distinct_users,
+    "rolling_7d_distinct_exact": rolling_7d_distinct_exact,
     "events_customers_null_bypass": events_customers_null_bypass,
     "customer_scd1_merge": customer_scd1_merge,
     "customer_cdc_apply": customer_cdc_apply,
@@ -1700,6 +1760,7 @@ ORACLE = {
     "customer_balance_zscores": CUSTOMER_BALANCE_ZSCORES_SQL,
     "orders_pit_customer_balance": ORDERS_PIT_CUSTOMER_BALANCE_SQL,
     "events_customers_null_bypass": EVENTS_CUSTOMERS_NULL_BYPASS_SQL,
+    "rolling_7d_distinct_exact": ROLLING_7D_DISTINCT_EXACT_SQL,
     "customer_scd1_merge": CUSTOMER_SCD1_MERGE_SQL,
     "customer_cdc_apply": CUSTOMER_CDC_APPLY_SQL,
     "orders_profile": ORDERS_PROFILE_SQL,

@@ -388,6 +388,54 @@ ORDER BY id_a, id_b
 """
 
 
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022): maximal verbatim
+    token runs of length ≥ 8 shared across ≥ 2 documents, per document
+    — the repeated-substring modality doc-level dedup misses (see
+    ``operators/dedup.py::duplicate_spans`` for the construction and
+    scale shape). Oracle-checkable end to end: the anchor-gram →
+    distinct-doc-count → gaps-and-islands pipeline is exact, and the
+    DuckDB twin groups on the gram STRING where Spark groups on its
+    xxhash64 (identical grouping modulo 2⁻⁶⁴ collisions)."""
+    return dedup.duplicate_spans(_docs(spark, sf_dir), min_tokens=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+DOC_DUPLICATE_SPANS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM t, UNNEST(range(1, GREATEST(len(toks) - 7, 0) + 1)) AS u(i)
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+pos AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+             AS isl
+  FROM grams g JOIN dup USING (gram)
+),
+spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS INTEGER) AS span_start,
+         CAST(MAX(pos) - MIN(pos) + 8 AS INTEGER) AS span_len
+  FROM pos GROUP BY doc_id, isl
+)
+SELECT s.doc_id, s.span_start, s.span_len,
+       array_to_string(list_slice(t.toks, s.span_start + 1,
+                                  s.span_start + s.span_len), ' ')
+           AS span_text
+FROM spans s JOIN t USING (doc_id)
+ORDER BY s.doc_id, s.span_start
+"""
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (the pre-tokenizer step of a
     training pipeline): 32-token windows, 8-token overlap, tail never
@@ -1321,19 +1369,75 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str):
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN over PREBUILT product-quantization codes
     (:func:`ensure_pq_index`): ADC serving scans only the 16-byte code
-    column — rows-only check; recall and the batching-invariance
-    contract are asserted in ``tests/test_quantization.py``.
-
-    STAGED for the round-7 registry window: the round-6 window is at
-    its 50-slot capacity, and a never-checked query may not ship
-    outside the window (rotation rule 1), so this function is exercised
-    by bench extras + tests this round and registers next round.
-    """
+    column — rows-only check (PQ is approximate; no SQL twin); recall,
+    determinism, and the batching-invariance contract (per-batch prune
+    keyed on the ROUNDED score, same as the global cut) are asserted in
+    ``tests/test_quantization.py``. Registered round 7 per rotation
+    rule 1 (the r6 window was at capacity)."""
     from ..operators import quantization
 
     books, codes = ensure_pq_index(spark, sf_dir)
     return quantization.pq_adc_topk(
         books, codes, _queries_df(spark, sf_dir), k=5
+    )
+
+
+def ivf_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-occupancy report over the PREBUILT IVF index
+    (:func:`ensure_ivf_index`): per-cluster vector counts plus the
+    global max/mean imbalance factor — the re-cluster trigger every
+    IVF deployment monitors (rebuild when the factor drifts far above
+    1). One keyed count over the assignments table; the factor window
+    runs over the n_clusters-row summary, never the corpus. Rows-only
+    (k-means has no SQL twin); occupancy exactness and stability are
+    asserted in ``tests/test_llm_ops.py``."""
+    index = ensure_ivf_index(spark, sf_dir)
+    return similarity.ivf_imbalance(index).orderBy("cluster")
+
+
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED BPE trainer's artifact as a queryable table:
+    the ordered merge list learned from the corpus (rank, left symbol,
+    right symbol, merged token). Rows-only — the merge loop is
+    iterative (argmax per step) and has no SQL twin; correctness is
+    pinned by the property test in ``tests/test_bpe.py`` that proves
+    exact-twin equality against a sequential reference tokenizer on
+    random corpora, plus determinism/early-stop/round-trip tests."""
+    from ..operators.bpe import bpe_train
+
+    merges = bpe_train(_docs(spark, sf_dir), n_merges=30)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, left string, right string, merged string",
+    )
+
+
+def asset_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs across REAL media: synthesized
+    PNG and WAV assets (``multimodal.make_media_asset_table`` — group/
+    variant construction plants identical-rendition and near-miss pairs)
+    hashed once per modality (image dHash, audio temporal-spectral
+    hash), paired through the SHARED SimHash block-combination banding,
+    popcount-verified. Media bytes never shuffle — only (id, 8-byte
+    hash) rows move. Rows-only (perceptual hashing has no SQL twin);
+    the invariance suites in ``tests/test_llm_ops.py`` (re-encode,
+    resolution, gain) pin the hash semantics and the planted pair
+    structure is asserted in ``tests/test_llm_ops.py``."""
+    assets = multimodal.make_media_asset_table(_docs(spark, sf_dir))
+    img = multimodal.image_near_dups(
+        assets.filter(F.col("modality") == "image"), max_hamming=4
+    )
+    aud = multimodal.audio_near_dups(
+        assets.filter(F.col("modality") == "audio"), max_hamming=4
+    )
+    return (
+        img.select(F.lit("image").alias("modality"), "id_a", "id_b", "hamming")
+        .unionByName(
+            aud.select(
+                F.lit("audio").alias("modality"), "id_a", "id_b", "hamming"
+            )
+        )
+        .orderBy("modality", "id_a", "id_b")
     )
 
 
@@ -1950,6 +2054,7 @@ QUERIES = {
     "doc_split_assignment": doc_split_assignment,
     "doc_length_buckets": doc_length_buckets,
     "doc_ngram_containment": doc_ngram_containment,
+    "doc_duplicate_spans": doc_duplicate_spans,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_top_tokens": doc_top_tokens,
     "doc_token_cms_estimates": doc_token_cms_estimates,
@@ -1961,9 +2066,13 @@ QUERIES = {
     "embedding_dedup_final_lsh": embedding_dedup_final_lsh,
     "embedding_lsh_topk": embedding_lsh_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
+    "embedding_pq_topk": embedding_pq_topk,
+    "ivf_imbalance": ivf_imbalance,
+    "doc_bpe_merges": doc_bpe_merges,
     "asset_content_hashes": asset_content_hashes,
     "asset_frame_samples": asset_frame_samples,
     "asset_features": asset_features,
+    "asset_near_dups": asset_near_dups,
 }
 
 ORACLE = {
@@ -1985,6 +2094,7 @@ ORACLE = {
     "doc_dedup_keep_best": DOC_DEDUP_KEEP_BEST_SQL,
     "doc_dedup_cluster_stats": DOC_DEDUP_CLUSTER_STATS_SQL,
     "doc_ngram_containment": DOC_NGRAM_CONTAINMENT_SQL,
+    "doc_duplicate_spans": DOC_DUPLICATE_SPANS_SQL,
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
     "doc_top_tokens": DOC_TOP_TOKENS_SQL,
     "doc_token_cms_estimates": DOC_TOKEN_CMS_SQL,
@@ -2003,6 +2113,8 @@ ORACLE = {
     "asset_frame_samples": ASSET_FRAME_SAMPLES_SQL,
     "asset_features": ASSET_FEATURES_SQL,
     # doc_minhash_near_dups, doc_simhash_near_dups, doc_dedup_final_lsh,
-    # doc_arrivals_dedup_lsh, embedding_lsh_topk: approximate →
-    # rows-only.
+    # doc_arrivals_dedup_lsh, embedding_lsh_topk, embedding_pq_topk,
+    # asset_near_dups: approximate → rows-only. ivf_imbalance (k-means
+    # occupancy) and doc_bpe_merges (iterative argmax loop): no SQL
+    # twin → rows-only, pinned by exact-twin/property tests instead.
 }

@@ -48,6 +48,62 @@ def test_minhash_recall_vs_exact(docs):
     assert recall >= 0.9, f"minhash recall {recall:.3f} < 0.9"
 
 
+def test_duplicate_spans_constructed(spark):
+    """Substring-level exact dedup on a corpus with KNOWN shared runs:
+    maximal spans at the right offsets, within-doc-only repeats stay
+    out (cross-document rule), and overlapping shared runs union into
+    one span."""
+    run = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {run} y1"),
+            (2, f"{run} z1 z2"),
+            (3, " ".join(f"q{i}" for i in range(12))),
+            # doc 4 repeats a run WITHIN itself only — no other doc has
+            # it, so the cross-document rule keeps it out
+            (4, "r1 r2 r3 r4 r5 r1 r2 r3 r4 r5"),
+            # docs 5/6/7: doc 6 shares its head with 5 and its tail
+            # with 7 — the overlapping duplicated anchors must union
+            # into ONE maximal span covering a..g
+            (5, "a b c d e p5a p5b p5c"),
+            (6, "a b c d e f g"),
+            (7, "p7a p7b p7c c d e f g"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_len, r.span_text)
+        for r in dedup.duplicate_spans(df, min_tokens=4).collect()
+    }
+    assert got[1] == (2, 10, run)
+    assert got[2] == (0, 10, run)
+    assert 3 not in got and 4 not in got
+    assert got[5] == (0, 5, "a b c d e")
+    assert got[6] == (0, 7, "a b c d e f g")
+    assert got[7] == (3, 5, "c d e f g")
+
+
+def test_remove_duplicate_spans_scrubs_exact_occurrences(spark):
+    """The removal transform drops exactly the duplicated-span tokens
+    and leaves clean docs untouched."""
+    run = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {run} y1"),
+            (2, f"{run} z1 z2"),
+            (3, "q0 q1 q2 q3 q4 q5"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_removed)
+        for r in dedup.remove_duplicate_spans(df, min_tokens=4).collect()
+    }
+    assert got[1] == ("x1 x2 y1", 10)
+    assert got[2] == ("z1 z2", 10)
+    assert got[3] == ("q0 q1 q2 q3 q4 q5", 0)
+
+
 def test_minhash_exact_dup_collapse_expands_completely(spark):
     """The exact-duplicate collapse must be output-invisible: every
     within-group pair (Jaccard 1), every cross-group member pair, and
@@ -400,6 +456,56 @@ def test_multimodal_feature_shape(docs):
     again = multimodal.extract_features(assets, fake=True).first()
     assert again.features == row.features
     assert again.content_sha == row.content_sha
+
+
+def test_media_asset_table_planted_near_dup_structure(spark, docs):
+    """make_media_asset_table synthesizes REAL PNG/WAV bytes with a
+    planned group/variant layout; the declared asset_near_dups query
+    rides on exactly this structure, so pin it: schema conformance,
+    real decodability, resolution-invariant image pairs, gain-robust
+    audio pairs, and the reversed-melody variant staying out."""
+    assets = multimodal.make_media_asset_table(docs)
+    assert [
+        (f.name, f.dataType) for f in assets.schema.fields
+    ] == [(f.name, f.dataType) for f in multimodal.ASSET_SCHEMA.fields]
+    by_mod = {
+        r.modality: r.n
+        for r in assets.groupBy("modality").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_mod == {"image": 24, "audio": 24}
+
+    # every byte payload is genuinely decodable media
+    sample = assets.orderBy("asset_id").collect()
+    for r in sample:
+        if r.modality == "image":
+            multimodal.image_dhash(bytes(r.content))
+        else:
+            multimodal.audio_phash(bytes(r.content))
+
+    img_pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.image_near_dups(
+            assets.filter(F.col("modality") == "image"), max_hamming=4
+        ).collect()
+    }
+    aud_pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.audio_near_dups(
+            assets.filter(F.col("modality") == "audio"), max_hamming=4
+        ).collect()
+    }
+    for g in range(8):
+        # image: same picture at doubled resolution → identical dHash
+        assert img_pairs.get((g, g + 8)) == 0
+        # audio: pure gain cut stays within the hamming budget; the
+        # reversed melody (variant 2) must NOT pair with the original
+        assert aud_pairs[(1000 + g, 1008 + g)] <= 4
+        assert (1000 + g, 1016 + g) not in aud_pairs
+    # determinism: a second synthesis produces identical bytes
+    again = multimodal.make_media_asset_table(docs).orderBy("asset_id").collect()
+    assert [bytes(r.content) for r in again] == [
+        bytes(r.content) for r in sample
+    ]
 
 
 def test_real_decode_unsupported_formats_raise():

@@ -382,6 +382,20 @@ def test_minhash_near_dups_never_goes_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_duplicate_spans_never_goes_nested_loop(spark):
+    """Substring-level exact dedup must stay equi-join shaped end to
+    end: the duplicated-gram attach and the span-text reconstruction
+    join both key on hash/doc_id — a CartesianProduct or nested-loop
+    node means the anchor construction degenerated to all-pairs."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.llm_ops import (
+        doc_duplicate_spans,
+    )
+
+    plan = plan_str(doc_duplicate_spans(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_zscores_use_broadcast_stats_not_segment_window(spark):
     """Per-segment standardization must broadcast the 5-row stats
     table, not window-partition the whole fact by segment (5 giant

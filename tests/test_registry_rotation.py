@@ -66,6 +66,23 @@ def test_never_checked_queries_are_in_window():
     )
 
 
+def test_diff_touched_queries_are_in_window():
+    """Rule 2 (executable since r7, per ADVICE r6): every query whose
+    code or oracle this round's diff touched — recorded in the
+    ``_TOUCHED_THIS_ROUND`` ledger next to the window lists, updated
+    as part of the diff — must sit inside the current window, even if
+    it was green in a recent artifact."""
+    reg = list(_registry())
+    touched = entry_mod._TOUCHED_THIS_ROUND
+    unknown = [n for n in touched if n not in set(reg)]
+    assert not unknown, f"touched but not in registry: {unknown}"
+    window = set(reg[:WINDOW])
+    outside = [n for n in touched if n not in window]
+    assert not outside, (
+        f"lineage touched this round but outside the window: {outside}"
+    )
+
+
 def test_no_query_stale_beyond_two_artifacts():
     arts = _artifacts()
     if len(arts) < 2:
