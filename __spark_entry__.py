@@ -60,6 +60,15 @@ _MODULES = [
 # round-7 registrations (rule 1): embedding_pq_topk, ivf_imbalance,
 # doc_bpe_merges, asset_near_dups, doc_duplicate_spans,
 # rolling_7d_distinct_exact. Exactly 50.
+#
+# ROUND-8 QUEUE: the r5-checked block at the head of _CHECK_LAST
+# (orders_price_histogram … events_activity_concurrency) parks beyond
+# two artifacts once CORRECTNESS_r07 lands — compute it from the
+# artifacts, the rotation test enforces it. ALSO round 8: register
+# plans/functions_surface.py::weekly_user_distinct_exact (the oracle
+# companion of weekly_user_sketch_rollup — implemented + agreement-
+# tested this round, kept out because this window is at capacity and
+# rule 1 forbids shipping a never-checked query outside it).
 
 # Rule-2 ledger: queries whose code or oracle this round's diff
 # touched (directly or through an operator they consume). The rotation

@@ -574,6 +574,50 @@ def weekly_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weekly_user_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weekly distinct users + day/event counts — the
+    oracle-checkable companion of :func:`weekly_user_sketch_rollup`,
+    pinning the week-truncation and day/event accounting in the driver
+    loop (the sketch query is rows-only, so without this twin those
+    semantics live only in pytest's error-envelope test).
+
+    STAGED for the round-8 registry window: the round-7 window is at
+    its 50-slot capacity (42 mandatory returns + rules 2/3 + six new
+    registrations), and rotation rule 1 forbids shipping a
+    never-checked query outside the window — exercised by tests this
+    round, registers next round.
+
+    One countDistinct per week — exact distinct is holistic, which is
+    WHY the sketch variant exists; this twin is the audit query you
+    run at the coarse grain where exactness is still affordable."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(
+            F.countDistinct("user_id").alias("n_distinct_users"),
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.to_date("week").alias("week"),
+            "n_distinct_users",
+            "n_days",
+            "n_events",
+        )
+    )
+
+
+WEEKLY_USER_DISTINCT_EXACT_SQL = """
+SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS week,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY week
+"""
+
+
 # --- pivot ---------------------------------------------------------------
 
 

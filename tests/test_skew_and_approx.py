@@ -135,6 +135,34 @@ def test_weekly_sketch_rollup_within_hll_error(spark, capsys):
         assert row.n_events == exact[week].n_events
 
 
+def test_weekly_distinct_exact_companion_matches_sketch_rollup(spark):
+    """The STAGED round-8 oracle companion (weekly_user_distinct_exact)
+    must agree with the sketch rollup on every shared semantic: same
+    week set, identical n_days/n_events accounting, and the sketch
+    estimate within its error envelope of the companion's exact
+    distinct — so registering it later cannot surprise."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.functions_surface import (
+        weekly_user_distinct_exact,
+        weekly_user_sketch_rollup,
+    )
+    from tests.conftest import SF_ORACLE
+
+    exact = {
+        r.week: r for r in weekly_user_distinct_exact(spark, SF_ORACLE).collect()
+    }
+    sketch = {
+        r.week: r for r in weekly_user_sketch_rollup(spark, SF_ORACLE).collect()
+    }
+    assert set(exact) == set(sketch) and exact
+    for week, e in exact.items():
+        s = sketch[week]
+        assert (e.n_days, e.n_events) == (s.n_days, s.n_events), week
+        rel = abs(s.est_distinct_users - e.n_distinct_users) / max(
+            e.n_distinct_users, 1
+        )
+        assert rel <= 0.05, f"{week}: {rel:.4f}"
+
+
 def test_rolling_7d_sketch_window_vs_exact(spark, capsys):
     """Window-merged HLL (rolling_7d_distinct_users) must land within
     the sketch error envelope of the exact trailing-7-day distinct
