@@ -82,6 +82,11 @@ EXTRAS = [
     "doc_split_leakage_audit_lsh",
     "doc_vocab_coverage",
     "event_key_skew_profile",
+    # round-7 session surface
+    "doc_duplicate_spans",
+    "asset_near_dups",
+    "rolling_7d_distinct_exact",
+    "ivf_imbalance",
 ]
 
 

@@ -65,6 +65,13 @@ SUBSET = [
     "doc_token_budget_sample",
     "doc_vocab_coverage",
     "doc_split_leakage_audit_lsh",
+    # round-7 session additions: substring dedup, exact rolling
+    # distinct, media near-dups, BPE merge table (empty corpus → no
+    # merges)
+    "doc_duplicate_spans",
+    "rolling_7d_distinct_exact",
+    "asset_near_dups",
+    "doc_bpe_merges",
 ]
 
 

@@ -382,6 +382,22 @@ def test_minhash_near_dups_never_goes_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_rolling_distinct_exact_broadcasts_active_days(spark):
+    """The exact calendar-trailing companion must restrict covered
+    days to ACTIVE days via a broadcast of the tiny day table — not a
+    shuffle join against the fanned-out pairs, and never a range/
+    nested-loop join (the DuckDB twin's BETWEEN is fine at oracle
+    scale; Spark's plan is the bounded-explode + equi-join shape)."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.functions_surface import (
+        rolling_7d_distinct_exact,
+    )
+
+    plan = plan_str(rolling_7d_distinct_exact(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_duplicate_spans_never_goes_nested_loop(spark):
     """Substring-level exact dedup must stay equi-join shaped end to
     end: the duplicated-gram attach and the span-text reconstruction
