@@ -68,7 +68,10 @@ _MODULES = [
 # plans/functions_surface.py::weekly_user_distinct_exact (the oracle
 # companion of weekly_user_sketch_rollup — implemented + agreement-
 # tested this round, kept out because this window is at capacity and
-# rule 1 forbids shipping a never-checked query outside it).
+# rule 1 forbids shipping a never-checked query outside it) and
+# plans/llm_ops.py::embedding_ivfpq_topk (IVF-PQ serving over the
+# build-once cluster-partitioned code table — smoke + partition-
+# pruning tested this round, same staging rationale).
 
 # Rule-2 ledger: queries whose code or oracle this round's diff
 # touched (directly or through an operator they consume). The rotation

@@ -1382,6 +1382,53 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Build-once accessor for the FULL IVF-PQ serving layout: the IVF
+    index's assignments PQ-encoded (``pq_encode_ivf``) and persisted
+    PARTITIONED BY CLUSTER — so a probe reads n_probe/n_clusters of a
+    table whose rows are (id, cluster, 16-byte code), never a raw
+    vector. Same input-fingerprint cache / lock / exit-cleanup contract
+    as :func:`ensure_ivf_index`. Returns (index, codebooks, encoded
+    assignments DataFrame)."""
+    from ..operators import quantization
+    from ..sources.dataset import ensure_derived_dataset
+
+    index = ensure_ivf_index(spark, sf_dir)
+    books, _codes = ensure_pq_index(spark, sf_dir)
+    corpus = f"{sf_dir}/embeddings.parquet"
+
+    def build(path: str) -> None:
+        (
+            quantization.pq_encode_ivf(books, index)
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(path)
+        )
+
+    p = ensure_derived_dataset("ivfpq_index", [corpus], build)
+    return index, books, spark.read.parquet(p)
+
+
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving (IVFADC shape): coarse-probe to n_probe cells,
+    ADC-score only those cells' PQ codes — the compressed AND pruned
+    100 TB serving path (`operators/quantization.py::ivf_pq_topk`).
+    Rows-only (approximate); the full-probe row-equality vs plain ADC
+    and candidate-restriction contracts are in
+    ``tests/test_quantization.py``.
+
+    STAGED for the round-8 registry window (same reason as round 6's
+    PQ staging: the round-7 window is at its 50-slot capacity and rule
+    1 forbids shipping a never-checked query outside it) — exercised
+    by tests + bench extras this round, registers next round."""
+    from ..operators import quantization
+
+    index, books, encoded = ensure_ivfpq_index(spark, sf_dir)
+    return quantization.ivf_pq_topk(
+        index, books, encoded, _queries_df(spark, sf_dir), k=5, n_probe=8
+    )
+
+
 def ivf_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-occupancy report over the PREBUILT IVF index
     (:func:`ensure_ivf_index`): per-cluster vector counts plus the

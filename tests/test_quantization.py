@@ -153,6 +153,28 @@ def test_adc_scores_track_true_cosine(books, encoded, emb, queries):
     assert picked > overall + 0.1
 
 
+def test_staged_ivfpq_query_serves_and_prunes(spark):
+    """The STAGED round-8 query embedding_ivfpq_topk must already
+    serve correctly (k rows per query, no self-matches) and its scan
+    of the cluster-partitioned code table must partition-prune to the
+    probed cells (PartitionFilters / dynamic pruning in the plan) —
+    so registering it later cannot surprise."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
+    from tests.conftest import SF_SMOKE
+
+    df = llm_ops.embedding_ivfpq_topk(spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    per_q: dict[int, int] = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(n <= 5 for n in per_q.values()) and len(per_q) == 10
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower(), plan
+
+
 def test_query_cap_enforced(books, encoded, emb):
     with pytest.raises(ValueError, match="broadcast_queries_max"):
         Q.pq_adc_topk(

@@ -27,7 +27,7 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
-QUERIES = ["doc_minhash_near_dups", "doc_token_cms_estimates"]
+QUERIES = ["doc_minhash_near_dups", "doc_token_cms_estimates", "doc_duplicate_spans"]
 SIZES = {"n5k": 5_000, "n50k": 50_000}
 SEED = 42
 
