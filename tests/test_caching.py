@@ -88,6 +88,8 @@ def test_operator_persists_do_not_outlive_results(spark):
         "doc_ngram_containment",
         "doc_repetition_signals",
         "embedding_near_dup_pairs_lsh",
+        # r7: both near-dup gates persist per-modality fingerprints
+        "asset_near_dups",
     ):
         registry = {**llm_ops.QUERIES, **curation.QUERIES}
         registry[name](spark, SF_SMOKE).collect()

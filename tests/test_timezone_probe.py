@@ -19,6 +19,7 @@ PROBED = [
     "daily_new_users_cumulative",  # to_date day bucketing
     "events_json_extract",    # ts rendering alongside json
     "events_wow_change",      # epoch-week arithmetic
+    "rolling_7d_distinct_exact",  # to_date + epoch-day fan-out (r7)
 ]
 
 
