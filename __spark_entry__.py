@@ -71,7 +71,11 @@ _MODULES = [
 # rule 1 forbids shipping a never-checked query outside it) and
 # plans/llm_ops.py::embedding_ivfpq_topk (IVF-PQ serving over the
 # build-once cluster-partitioned code table — smoke + partition-
-# pruning tested this round, same staging rationale).
+# pruning tested this round, same staging rationale), and
+# plans/curation.py::doc_eval_span_overlap (span-level benchmark
+# decontamination — oracle twin already written and agreement-tested
+# this round). With the ~46 r5-checked returns plus user_sessions,
+# those three staged registrations fill the round-8 window exactly.
 
 # Rule-2 ledger: queries whose code or oracle this round's diff
 # touched (directly or through an operator they consume). The rotation

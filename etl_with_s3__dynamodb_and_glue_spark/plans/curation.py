@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import curation
+from ..operators import curation, dedup
 from ..operators.curation import PII_PATTERNS
 
 
@@ -157,6 +157,60 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     eval_docs = docs.filter(F.col("doc_id") % 25 == 0)
     return curation.decontaminate(docs, eval_docs, n=8)
+
+
+def doc_eval_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level decontamination (span-granular upgrade of
+    :func:`doc_decontamination`): the maximal verbatim token runs
+    (≥ 8) of each TRAIN doc that appear anywhere in the synthetic eval
+    subset (every 25th doc) — the exact passages
+    ``dedup.remove_duplicate_spans`` would cut. Eval gram-hash set
+    broadcast; the train corpus is one anchor pass
+    (``dedup.duplicate_spans_vs``).
+
+    STAGED for the round-8 registry window (round-7 window at
+    capacity; rotation rule 1) — oracle twin below is validated by the
+    staged-query agreement test this round and registers next round.
+    """
+    docs = _docs(spark, sf_dir)
+    return dedup.duplicate_spans_vs(
+        docs.filter(F.col("doc_id") % 25 != 0),
+        docs.filter(F.col("doc_id") % 25 == 0),
+        min_tokens=8,
+    ).orderBy("doc_id", "span_start")
+
+
+DOC_EVAL_SPAN_OVERLAP_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM t, UNNEST(range(1, GREATEST(len(toks) - 7, 0) + 1)) AS u(i)
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0),
+pos AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+             AS isl
+  FROM grams g JOIN ev USING (gram)
+  WHERE g.doc_id % 25 <> 0
+),
+spans AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS INTEGER) AS span_start,
+         CAST(MAX(pos) - MIN(pos) + 8 AS INTEGER) AS span_len
+  FROM pos GROUP BY doc_id, isl
+)
+SELECT s.doc_id, s.span_start, s.span_len,
+       array_to_string(list_slice(t.toks, s.span_start + 1,
+                                  s.span_start + s.span_len), ' ')
+           AS span_text
+FROM spans s JOIN t USING (doc_id)
+ORDER BY s.doc_id, s.span_start
+"""
 
 
 DOC_DECONTAMINATION_SQL = """

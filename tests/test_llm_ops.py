@@ -83,6 +83,52 @@ def test_duplicate_spans_constructed(spark):
     assert got[7] == (3, 5, "c d e f g")
 
 
+def test_duplicate_spans_vs_reference_constructed(spark):
+    """Cross-corpus span extraction: only runs verbatim-present in the
+    reference surface, at the right offsets; train-only repeats stay
+    out; and the reference side never contributes output rows."""
+    leak = " ".join(f"e{i}" for i in range(8))
+    train = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {leak} a3"),
+            (2, f"{leak} b1 b2"),
+            # shared between train docs ONLY — not in the reference, so
+            # the cross-corpus extractor must ignore it
+            (3, "s1 s2 s3 s4 s5 s6 s7 s8 c1"),
+            (4, "s1 s2 s3 s4 s5 s6 s7 s8 d1"),
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, f"z1 {leak} z2")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_len, r.span_text)
+        for r in dedup.duplicate_spans_vs(train, ref, min_tokens=4).collect()
+    }
+    assert got == {1: (2, 8, leak), 2: (0, 8, leak)}
+
+
+def test_staged_eval_span_overlap_matches_oracle(spark):
+    """The STAGED round-8 query doc_eval_span_overlap must already
+    match its DuckDB twin value-for-value, so registering it later
+    cannot surprise."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
+        DOC_EVAL_SPAN_OVERLAP_SQL,
+        doc_eval_span_overlap,
+    )
+    from tests.oracle_harness import compare
+
+    res = compare(
+        spark,
+        SF_SMOKE,
+        "doc_eval_span_overlap",
+        doc_eval_span_overlap,
+        DOC_EVAL_SPAN_OVERLAP_SQL,
+    )
+    assert res.get("values_match"), res
+
+
 def test_remove_duplicate_spans_scrubs_exact_occurrences(spark):
     """The removal transform drops exactly the duplicated-span tokens
     and leaves clean docs untouched."""
