@@ -327,6 +327,67 @@ _words = st.lists(
 )
 
 
+_span_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=15
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _reference_duplicate_spans(texts, min_tokens):
+    """Sequential brute-force twin of dedup.duplicate_spans: same
+    normalization, gram ownership over raw token tuples (no hashing),
+    islands merged per doc."""
+    import re
+    from collections import defaultdict
+
+    toks = {
+        d: re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+        for d, t in texts.items()
+    }
+    owners = defaultdict(set)
+    for d, tk in toks.items():
+        for i in range(len(tk) - min_tokens + 1):
+            owners[tuple(tk[i : i + min_tokens])].add(d)
+    out = []
+    for d, tk in toks.items():
+        runs: list[list[int]] = []
+        for p in range(len(tk) - min_tokens + 1):
+            if len(owners[tuple(tk[p : p + min_tokens])]) < 2:
+                continue
+            if runs and p == runs[-1][1] + 1:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        for a, b in runs:
+            ln = b - a + min_tokens
+            out.append((d, a, ln, " ".join(tk[a : a + ln])))
+    return sorted(out)
+
+
+@given(docs=_span_docs)
+@_slow
+def test_duplicate_spans_matches_sequential_reference(spark, docs):
+    """The distributed span extractor IS the brute-force definition:
+    for any corpus, (doc, start, len, text) rows equal a sequential
+    reference computed over raw token tuples — exercising hash-vs-
+    string gram identity, island merging across adjacent/overlapping
+    shared runs, within-doc-only repeats, and sub-L documents."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators import dedup
+
+    texts = {i: " ".join(tk) for i, tk in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_len, r.span_text)
+        for r in dedup.duplicate_spans(df, min_tokens=3).collect()
+    )
+    assert got == _reference_duplicate_spans(texts, 3)
+
+
 @given(ws=_words)
 @_slow
 def test_bpe_train_matches_sequential_reference_on_random_corpora(spark, ws):
