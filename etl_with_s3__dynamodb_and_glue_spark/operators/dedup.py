@@ -990,6 +990,60 @@ def duplicate_spans_vs(
     return _positions_to_spans(staged, dup_pos, min_tokens, id_col)
 
 
+def build_anchor_store(
+    reference: DataFrame,
+    path: str,
+    min_tokens: int = 8,
+    text_col: str = "text",
+) -> None:
+    """Persist a reference corpus's DISTINCT anchor gram-hash set —
+    the build-once side of incremental substring decontamination (the
+    same offline/serving split as ``build_minhash_store``): the eval
+    suite is hashed ONCE, and every arriving batch screens against the
+    stored 8-byte hashes without re-reading the reference."""
+    from .text import tokens, word_ngram_hashes
+
+    (
+        reference.select(
+            F.explode(
+                word_ngram_hashes(tokens(text_col), min_tokens)
+            ).alias("gram")
+        )
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def duplicate_spans_vs_store(
+    docs: DataFrame,
+    store_path: str,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span extraction against a PERSISTED anchor store
+    (:func:`build_anchor_store`): per-batch cost is the batch's own
+    anchor pass plus a broadcast of the stored gram set — the
+    reference text is never touched again. ``min_tokens`` must match
+    the store's build value (span granularity is baked into the
+    anchors)."""
+    from .text import tokens, word_ngram_hashes
+
+    spark = docs.sparkSession
+    staged = docs.select(F.col(id_col), tokens(text_col).alias("tk"))
+    grams = staged.select(
+        id_col,
+        F.posexplode(word_ngram_hashes(F.col("tk"), min_tokens)).alias(
+            "pos", "gram"
+        ),
+    )
+    dup_pos = grams.join(
+        F.broadcast(spark.read.parquet(store_path)), "gram", "left_semi"
+    ).select(id_col, "pos")
+    return _positions_to_spans(staged, dup_pos, min_tokens, id_col)
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     spans: DataFrame | None = None,

@@ -109,6 +109,26 @@ def test_duplicate_spans_vs_reference_constructed(spark):
     assert got == {1: (2, 8, leak), 2: (0, 8, leak)}
 
 
+def test_anchor_store_equals_inline_cross_corpus_spans(spark, docs, tmp_path):
+    """The persisted-anchor serving path must return EXACTLY what the
+    inline cross-corpus extractor returns on the same split — the
+    store is a cache, not an approximation."""
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    ref = docs.filter(F.col("doc_id") % 25 == 0)
+    store = str(tmp_path / "anchor_store")
+    dedup.build_anchor_store(ref, store, min_tokens=8)
+    inline = sorted(
+        map(tuple, dedup.duplicate_spans_vs(train, ref, min_tokens=8).collect())
+    )
+    stored = sorted(
+        map(
+            tuple,
+            dedup.duplicate_spans_vs_store(train, store, min_tokens=8).collect(),
+        )
+    )
+    assert inline == stored and inline
+
+
 def test_staged_eval_span_overlap_matches_oracle(spark):
     """The STAGED round-8 query doc_eval_span_overlap must already
     match its DuckDB twin value-for-value, so registering it later
