@@ -16,8 +16,11 @@ its OWN subdirectory instead of appending duplicates, and the matcher
 reads the store with ``batch_id < N`` (partition-pruned), so a
 half-landed previous attempt of batch N can never match against
 itself. The ``_last_batch_id`` marker only short-circuits the
-recompute when a batch is already fully landed — correctness does not
-depend on it.
+recompute when a batch is already fully landed, and it is SCOPED TO A
+RUN (same contract as ``vector_ingest``, ADVICE r6): foreachBatch ids
+restart at 0 under a fresh checkpoint, so a regressing batch_id from a
+DIFFERENT run fails loudly instead of silently skipping arrivals or
+clobbering the old run's same-numbered store generation.
 
 Scope: this gate dedups arrivals AGAINST THE STORE. Within-batch
 self-dedup (two near-identical docs arriving in one batch) is the
@@ -47,11 +50,21 @@ def _marker_path(store_dir: str) -> str:
     return os.path.join(store_dir, _BATCH_MARKER)
 
 
+def _read_marker(store_dir: str) -> tuple[str, int] | None:
+    """(run_id, batch_id) of the last fully-landed batch, or None.
+    Legacy single-line markers (pre run-scoping) read as run_id ''."""
+    if not os.path.isfile(_marker_path(store_dir)):
+        return None
+    with open(_marker_path(store_dir)) as f:
+        lines = f.read().splitlines()
+    if len(lines) >= 2:
+        return lines[0], int(lines[1])
+    return "", int(lines[0].strip())
+
+
 def last_ingested_batch_id(store_dir: str) -> int | None:
-    if os.path.isfile(_marker_path(store_dir)):
-        with open(_marker_path(store_dir)) as f:
-            return int(f.read().strip())
-    return None
+    marker = _read_marker(store_dir)
+    return None if marker is None else marker[1]
 
 
 def _store_generations(store_dir: str) -> list[int]:
@@ -81,13 +94,27 @@ def ingest_batch(
     decisions_dir: str,
     threshold: float = 0.9,
     num_hashes: int = 64,
+    run_id: str = "",
 ) -> None:
     """Decide one batch against all earlier store generations, land
     the decision log and the novel docs' signatures. Runs identically
-    under foreachBatch and as a batch backfill."""
-    last = last_ingested_batch_id(store_dir)
-    if last is not None and batch_id <= last:
-        return
+    under foreachBatch and as a batch backfill.
+
+    ``run_id`` scopes the replay short-circuit (the streaming wrapper
+    passes its checkpoint path): a regressed batch_id WITHIN a run is
+    an at-least-once replay → skipped; across runs it means a fresh
+    checkpoint re-numbering from 0 against a store another run built →
+    raises instead of silently dropping (or clobbering generation N)."""
+    marker = _read_marker(store_dir)
+    if marker is not None and batch_id <= marker[1]:
+        if marker[0] == run_id:
+            return
+        raise ValueError(
+            f"batch_id {batch_id} regressed below the landed "
+            f"{marker[1]} but came from a different run "
+            f"({run_id!r} vs {marker[0]!r}): resume from the original "
+            "checkpoint, or seed a fresh store_dir"
+        )
     spark = batch.sparkSession
     batch = batch.persist()
     prior = [g for g in _store_generations(store_dir) if g < batch_id]
@@ -116,7 +143,7 @@ def ingest_batch(
         "overwrite"
     ).option("compression", "zstd").parquet(f"{store_dir}/batch_id={batch_id}")
     with open(_marker_path(store_dir), "w") as f:
-        f.write(str(batch_id))
+        f.write(f"{run_id}\n{batch_id}")
     batch.unpersist()
 
 
@@ -131,6 +158,7 @@ def near_dup_ingest_stream(
     """Run the ingest gate over a document stream (columns: doc_id,
     text, ...). Each micro-batch is decided against every earlier
     generation of the store and extends it with its novel docs."""
+    run_id = os.path.abspath(checkpoint_dir)
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         ingest_batch(
@@ -140,6 +168,7 @@ def near_dup_ingest_stream(
             decisions_dir,
             threshold=threshold,
             num_hashes=num_hashes,
+            run_id=run_id,
         )
 
     return (

@@ -418,14 +418,24 @@ def test_near_dup_ingest_stream_matches_batch_composition(spark, tmp_path):
     seed_ids = {r.doc_id for r in seed.select("doc_id").collect()}
     assert store_ids == seed_ids | novel_ids
 
-    # replaying a landed batch id is a no-op (marker short-circuit)
+    # replaying a landed batch id WITHIN the same run is a no-op
+    # (marker short-circuit); the marker is scoped to the run, so the
+    # replay must present the stream's run id (its checkpoint path)
     before = sorted(got)
-    ingest_batch(arr1, 0, store_dir, decisions_dir)
+    run_id = os.path.abspath(str(tmp_path / "ckpt"))
+    ingest_batch(arr1, 0, store_dir, decisions_dir, run_id=run_id)
     after = sorted(
         (r.doc_id, r.is_dup, r.dup_of, r.n_matches)
         for r in read_decisions(spark, decisions_dir).collect()
     )
     assert after == before
+
+    # a regressed batch id from a DIFFERENT run (fresh checkpoint
+    # re-numbering from 0) must fail loudly, not silently skip
+    import pytest
+
+    with pytest.raises(ValueError, match="different run"):
+        ingest_batch(arr1, 0, store_dir, decisions_dir, run_id="other-ckpt")
 
 
 def test_sketch_store_replay_and_crash_recovery(spark, tmp_path):
@@ -525,3 +535,92 @@ def test_rollup_publish_stream_matches_batch_and_guards_replay(spark, tmp_path):
         (str(r.day), r.event_type): (r.n_events, round(r.sum_value, 6))
         for r in read_published(spark, root).collect()
     } == want
+
+
+def test_decontam_gate_stream_matches_batch_composition(spark, tmp_path):
+    """Streaming span-level decontamination: two file-batches screened
+    against a prebuilt eval anchor store must produce exactly the
+    findings/decisions the batch composition produces, with clean docs
+    present in the decision log; replay is a no-op within the run and
+    a cross-run batch-id regression fails loudly."""
+    import os
+    import time
+
+    import pytest
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators import dedup
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.decontam_gate import (
+        decontam_gate_stream,
+        read_decisions,
+        read_findings,
+        screen_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    arr1 = train.filter(F.col("doc_id") % 2 == 0)
+    arr2 = train.filter(F.col("doc_id") % 2 == 1)
+
+    store = str(tmp_path / "anchor_store")
+    dedup.build_anchor_store(ev, store, min_tokens=8)
+    findings_dir = str(tmp_path / "findings")
+    decisions_dir = str(tmp_path / "decisions")
+
+    src = tmp_path / "arrivals"
+    arr1.coalesce(1).write.parquet(str(src / "f0"))
+    arr2.coalesce(1).write.parquet(str(src / "f1"))
+    now = time.time()
+    for sub, age in (("f0", 200), ("f1", 100)):
+        for p in (src / sub).rglob("*.parquet"):
+            os.utime(p, (now - age, now - age))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = decontam_gate_stream(stream, store, findings_dir, decisions_dir, ckpt)
+    q.awaitTermination(180)
+
+    got_spans = sorted(
+        (r.doc_id, r.span_start, r.span_len, r.span_text)
+        for r in read_findings(spark, findings_dir).collect()
+    )
+    want_spans = sorted(
+        (r.doc_id, r.span_start, r.span_len, r.span_text)
+        for r in dedup.duplicate_spans_vs_store(
+            train, store, min_tokens=8
+        ).collect()
+    )
+    assert got_spans == want_spans and got_spans
+
+    decisions = {
+        r.doc_id: (r.contaminated, r.n_spans, r.n_tokens_leaked)
+        for r in read_decisions(spark, decisions_dir).collect()
+    }
+    # one decision per arriving doc, clean docs included
+    assert set(decisions) == {r.doc_id for r in train.collect()}
+    contaminated = {d for d, (c, _, _) in decisions.items() if c}
+    assert contaminated == {s[0] for s in want_spans}
+    for d, (c, n_spans, n_leak) in decisions.items():
+        doc_spans = [s for s in want_spans if s[0] == d]
+        assert n_spans == len(doc_spans)
+        assert n_leak == sum(s[2] for s in doc_spans)
+
+    # same-run replay: no-op
+    before = sorted(decisions.items())
+    run_id = os.path.abspath(ckpt)
+    screen_batch(arr1, 0, store, findings_dir, decisions_dir, run_id=run_id)
+    after = sorted(
+        (r.doc_id, (r.contaminated, r.n_spans, r.n_tokens_leaked))
+        for r in read_decisions(spark, decisions_dir).collect()
+    )
+    assert after == before
+
+    # cross-run regression: loud
+    with pytest.raises(ValueError, match="different run"):
+        screen_batch(arr1, 0, store, findings_dir, decisions_dir, run_id="x")
