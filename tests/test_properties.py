@@ -388,6 +388,55 @@ def test_duplicate_spans_matches_sequential_reference(spark, docs):
     assert got == _reference_duplicate_spans(texts, 3)
 
 
+@given(docs=_span_docs, ref=_span_docs)
+@_slow
+def test_duplicate_spans_vs_matches_sequential_reference(spark, docs, ref):
+    """Cross-corpus variant of the span property: a doc position is
+    covered iff its L-gram occurs ANYWHERE in the reference corpus —
+    the sequential twin marks positions by membership in the
+    reference's gram set, merges islands identically."""
+    import re
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators import dedup
+
+    def toks(t):
+        return re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+
+    texts = {i: " ".join(tk) for i, tk in enumerate(docs)}
+    ref_texts = [" ".join(tk) for tk in ref]
+    L = 3
+    ref_grams = {
+        tuple(tk[i : i + L])
+        for t in ref_texts
+        for tk in [toks(t)]
+        for i in range(len(tk) - L + 1)
+    }
+    want = []
+    for d, t in texts.items():
+        tk = toks(t)
+        runs: list[list[int]] = []
+        for p in range(len(tk) - L + 1):
+            if tuple(tk[p : p + L]) not in ref_grams:
+                continue
+            if runs and p == runs[-1][1] + 1:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        for a, b in runs:
+            ln = b - a + L
+            want.append((d, a, ln, " ".join(tk[a : a + ln])))
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    rdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_len, r.span_text)
+        for r in dedup.duplicate_spans_vs(df, rdf, min_tokens=L).collect()
+    )
+    assert got == sorted(want)
+
+
 @given(ws=_words)
 @_slow
 def test_bpe_train_matches_sequential_reference_on_random_corpora(spark, ws):
