@@ -37,7 +37,7 @@ _MODULES = [
 
 # The driver's correctness harness checks the FIRST 50 registry entries
 # per round; the registry is larger than that, so ordering is coverage
-# policy (round 7 edition). Rotation rules (tested by
+# policy (round 8 edition). Rotation rules (tested by
 # tests/test_registry_rotation.py):
 #   1. every query never seen in ANY CORRECTNESS_r*.json artifact must
 #      be in the current window (first 50) — nothing ships a round
@@ -52,105 +52,36 @@ _MODULES = [
 #      recent round that checked them AND whose lineage this round's
 #      diff does not touch.
 #
-# ROUND-7 WINDOW: the 42 queries last checked in round 4 or earlier
-# (the rotation test's r6 failure list — tpch surface, temporal/skew
-# showcases, the minhash/embedding lineage, flagship compat rows)
-# rotate back in, plus user_sessions (rule 3), customer_snapshot_diff
-# (rule 2: merge.py digest encoding rewritten this round), and the six
-# round-7 registrations (rule 1): embedding_pq_topk, ivf_imbalance,
-# doc_bpe_merges, asset_near_dups, doc_duplicate_spans,
-# rolling_7d_distinct_exact. Exactly 50.
+# ROUND-8 WINDOW: the 46 queries last checked in round 5 (the
+# rotation test's r7 failure list — the orders/doc-curation/retrieval
+# block) rotate back in, plus user_sessions (rule 3) and the three
+# round-8 registrations staged last round (rule 1):
+# weekly_user_distinct_exact, embedding_ivfpq_topk,
+# doc_eval_span_overlap. Exactly 50.
 #
-# ROUND-8 QUEUE: the r5-checked block at the head of _CHECK_LAST
-# (orders_price_histogram … events_activity_concurrency) parks beyond
-# two artifacts once CORRECTNESS_r07 lands — compute it from the
-# artifacts, the rotation test enforces it. ALSO round 8: register
-# plans/functions_surface.py::weekly_user_distinct_exact (the oracle
-# companion of weekly_user_sketch_rollup — implemented + agreement-
-# tested this round, kept out because this window is at capacity and
-# rule 1 forbids shipping a never-checked query outside it) and
-# plans/llm_ops.py::embedding_ivfpq_topk (IVF-PQ serving over the
-# build-once cluster-partitioned code table — smoke + partition-
-# pruning tested this round, same staging rationale), and
-# plans/curation.py::doc_eval_span_overlap (span-level benchmark
-# decontamination — oracle twin already written and agreement-tested
-# this round). With the ~46 r5-checked returns plus user_sessions,
-# those three staged registrations fill the round-8 window exactly.
+# ROUND-9 QUEUE: the 49-query r7-checked block at the head of
+# _CHECK_LAST (flagship_daily_segment_topk …
+# rolling_7d_distinct_exact) parks beyond two artifacts once
+# CORRECTNESS_r08 lands — compute it from the artifacts, the rotation
+# test enforces it. ALSO round 9: register
+# plans/curation.py::doc_scrub_duplicate_spans (the
+# remove_duplicate_spans scrub transform as a declared query — VERDICT
+# r7 item 5; implemented + oracle-twin-agreement-tested this round,
+# kept out because this window is at capacity and rule 1 forbids
+# shipping a never-checked query outside it).
 
 # Rule-2 ledger: queries whose code or oracle this round's diff
 # touched (directly or through an operator they consume). The rotation
 # test enforces these sit inside the window.
 _TOUCHED_THIS_ROUND = [
-    "customer_snapshot_diff",   # operators/merge.py digest encoding
-    "embedding_pq_topk",        # operators/quantization.py prune key
-    "ivf_imbalance",            # new registration
-    "doc_bpe_merges",           # new registration
-    "asset_near_dups",          # new registration (+ multimodal synth)
-    "doc_duplicate_spans",      # new operator + oracle
-    "rolling_7d_distinct_exact",  # new oracle companion
+    "weekly_user_distinct_exact",  # new registration
+    "embedding_ivfpq_topk",        # new registration
+    "doc_eval_span_overlap",       # new registration
 ]
 
 _CHECK_FIRST = [
-    # --- last checked r4 or earlier: parked two artifacts, must return
-    # (order = the rotation test's r6 failure list) ---
-    "flagship_daily_segment_topk",
-    "segment_kpis_compat",
-    "top_rows_per_day_compat",
-    "doc_token_stats",
-    "doc_quality",
-    "doc_lang_id",
-    "doc_exact_dedup",
-    "doc_jaccard_pairs",
-    "doc_dedup_final_lsh",
-    "doc_minhash_near_dups",
-    "doc_simhash_near_dups",
-    "embedding_topk_bruteforce",
-    "embedding_near_dup_pairs",
-    "embedding_near_dup_pairs_lsh",
-    "asset_features",
-    "order_approx_stats",
-    "asset_content_hashes",
-    "weekly_user_sketch_rollup",
-    "customer_rolling_spend",
-    "part_text_features",
-    "csv_quarantine_counts",
-    "doc_repetition_signals",
-    "doc_pii_scrub",
-    "doc_source_mix",
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
-    "clicks_asof_prior_view",
-    "error_followup_counts",
-    "priority_returns_exists",
-    "small_qty_part_revenue",
-    "segment_event_value_salted",
-    "activity_union_by_name",
-    "order_price_percentiles",
-    "order_rank_flavors",
-    "pricing_summary",
-    "shipping_priority",
-    "nation_revenue",
-    "returnflag_rollup",
-    "customer_order_deltas",
-    "user_sessions_native",
-    "events_daily_tumbling",
-    "events_sliding_windows",
-    # --- incident-prone events.ts lineage, in-window every round ---
-    "user_sessions",
-    # --- rule 2: lineage touched by this round's diff ---
-    "customer_snapshot_diff",
-    # --- new this round (rule 1): never checked, go first-run now ---
-    "embedding_pq_topk",
-    "ivf_imbalance",
-    "doc_bpe_merges",
-    "asset_near_dups",
-    "doc_duplicate_spans",
-    "rolling_7d_distinct_exact",
-]
-_CHECK_LAST = [
-    # hash-green r6 (or r5 where noted), lineage untouched by this
-    # round's diff — parked; the r5-checked block is first in the
-    # round-8 return queue
+    # --- last checked r5: parked two artifacts, must return
+    # (order = the rotation test's r7 failure list) ---
     "orders_price_histogram",
     "doc_chunks",
     "doc_char_entropy",
@@ -197,6 +128,66 @@ _CHECK_LAST = [
     "doc_weighted_sample",
     "events_value_running_total",
     "events_activity_concurrency",
+    # --- incident-prone events.ts lineage, in-window every round ---
+    "user_sessions",
+    # --- new this round (rule 1): staged r7, go first-run now ---
+    "weekly_user_distinct_exact",
+    "embedding_ivfpq_topk",
+    "doc_eval_span_overlap",
+]
+_CHECK_LAST = [
+    # hash-green r7 (or rows-only-by-design r7), lineage untouched by
+    # this round's diff — parked; this block is first in the round-9
+    # return queue
+    "flagship_daily_segment_topk",
+    "segment_kpis_compat",
+    "top_rows_per_day_compat",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_lang_id",
+    "doc_exact_dedup",
+    "doc_jaccard_pairs",
+    "doc_dedup_final_lsh",
+    "doc_minhash_near_dups",
+    "doc_simhash_near_dups",
+    "embedding_topk_bruteforce",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_lsh",
+    "asset_features",
+    "order_approx_stats",
+    "asset_content_hashes",
+    "weekly_user_sketch_rollup",
+    "customer_rolling_spend",
+    "part_text_features",
+    "csv_quarantine_counts",
+    "doc_repetition_signals",
+    "doc_pii_scrub",
+    "doc_source_mix",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "clicks_asof_prior_view",
+    "error_followup_counts",
+    "priority_returns_exists",
+    "small_qty_part_revenue",
+    "segment_event_value_salted",
+    "activity_union_by_name",
+    "order_price_percentiles",
+    "order_rank_flavors",
+    "pricing_summary",
+    "shipping_priority",
+    "nation_revenue",
+    "returnflag_rollup",
+    "customer_order_deltas",
+    "user_sessions_native",
+    "events_daily_tumbling",
+    "events_sliding_windows",
+    "customer_snapshot_diff",
+    "embedding_pq_topk",
+    "ivf_imbalance",
+    "doc_bpe_merges",
+    "asset_near_dups",
+    "doc_duplicate_spans",
+    "rolling_7d_distinct_exact",
     # checked r6, parked
     "published_segment_kpis",
     "top_return_customers",

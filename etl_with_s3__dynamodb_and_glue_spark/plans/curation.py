@@ -168,9 +168,9 @@ def doc_eval_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the train corpus is one anchor pass
     (``dedup.duplicate_spans_vs``).
 
-    STAGED for the round-8 registry window (round-7 window at
-    capacity; rotation rule 1) — oracle twin below is validated by the
-    staged-query agreement test this round and registers next round.
+    Staged in round 7 (window at capacity; rotation rule 1),
+    registered round 8 as planned; the oracle twin below was
+    agreement-tested a round before it faced the driver.
     """
     docs = _docs(spark, sf_dir)
     return dedup.duplicate_spans_vs(
@@ -593,6 +593,7 @@ QUERIES = {
     "doc_pii_scrub": doc_pii_scrub,
     "doc_decontamination": doc_decontamination,
     "doc_decontamination_bloom": doc_decontamination_bloom,
+    "doc_eval_span_overlap": doc_eval_span_overlap,
     "doc_encoding_audit": doc_encoding_audit,
     "doc_novelty_fraction": doc_novelty_fraction,
     "doc_curation_funnel": doc_curation_funnel,
@@ -604,6 +605,7 @@ ORACLE = {
     "doc_repetition_signals": DOC_REPETITION_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "doc_decontamination": DOC_DECONTAMINATION_SQL,
+    "doc_eval_span_overlap": DOC_EVAL_SPAN_OVERLAP_SQL,
     "doc_encoding_audit": DOC_ENCODING_AUDIT_SQL,
     "doc_novelty_fraction": DOC_NOVELTY_FRACTION_SQL,
     "doc_curation_funnel": DOC_CURATION_FUNNEL_SQL,

@@ -581,11 +581,8 @@ def weekly_user_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop (the sketch query is rows-only, so without this twin those
     semantics live only in pytest's error-envelope test).
 
-    STAGED for the round-8 registry window: the round-7 window is at
-    its 50-slot capacity (42 mandatory returns + rules 2/3 + six new
-    registrations), and rotation rule 1 forbids shipping a
-    never-checked query outside the window — exercised by tests this
-    round, registers next round.
+    Staged in round 7 (window at capacity; rotation rule 1),
+    registered round 8 as planned.
 
     One countDistinct per week — exact distinct is holistic, which is
     WHY the sketch variant exists; this twin is the audit query you
@@ -1782,6 +1779,7 @@ QUERIES = {
     "activity_union_by_name": activity_union_by_name,
     "order_approx_stats": order_approx_stats,
     "weekly_user_sketch_rollup": weekly_user_sketch_rollup,
+    "weekly_user_distinct_exact": weekly_user_distinct_exact,
     "order_price_percentiles": order_price_percentiles,
     "order_rank_flavors": order_rank_flavors,
     "customer_rolling_spend": customer_rolling_spend,
@@ -1822,6 +1820,7 @@ ORACLE = {
     "activity_union_by_name": ACTIVITY_UNION_BY_NAME_SQL,
     # order_approx_stats, weekly_user_sketch_rollup: sketch-based →
     # rows-only (accuracy vs exact asserted in tests)
+    "weekly_user_distinct_exact": WEEKLY_USER_DISTINCT_EXACT_SQL,
     "order_price_percentiles": ORDER_PRICE_PERCENTILES_SQL,
     "order_rank_flavors": ORDER_RANK_FLAVORS_SQL,
     "customer_rolling_spend": CUSTOMER_ROLLING_SPEND_SQL,

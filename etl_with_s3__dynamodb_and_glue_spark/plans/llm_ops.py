@@ -1417,10 +1417,8 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and candidate-restriction contracts are in
     ``tests/test_quantization.py``.
 
-    STAGED for the round-8 registry window (same reason as round 6's
-    PQ staging: the round-7 window is at its 50-slot capacity and rule
-    1 forbids shipping a never-checked query outside it) — exercised
-    by tests + bench extras this round, registers next round."""
+    Staged in round 7 (window at capacity; rotation rule 1),
+    registered round 8 as planned."""
     from ..operators import quantization
 
     index, books, encoded = ensure_ivfpq_index(spark, sf_dir)
@@ -2114,6 +2112,7 @@ QUERIES = {
     "embedding_lsh_topk": embedding_lsh_topk,
     "embedding_ivf_topk": embedding_ivf_topk,
     "embedding_pq_topk": embedding_pq_topk,
+    "embedding_ivfpq_topk": embedding_ivfpq_topk,
     "ivf_imbalance": ivf_imbalance,
     "doc_bpe_merges": doc_bpe_merges,
     "asset_content_hashes": asset_content_hashes,
@@ -2161,7 +2160,8 @@ ORACLE = {
     "asset_features": ASSET_FEATURES_SQL,
     # doc_minhash_near_dups, doc_simhash_near_dups, doc_dedup_final_lsh,
     # doc_arrivals_dedup_lsh, embedding_lsh_topk, embedding_pq_topk,
-    # asset_near_dups: approximate → rows-only. ivf_imbalance (k-means
+    # embedding_ivfpq_topk, asset_near_dups: approximate → rows-only.
+    # ivf_imbalance (k-means
     # occupancy) and doc_bpe_merges (iterative argmax loop): no SQL
     # twin → rows-only, pinned by exact-twin/property tests instead.
 }
