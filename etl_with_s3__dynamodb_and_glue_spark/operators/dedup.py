@@ -871,11 +871,16 @@ def duplicate_spans(
     Construction (the distributed re-expression of the paper's suffix
     array): every token position anchors one ``min_tokens``-gram; a
     gram appearing in ≥ 2 DISTINCT documents marks its anchor position
-    duplicated; consecutive duplicated positions per document merge
-    into maximal spans via the gaps-and-islands window. Any verbatim
-    token run of length ≥ min_tokens shared across documents is
-    covered by exactly one maximal span per document (overlapping
-    shared runs union).
+    duplicated; CONSECUTIVE duplicated positions per document merge
+    into maximal spans via the gaps-and-islands window. Any single
+    verbatim token run of length ≥ min_tokens shared across documents
+    is covered by exactly one maximal span (all its anchors are
+    consecutive). Distinct shared runs whose anchors are
+    non-consecutive but closer than min_tokens apart emit spans that
+    OVERLAP rather than union — consumers that need disjoint coverage
+    take the interval union (``streaming/decontam_gate.tokens_leaked``
+    does; :func:`remove_duplicate_spans`'s per-token membership test
+    is overlap-safe by construction).
 
     Returns (doc_id, span_start [0-based token index], span_len
     [tokens], span_text).

@@ -15,7 +15,10 @@ per batch:
   one row per arriving doc, clean docs included, which is what the
   admission step joins against (and what
   ``dedup.remove_duplicate_spans`` consumes when scrub-and-admit is
-  preferred over reject).
+  preferred over reject). ``n_tokens_leaked`` is the size of the
+  UNION of the doc's span intervals (spans can overlap — see
+  :func:`tokens_leaked`), i.e. exactly the token count the scrub
+  transform would cut.
 
 Idempotence layout (the house ``ingest_dedup`` discipline): both logs
 land under per-batch subdirectories (``batch_id=N``) written with
@@ -33,26 +36,41 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import duplicate_spans_vs_store
-
-_BATCH_MARKER = "_last_batch_id"
-
-
-def _marker_path(findings_dir: str) -> str:
-    return os.path.join(findings_dir, _BATCH_MARKER)
+from .marker import is_replay, write_marker
 
 
-def _read_marker(findings_dir: str) -> tuple[str, int] | None:
-    if not os.path.isfile(_marker_path(findings_dir)):
-        return None
-    with open(_marker_path(findings_dir)) as f:
-        lines = f.read().splitlines()
-    if len(lines) >= 2:
-        return lines[0], int(lines[1])
-    return "", int(lines[0].strip())
+def tokens_leaked(findings: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc leaked-token accounting over a span findings table:
+    (doc_id, n_spans, n_tokens_leaked) where n_tokens_leaked is the
+    size of the UNION of span intervals — spans from non-consecutive
+    anchors closer than min_tokens apart overlap (see
+    ``dedup.duplicate_spans``), and a plain SUM(span_len) would count
+    the shared tokens twice. Standard sweep: a token index is covered
+    iff it falls past every earlier span's running max end; windows run
+    per doc over findings rows only (tiny next to the corpus)."""
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("span_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    span_end = F.col("span_start") + F.col("span_len")
+    covered_to = F.max(span_end).over(w)
+    contrib = F.greatest(
+        span_end - F.greatest("span_start", F.coalesce(covered_to, F.lit(0))),
+        F.lit(0),
+    )
+    return (
+        findings.withColumn("_contrib", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("_contrib").alias("n_tokens_leaked"),
+        )
+    )
 
 
 def screen_batch(
@@ -67,45 +85,45 @@ def screen_batch(
     """Screen one batch against the anchor store, land findings +
     per-doc decisions. Runs identically under foreachBatch and as a
     batch backfill."""
-    marker = _read_marker(findings_dir)
-    if marker is not None and batch_id <= marker[1]:
-        if marker[0] == run_id:
-            return
-        raise ValueError(
-            f"batch_id {batch_id} regressed below the landed "
-            f"{marker[1]} but came from a different run "
-            f"({run_id!r} vs {marker[0]!r}): resume from the original "
-            "checkpoint, or point at fresh findings/decisions dirs"
-        )
+    if is_replay(
+        findings_dir,
+        run_id,
+        batch_id,
+        "resume from the original checkpoint, or point at fresh "
+        "findings/decisions dirs",
+    ):
+        return
     batch = batch.persist()
-    spans = duplicate_spans_vs_store(batch, store_path, min_tokens=min_tokens)
-    spans.write.mode("overwrite").parquet(f"{findings_dir}/batch_id={batch_id}")
-    spark = batch.sparkSession
-    landed = spark.read.parquet(f"{findings_dir}/batch_id={batch_id}")
-    per_doc = landed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum("span_len").alias("n_tokens_leaked"),
-    )
-    decisions = (
-        batch.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_spans") > 0, F.lit(False)).alias(
-                "contaminated"
-            ),
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            F.coalesce("n_tokens_leaked", F.lit(0))
-            .cast("long")
-            .alias("n_tokens_leaked"),
+    try:
+        spans = duplicate_spans_vs_store(
+            batch, store_path, min_tokens=min_tokens
         )
-    )
-    decisions.write.mode("overwrite").parquet(
-        f"{decisions_dir}/batch_id={batch_id}"
-    )
-    with open(_marker_path(findings_dir), "w") as f:
-        f.write(f"{run_id}\n{batch_id}")
-    batch.unpersist()
+        spans.write.mode("overwrite").parquet(
+            f"{findings_dir}/batch_id={batch_id}"
+        )
+        spark = batch.sparkSession
+        landed = spark.read.parquet(f"{findings_dir}/batch_id={batch_id}")
+        per_doc = tokens_leaked(landed)
+        decisions = (
+            batch.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_spans") > 0, F.lit(False)).alias(
+                    "contaminated"
+                ),
+                F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+                F.coalesce("n_tokens_leaked", F.lit(0))
+                .cast("long")
+                .alias("n_tokens_leaked"),
+            )
+        )
+        decisions.write.mode("overwrite").parquet(
+            f"{decisions_dir}/batch_id={batch_id}"
+        )
+        write_marker(findings_dir, run_id, batch_id)
+    finally:
+        batch.unpersist()
 
 
 def decontam_gate_stream(

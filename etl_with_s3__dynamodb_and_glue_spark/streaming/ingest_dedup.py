@@ -41,29 +41,13 @@ from ..operators.dedup import (
     corpus_signature_frame,
     minhash_near_dups_vs_store,
 )
+from .marker import is_replay, read_marker, write_marker
 
-_BATCH_MARKER = "_last_batch_id"
 SEED_BATCH_ID = -1
 
 
-def _marker_path(store_dir: str) -> str:
-    return os.path.join(store_dir, _BATCH_MARKER)
-
-
-def _read_marker(store_dir: str) -> tuple[str, int] | None:
-    """(run_id, batch_id) of the last fully-landed batch, or None.
-    Legacy single-line markers (pre run-scoping) read as run_id ''."""
-    if not os.path.isfile(_marker_path(store_dir)):
-        return None
-    with open(_marker_path(store_dir)) as f:
-        lines = f.read().splitlines()
-    if len(lines) >= 2:
-        return lines[0], int(lines[1])
-    return "", int(lines[0].strip())
-
-
 def last_ingested_batch_id(store_dir: str) -> int | None:
-    marker = _read_marker(store_dir)
+    marker = read_marker(store_dir)
     return None if marker is None else marker[1]
 
 
@@ -105,46 +89,46 @@ def ingest_batch(
     an at-least-once replay → skipped; across runs it means a fresh
     checkpoint re-numbering from 0 against a store another run built →
     raises instead of silently dropping (or clobbering generation N)."""
-    marker = _read_marker(store_dir)
-    if marker is not None and batch_id <= marker[1]:
-        if marker[0] == run_id:
-            return
-        raise ValueError(
-            f"batch_id {batch_id} regressed below the landed "
-            f"{marker[1]} but came from a different run "
-            f"({run_id!r} vs {marker[0]!r}): resume from the original "
-            "checkpoint, or seed a fresh store_dir"
-        )
+    if is_replay(
+        store_dir,
+        run_id,
+        batch_id,
+        "resume from the original checkpoint, or seed a fresh store_dir",
+    ):
+        return
     spark = batch.sparkSession
     batch = batch.persist()
-    prior = [g for g in _store_generations(store_dir) if g < batch_id]
-    if prior:
-        store = spark.read.parquet(
-            *[f"{store_dir}/batch_id={g}" for g in prior]
+    try:
+        prior = [g for g in _store_generations(store_dir) if g < batch_id]
+        if prior:
+            store = spark.read.parquet(
+                *[f"{store_dir}/batch_id={g}" for g in prior]
+            )
+            pairs = minhash_near_dups_vs_store(
+                batch, store, threshold=threshold, num_hashes=num_hashes
+            )
+            decisions = arrivals_decision(batch, pairs)
+        else:
+            decisions = batch.select(
+                "doc_id",
+                F.lit(False).alias("is_dup"),
+                F.lit(None).cast("long").alias("dup_of"),
+                F.lit(0).cast("long").alias("n_matches"),
+            )
+        decisions.write.mode("overwrite").parquet(
+            f"{decisions_dir}/batch_id={batch_id}"
         )
-        pairs = minhash_near_dups_vs_store(
-            batch, store, threshold=threshold, num_hashes=num_hashes
+        landed = spark.read.parquet(f"{decisions_dir}/batch_id={batch_id}")
+        novel_ids = landed.filter(~F.col("is_dup")).select("doc_id")
+        novel = batch.join(novel_ids, "doc_id")
+        corpus_signature_frame(novel, num_hashes=num_hashes).write.mode(
+            "overwrite"
+        ).option("compression", "zstd").parquet(
+            f"{store_dir}/batch_id={batch_id}"
         )
-        decisions = arrivals_decision(batch, pairs)
-    else:
-        decisions = batch.select(
-            "doc_id",
-            F.lit(False).alias("is_dup"),
-            F.lit(None).cast("long").alias("dup_of"),
-            F.lit(0).cast("long").alias("n_matches"),
-        )
-    decisions.write.mode("overwrite").parquet(
-        f"{decisions_dir}/batch_id={batch_id}"
-    )
-    landed = spark.read.parquet(f"{decisions_dir}/batch_id={batch_id}")
-    novel_ids = landed.filter(~F.col("is_dup")).select("doc_id")
-    novel = batch.join(novel_ids, "doc_id")
-    corpus_signature_frame(novel, num_hashes=num_hashes).write.mode(
-        "overwrite"
-    ).option("compression", "zstd").parquet(f"{store_dir}/batch_id={batch_id}")
-    with open(_marker_path(store_dir), "w") as f:
-        f.write(f"{run_id}\n{batch_id}")
-    batch.unpersist()
+        write_marker(store_dir, run_id, batch_id)
+    finally:
+        batch.unpersist()
 
 
 def near_dup_ingest_stream(

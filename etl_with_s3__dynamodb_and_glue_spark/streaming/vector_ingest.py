@@ -38,29 +38,13 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.embedding_gen import embed_texts
 from ..operators.similarity import IvfIndex, ivf_assign
+from .marker import is_replay, read_marker, write_marker
 
-_BATCH_MARKER = "_last_batch_id"
 SEED_BATCH_ID = -1
 
 
-def _marker_path(index_dir: str) -> str:
-    return os.path.join(index_dir, _BATCH_MARKER)
-
-
-def _read_marker(index_dir: str) -> tuple[str, int] | None:
-    """(run_id, batch_id) of the last fully-landed batch, or None.
-    Legacy single-line markers (pre run-scoping) read as run_id ''."""
-    if not os.path.isfile(_marker_path(index_dir)):
-        return None
-    with open(_marker_path(index_dir)) as f:
-        lines = f.read().splitlines()
-    if len(lines) >= 2:
-        return lines[0], int(lines[1])
-    return "", int(lines[0].strip())
-
-
 def last_ingested_batch_id(index_dir: str) -> int | None:
-    marker = _read_marker(index_dir)
+    marker = read_marker(index_dir)
     return None if marker is None else marker[1]
 
 
@@ -132,17 +116,15 @@ def ingest_vector_batch(
     regresses ACROSS runs means a fresh checkpoint is re-numbering from
     0 against an index another run built → raises instead of silently
     skipping (or clobbering the same-numbered subtree)."""
-    marker = _read_marker(index_dir)
-    if marker is not None and batch_id <= marker[1]:
-        if marker[0] == run_id:
-            return
-        raise ValueError(
-            f"batch_id {batch_id} regressed below the landed "
-            f"{marker[1]} but came from a different run "
-            f"({run_id!r} vs {marker[0]!r}): a restart with a fresh "
-            "checkpoint would drop or clobber batches — resume from "
-            "the original checkpoint, or seed a fresh index_dir"
-        )
+    if is_replay(
+        index_dir,
+        run_id,
+        batch_id,
+        "a restart with a fresh checkpoint would drop or clobber "
+        "batches — resume from the original checkpoint, or seed a "
+        "fresh index_dir",
+    ):
+        return
     spark = batch.sparkSession
     index = load_vector_index(spark, index_dir)
     emb = embed_texts(
@@ -154,8 +136,7 @@ def ingest_vector_batch(
         .partitionBy("cluster")
         .parquet(f"{index_dir}/assignments/batch_id={batch_id}")
     )
-    with open(_marker_path(index_dir), "w") as f:
-        f.write(f"{run_id}\n{batch_id}")
+    write_marker(index_dir, run_id, batch_id)
 
 
 def vector_ingest_stream(

@@ -606,10 +606,21 @@ def test_decontam_gate_stream_matches_batch_composition(spark, tmp_path):
     assert set(decisions) == {r.doc_id for r in train.collect()}
     contaminated = {d for d, (c, _, _) in decisions.items() if c}
     assert contaminated == {s[0] for s in want_spans}
+    def union_len(ivs):
+        # spans can overlap (non-consecutive anchors < min_tokens
+        # apart); leaked tokens = size of the interval union
+        total, cur_end = 0, 0
+        for a, b in sorted((s, s + ln) for s, ln in ivs):
+            a = max(a, cur_end)
+            if b > a:
+                total += b - a
+                cur_end = b
+        return total
+
     for d, (c, n_spans, n_leak) in decisions.items():
         doc_spans = [s for s in want_spans if s[0] == d]
         assert n_spans == len(doc_spans)
-        assert n_leak == sum(s[2] for s in doc_spans)
+        assert n_leak == union_len((s[1], s[2]) for s in doc_spans)
 
     # same-run replay: no-op
     before = sorted(decisions.items())
