@@ -1065,7 +1065,14 @@ def remove_duplicate_spans(
 
     One left join of per-doc span lists onto the corpus; the token
     filter is a native indexed higher-order function — no UDF, no
-    shuffle beyond the join.
+    shuffle beyond the join. The per-token membership test is
+    overlap-safe: spans from non-consecutive anchors closer than
+    min_tokens apart overlap (see :func:`duplicate_spans`), and a
+    token inside ANY of them is cut exactly once.
+
+    Returns (doc_id, clean_text, n_tokens_before, n_tokens_removed,
+    n_spans_removed) — every input doc appears, clean docs with zero
+    removals.
     """
     if spans is None:
         spans = duplicate_spans(
@@ -1092,7 +1099,9 @@ def remove_duplicate_spans(
     return staged.join(span_arr, id_col, "left").select(
         id_col,
         F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("tk").alias("n_tokens_before"),
         (F.size("tk") - F.size(kept)).alias("n_tokens_removed"),
+        F.size(sp).alias("n_spans_removed"),
     )
 
 

@@ -149,6 +149,88 @@ def test_staged_eval_span_overlap_matches_oracle(spark):
     assert res.get("values_match"), res
 
 
+def test_staged_scrub_duplicate_spans_matches_oracle(spark):
+    """The STAGED round-9 query doc_scrub_duplicate_spans must already
+    match its DuckDB twin value-for-value, so registering it later
+    cannot surprise. Runs at SF_ORACLE (where the eval split actually
+    contaminates a train doc — at sf0.001 the agreement would only
+    exercise the tokenize/rejoin identity)."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
+        DOC_SCRUB_DUPLICATE_SPANS_SQL,
+        doc_scrub_duplicate_spans,
+    )
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_harness import compare
+
+    res = compare(
+        spark,
+        SF_ORACLE,
+        "doc_scrub_duplicate_spans",
+        doc_scrub_duplicate_spans,
+        DOC_SCRUB_DUPLICATE_SPANS_SQL,
+    )
+    assert res.get("values_match"), res
+    # the agreement is not vacuous: at least one doc was actually cut
+    cut = (
+        doc_scrub_duplicate_spans(spark, SF_ORACLE)
+        .filter(F.col("n_tokens_removed") > 0)
+        .count()
+    )
+    assert cut > 0
+
+
+def test_scrubbed_docs_reextract_zero_spans(spark):
+    """Admission invariant (VERDICT r7 item 5): after scrub-and-admit,
+    re-running the cross-corpus extractor over the CLEANED text finds
+    nothing — on a constructed corpus with planted eval passages
+    (distinct flank tokens, so no seam gram can coincidentally reform)
+    and on the real sf0.01 split."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
+        doc_scrub_duplicate_spans,
+    )
+    from tests.conftest import SF_ORACLE
+
+    leak = " ".join(f"s{i}" for i in range(8))
+    train = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {leak} b1 b2"),
+            (2, f"{leak} c1 c2 c3 {leak}"),
+            (3, "d1 d2 d3 d4 d5 d6 d7 d8 d9"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"e1 {leak} e2")], "doc_id long, text string"
+    )
+    spans = dedup.duplicate_spans_vs(train, ev, min_tokens=8)
+    scrubbed = dedup.remove_duplicate_spans(train, spans)
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens_removed, r.n_spans_removed)
+        for r in scrubbed.collect()
+    }
+    assert got[1] == ("a1 a2 b1 b2", 8, 1)
+    assert got[2] == ("c1 c2 c3", 16, 2)
+    assert got[3] == ("d1 d2 d3 d4 d5 d6 d7 d8 d9", 0, 0)
+    re_extract = dedup.duplicate_spans_vs(
+        scrubbed.select("doc_id", F.col("clean_text").alias("text")),
+        ev,
+        min_tokens=8,
+    )
+    assert re_extract.count() == 0
+
+    # the real split: scrub output of the staged query is admission-safe
+    clean = doc_scrub_duplicate_spans(spark, SF_ORACLE).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    docs_all = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    ev_real = docs_all.filter(F.col("doc_id") % 25 == 0).select(
+        "doc_id", "text"
+    )
+    assert (
+        dedup.duplicate_spans_vs(clean, ev_real, min_tokens=8).count() == 0
+    )
+
+
 def test_remove_duplicate_spans_scrubs_exact_occurrences(spark):
     """The removal transform drops exactly the duplicated-span tokens
     and leaves clean docs untouched."""
