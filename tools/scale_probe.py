@@ -19,10 +19,17 @@ instead of mixing two data distributions:
   n_probe/n_clusters of the corpus), PQ ADC (full scan of 16-byte
   codes), and composed IVF-PQ (pruned AND compressed).
 
-Usage: python tools/scale_probe.py [docs|embeddings|all]  (default
-all; writes .scale_probe/ under the repo root, prints one JSON line
-per (query, size, repeat) and a scaling-exponent summary; quiet
-machine required — same discipline as bench.py).
+- ``relational``: the full TPC-H-shape star (region…lineitem, same
+  schemas/FK structure/value shapes as the driver testdata) plus a
+  30-day events stream, at 1× and 10× the sf0.1 row counts (600k →
+  6M lineitem) — times the agg/join/window/sessionization headline
+  lineages that had never been measured above sf0.1 (VERDICT r7
+  missing #4).
+
+Usage: python tools/scale_probe.py [docs|embeddings|relational|all]
+(default all; writes .scale_probe/ under the repo root, prints one
+JSON line per (query, size, repeat) and a scaling-exponent summary;
+quiet machine required — same discipline as bench.py).
 """
 
 from __future__ import annotations
@@ -48,6 +55,15 @@ EMB_QUERIES = [
 EMB_SIZES = {"e10k": 10_000, "e100k": 100_000}
 DIM = 64
 N_CLUSTERS = 32
+REL_QUERIES = [
+    "pricing_summary",
+    "shipping_priority",
+    "nation_revenue",
+    "customer_rolling_spend",
+    "user_sessions",
+    "events_sliding_windows",
+]
+REL_SIZES = {"t1x": 1, "t10x": 10}
 SEED = 42
 
 
@@ -116,13 +132,18 @@ def gen_embeddings(n_vecs: int, out_dir: str) -> None:
     pq.write_table(table, os.path.join(out_dir, "embeddings.parquet"))
 
 
+def _registry():
+    import __spark_entry__ as entry_mod
+
+    return entry_mod.queries()
+
+
 def _time_queries(
     spark, queries: list[str], sizes: dict[str, int], base: str, small: str, big: str
 ) -> None:
     import math
 
-    from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
-
+    qs = _registry()
     results: dict[str, dict[str, list[float]]] = {
         q: {s: [] for s in sizes} for q in queries
     }
@@ -133,16 +154,22 @@ def _time_queries(
                 gc.collect()
                 spark._jvm.System.gc()
                 t0 = time.perf_counter()
-                n_rows = llm_ops.QUERIES[q](
-                    spark, os.path.join(base, s)
-                ).count()
+                # noop sink, not .count(): count lets Catalyst prune
+                # every un-referenced expression (a Window computing
+                # unused columns vanishes entirely — measured
+                # customer_rolling_spend "flat" at 10× data under
+                # count); the noop writer materializes every output
+                # column without driver collect
+                qs[q](spark, os.path.join(base, s)).write.format(
+                    "noop"
+                ).mode("overwrite").save()
                 dt = round(time.perf_counter() - t0, 3)
                 results[q][s].append(dt)
                 print(
-                    json.dumps(
-                        {"query": q, "size": s, "rep": rep, "sec": dt, "rows": n_rows}
-                    )
+                    json.dumps({"query": q, "size": s, "rep": rep, "sec": dt})
                 )
+            n_rows = qs[q](spark, os.path.join(base, s)).count()
+            print(json.dumps({"query": q, "size": s, "rows": n_rows}))
 
     for q in queries:
         t1 = min(results[q][small])
@@ -159,6 +186,208 @@ def _time_queries(
                 }
             )
         )
+
+
+def gen_relational(scale: int, out_dir: str) -> None:
+    """TPC-H-shape family at ``scale``× the sf0.1 row counts plus a
+    30-day events stream — same schemas, key relationships (≈4 lines
+    per order, FK ranges) and value distributions as the driver
+    testdata, one seeded generator for both points."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(name: str, table: "pa.Table") -> None:
+        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+
+    n_cust, n_supp, n_part = 15_000 * scale, 1_000 * scale, 20_000 * scale
+    n_ord, n_line, n_ev = 150_000 * scale, 600_000 * scale, 100_000 * scale
+
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    write(
+        "region",
+        pa.table(
+            {
+                "r_regionkey": pa.array(range(5), pa.int32()),
+                "r_name": pa.array(regions),
+            }
+        ),
+    )
+    write(
+        "nation",
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(25), pa.int32()),
+                "n_name": pa.array([f"NATION_{i:02d}" for i in range(25)]),
+                "n_regionkey": pa.array(
+                    (np.arange(25) % 5).astype("int32"), pa.int32()
+                ),
+            }
+        ),
+    )
+    segments = np.array(
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    )
+    write(
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n_cust), pa.int64()),
+                "c_name": pa.array(
+                    [f"Customer#{i:09d}" for i in range(n_cust)]
+                ),
+                "c_nationkey": pa.array(
+                    rng.integers(0, 25, n_cust).astype("int32"), pa.int32()
+                ),
+                "c_acctbal": pa.array(
+                    rng.uniform(-999.99, 9999.99, n_cust).round(2)
+                ),
+                "c_mktsegment": pa.array(
+                    segments[rng.integers(0, 5, n_cust)]
+                ),
+            }
+        ),
+    )
+    write(
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array(range(n_supp), pa.int64()),
+                "s_name": pa.array(
+                    [f"Supplier#{i:09d}" for i in range(n_supp)]
+                ),
+                "s_nationkey": pa.array(
+                    rng.integers(0, 25, n_supp).astype("int32"), pa.int32()
+                ),
+                "s_acctbal": pa.array(
+                    rng.uniform(-999.99, 9999.99, n_supp).round(2)
+                ),
+            }
+        ),
+    )
+    brands = np.array([f"Brand#{i}{j}" for i in range(1, 6) for j in range(1, 6)])
+    types = np.array(
+        [f"{a} {b} {c}"
+         for a in ("STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO")
+         for b in ("ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED")
+         for c in ("TIN", "NICKEL", "BRASS", "STEEL", "COPPER")]
+    )
+    write(
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array(range(n_part), pa.int64()),
+                "p_name": pa.array([f"part {i} name" for i in range(n_part)]),
+                "p_brand": pa.array(brands[rng.integers(0, len(brands), n_part)]),
+                "p_type": pa.array(types[rng.integers(0, len(types), n_part)]),
+                "p_size": pa.array(
+                    rng.integers(1, 51, n_part).astype("int32"), pa.int32()
+                ),
+                "p_retailprice": pa.array(
+                    rng.uniform(900, 2000, n_part).round(2)
+                ),
+            }
+        ),
+    )
+    day_us = 86_400_000_000
+    d0 = np.datetime64("1995-01-01", "us").astype("int64")
+    span_days = 2_400
+    statuses = np.array(["O", "F", "P"])
+    prios = np.array(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    )
+    o_dates = d0 + rng.integers(0, span_days, n_ord) * day_us
+    write(
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n_ord), pa.int64()),
+                "o_custkey": pa.array(
+                    rng.integers(0, n_cust, n_ord), pa.int64()
+                ),
+                "o_orderstatus": pa.array(
+                    statuses[rng.integers(0, 3, n_ord)]
+                ),
+                "o_totalprice": pa.array(
+                    rng.uniform(1000, 450_000, n_ord).round(2)
+                ),
+                "o_orderdate": pa.array(o_dates).cast(pa.timestamp("us")),
+                "o_orderpriority": pa.array(prios[rng.integers(0, 5, n_ord)]),
+            }
+        ),
+    )
+    l_ord = rng.integers(0, n_ord, n_line)
+    flags = np.array(["A", "N", "R"])
+    write(
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array(l_ord, pa.int64()),
+                "l_partkey": pa.array(
+                    rng.integers(0, n_part, n_line), pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    rng.integers(0, n_supp, n_line), pa.int64()
+                ),
+                "l_linenumber": pa.array(
+                    rng.integers(1, 8, n_line).astype("int32"), pa.int32()
+                ),
+                "l_quantity": pa.array(
+                    rng.integers(1, 51, n_line).astype("float64")
+                ),
+                "l_extendedprice": pa.array(
+                    rng.uniform(1000, 100_000, n_line).round(2)
+                ),
+                "l_discount": pa.array(
+                    rng.integers(0, 11, n_line).astype("float64") / 100.0
+                ),
+                "l_tax": pa.array(
+                    rng.integers(0, 9, n_line).astype("float64") / 100.0
+                ),
+                "l_returnflag": pa.array(flags[rng.integers(0, 3, n_line)]),
+                "l_linestatus": pa.array(
+                    np.array(["F", "O"])[rng.integers(0, 2, n_line)]
+                ),
+                "l_shipdate": pa.array(
+                    o_dates[l_ord] + rng.integers(1, 122, n_line) * day_us
+                ).cast(pa.timestamp("us")),
+            }
+        ),
+    )
+    ev_types = np.array(["view", "click", "purchase", "signup", "error"])
+    e0 = np.datetime64("2024-01-01", "us").astype("int64")
+    ts = e0 + np.sort(rng.integers(0, 30 * day_us, n_ev))
+    write(
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array(range(n_ev), pa.int64()),
+                "ts": pa.array(ts).cast(pa.timestamp("us")),
+                "user_id": pa.array(
+                    rng.integers(0, 2_000 * scale, n_ev), pa.int64()
+                ),
+                "event_type": pa.array(ev_types[rng.integers(0, 5, n_ev)]),
+                "value": pa.array(rng.exponential(20.0, n_ev).round(3)),
+                "props": pa.array(
+                    [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)]
+                ),
+            }
+        ),
+    )
+
+
+def probe_relational(spark, base: str) -> None:
+    qs = _registry()
+    for name, scale in REL_SIZES.items():
+        d = os.path.join(base, name)
+        if not os.path.exists(os.path.join(d, "lineitem.parquet")):
+            gen_relational(scale, d)
+    # warm-up: JVM + codegen on the small point
+    qs["pricing_summary"](spark, os.path.join(base, "t1x")).collect()
+    _time_queries(spark, REL_QUERIES, REL_SIZES, base, "t1x", "t10x")
 
 
 def probe_docs(spark, base: str) -> None:
@@ -213,6 +442,8 @@ def main() -> None:
         probe_docs(spark, base)
     if family in ("embeddings", "all"):
         probe_embeddings(spark, base)
+    if family in ("relational", "all"):
+        probe_relational(spark, base)
     spark.stop()
 
 
