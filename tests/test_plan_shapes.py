@@ -435,3 +435,48 @@ def test_token_budget_sample_rank_cut_is_group_limited(spark):
 
     plan = plan_str(doc_token_budget_sample(spark, SF_SMOKE))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_eval_span_overlap_broadcasts_eval_grams(spark):
+    """Cross-corpus decontamination must broadcast the EVAL gram-hash
+    set (eval suites are tiny next to a training corpus) and stay
+    equi-join shaped — a shuffle of the corpus on gram, or any
+    nested-loop node, means the broadcast semi-join degenerated."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
+        doc_eval_span_overlap,
+    )
+
+    plan = plan_str(doc_eval_span_overlap(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_scrub_duplicate_spans_stays_equi_join_shaped(spark):
+    """The scrub-and-admit query (staged r9) composes the span
+    extractor with one per-doc span-list left join; nothing in the
+    composition may introduce an all-pairs node, and the eval gram
+    set must still ride a broadcast."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
+        doc_scrub_duplicate_spans,
+    )
+
+    plan = plan_str(doc_scrub_duplicate_spans(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_weekly_distinct_exact_is_one_shuffle_no_window(spark):
+    """The exact weekly-distinct companion is one groupBy(week) —
+    holistic countDistinct forces the shuffle, but there must be
+    exactly one exchange over events and no window (a Window here
+    would mean the rollup degenerated to a per-row frame)."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.functions_surface import (
+        weekly_user_distinct_exact,
+    )
+
+    plan = plan_str(weekly_user_distinct_exact(spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
