@@ -69,6 +69,19 @@ _MODULES = [
 # r7 item 5; implemented + oracle-twin-agreement-tested this round,
 # kept out because this window is at capacity and rule 1 forbids
 # shipping a never-checked query outside it).
+#
+# CAPACITY: with the ≤2-artifact staleness bound, a 50-slot window
+# sustains at most 3×50 − 2 (user_sessions occupies a slot every
+# round) = 148 queries. After doc_scrub_duplicate_spans registers in
+# round 9 the registry is EXACTLY 148: every later window is fully
+# determined by the returns (r9 = 48 r6-checked + user_sessions +
+# scrub; r10 = the 49 r8-window returns + user_sessions; …), so any
+# FURTHER registration must either retire a query or move the
+# staleness bound to ≤3 artifacts — the same size-derived rule
+# (full coverage at the cycle the window allows) at the next registry
+# size, giving 4×50 − 3 = 197 slots. Prefer retirement of a redundant
+# variant first; relax the bound only with the capacity math updated
+# here and in tests/test_registry_rotation.py.
 
 # Rule-2 ledger: queries whose code or oracle this round's diff
 # touched (directly or through an operator they consume). The rotation
