@@ -20,6 +20,7 @@ PROBED = [
     "events_json_extract",    # ts rendering alongside json
     "events_wow_change",      # epoch-week arithmetic
     "rolling_7d_distinct_exact",  # to_date + epoch-day fan-out (r7)
+    "weekly_user_distinct_exact",  # date_trunc week + to_date (r8)
 ]
 
 
