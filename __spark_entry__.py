@@ -90,6 +90,7 @@ _TOUCHED_THIS_ROUND = [
     "weekly_user_distinct_exact",  # new registration
     "embedding_ivfpq_topk",        # new registration
     "doc_eval_span_overlap",       # new registration
+    "doc_token_cms_estimates",     # cms_build hashes per distinct key
 ]
 
 _CHECK_FIRST = [

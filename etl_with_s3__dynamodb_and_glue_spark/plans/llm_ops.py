@@ -1598,22 +1598,33 @@ def doc_token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the data that the DuckDB oracle rebuilds verbatim
     (unlike the rows-only HLL paths). est_count ≥ true_count always;
     tests force collisions with a tiny sketch to exercise the
-    one-sided error bound."""
+    one-sided error bound.
+
+    One corpus pass: the per-term count aggregate feeds BOTH the
+    sketch (``cms_build_from_counts`` — hash work is O(vocabulary))
+    and the exact heavy-hitter table; the vocab-sized counts persist
+    across the two consumers (post-aggregation shrinking intermediate
+    — the persist-wins case, unlike the exploded-gram tables)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..caching import unpersist_on_release
     from ..operators import cms
 
     toks = _docs(spark, sf_dir).select(tokens("text").alias("tk")).select(
         F.explode("tk").alias("term")
     )
-    sketch = cms.cms_build(toks, "term")
-    true_counts = (
+    term_counts = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
-        .filter(F.col("true_count") >= 100)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sketch = cms.cms_build_from_counts(term_counts, "term", "true_count")
+    true_counts = term_counts.filter(F.col("true_count") >= 100)
     est = cms.cms_estimate(true_counts.select("term"), "term", sketch)
-    return true_counts.join(est, "term").select(
+    result = true_counts.join(est, "term").select(
         "term", "true_count", "est_count"
     )
+    return unpersist_on_release(result, term_counts)
 
 
 def _cms_oracle_sql() -> str:
