@@ -72,6 +72,10 @@ SUBSET = [
     "rolling_7d_distinct_exact",
     "asset_near_dups",
     "doc_bpe_merges",
+    # round-8 session additions: weekly exact rollup, span-level
+    # decontamination (empty corpus AND empty eval side), scrub
+    "weekly_user_distinct_exact",
+    "doc_eval_span_overlap",
 ]
 
 
@@ -96,3 +100,13 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     fn = entry_mod.queries()[name]
     rows = fn(spark, empty_sf_dir).collect()
     assert rows == [] or all(r is not None for r in rows)
+
+
+def test_staged_scrub_query_survives_empty_tables(spark, empty_sf_dir):
+    """The r9-staged scrub query resolves outside the registry until
+    its window slot opens — cover it the same way."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
+        doc_scrub_duplicate_spans,
+    )
+
+    assert doc_scrub_duplicate_spans(spark, empty_sf_dir).collect() == []
