@@ -557,3 +557,30 @@ def test_decontam_gate_batches_equal_one_shot_batch(spark, docs, ref, n_batches)
         assert snap() == (got_f, got_d)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(rows=_stream)
+@_slow
+def test_cms_cells_equal_sequential_md5_reference(spark, rows):
+    """The distributed CMS build IS the portable construction, cell
+    for cell: a pure-Python reference (hashlib.md5, first 4 hex digits
+    mod w, one increment per key INSTANCE) rebuilds the identical
+    (j, pos, n) table on random streams. Guards the r8 rework that
+    hashes per DISTINCT key and sums counts — any drift between
+    count-weighted and per-instance accumulation shows up here."""
+    import hashlib
+    from collections import Counter
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators import cms
+
+    d, w = 3, 16
+    want: Counter = Counter()
+    for k, _ in rows:
+        for j in range(d):
+            h = hashlib.md5(f"cms{j}|{k}".encode()).hexdigest()
+            want[(j, int(h[:4], 16) % w)] += 1
+    df = spark.createDataFrame([(str(k),) for k, _ in rows], "term string")
+    got = {
+        (r.j, r.pos): r.n for r in cms.cms_build(df, "term", d=d, w=w).collect()
+    }
+    assert got == dict(want)
