@@ -29,6 +29,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from .marker import is_replay, read_marker, write_marker
+
 SKETCH_SCHEMA = "day date, user_sketch binary, n_events long"
 
 
@@ -37,11 +39,6 @@ def _day_sketches(events: DataFrame) -> DataFrame:
         F.hll_sketch_agg("user_id").alias("user_sketch"),
         F.count(F.lit(1)).alias("n_events"),
     )
-
-
-# Batch-id marker inside the store dir. Underscore-prefixed files are
-# metadata by parquet convention (like _SUCCESS) — readers skip them.
-_BATCH_MARKER = "_last_batch_id"
 
 
 def _recover_store(store_dir: str) -> None:
@@ -58,11 +55,8 @@ def _recover_store(store_dir: str) -> None:
 
 
 def last_merged_batch_id(store_dir: str) -> int | None:
-    marker = os.path.join(store_dir, _BATCH_MARKER)
-    if os.path.isfile(marker):
-        with open(marker) as f:
-            return int(f.read().strip())
-    return None
+    marker = read_marker(store_dir)
+    return None if marker is None else marker[1]
 
 
 def merge_day_sketches(
@@ -70,25 +64,36 @@ def merge_day_sketches(
     batch: DataFrame,
     store_dir: str,
     batch_id: int | None = None,
+    run_id: str = "",
 ) -> None:
     """Merge one batch's per-day sketches into the persisted store:
     union-by-day of (existing ∪ batch) via ``hll_union_agg``. Works
     for the first batch (empty store) and for backfills alike.
 
     Replay-safe under foreachBatch's at-least-once contract: the store
-    records the last merged ``batch_id`` (inside the swapped dir, so
-    marker and data move atomically together), and a batch at or below
-    it is skipped — HLL union is idempotent but the ``n_events`` sum is
-    not, so a replayed batch must not merge twice. Crash-safe: the old
-    generation is set aside by rename and deleted only after the new
-    one is promoted; every intermediate state is recoverable
-    (:func:`_recover_store`), and the store is never missing.
+    records the last merged (run_id, batch_id) — the shared
+    ``streaming/marker.py`` contract, written INSIDE the swapped dir so
+    marker and data move atomically together (there is no lost-marker
+    window at all, unlike the per-batch-subtree gates) — and a batch
+    at or below it from the SAME run is skipped: HLL union is
+    idempotent but the ``n_events`` sum is not, so a replayed batch
+    must not merge twice, and a regressed batch_id from a DIFFERENT
+    run (fresh checkpoint renumbering from 0 against a store another
+    run built) fails loudly instead of silently dropping the merge.
+    Crash-safe: the old generation is set aside by rename and deleted
+    only after the new one is promoted; every intermediate state is
+    recoverable (:func:`_recover_store`), and the store is never
+    missing.
     """
     _recover_store(store_dir)
-    if batch_id is not None:
-        last = last_merged_batch_id(store_dir)
-        if last is not None and batch_id <= last:
-            return
+    if batch_id is not None and is_replay(
+        store_dir,
+        run_id,
+        batch_id,
+        "resume from the original checkpoint, or start a fresh "
+        "store_dir",
+    ):
+        return
     incoming = _day_sketches(batch)
     if os.path.isdir(store_dir) and any(
         f.endswith(".parquet") for f in os.listdir(store_dir)
@@ -110,8 +115,7 @@ def merge_day_sketches(
     tmp = tempfile.mkdtemp(prefix="sketch_store_", dir=os.path.dirname(store_dir) or ".")
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     if batch_id is not None:
-        with open(os.path.join(tmp, _BATCH_MARKER), "w") as f:
-            f.write(str(batch_id))
+        write_marker(tmp, run_id, batch_id)
     old = store_dir + ".old"
     if os.path.isdir(store_dir):
         os.replace(store_dir, old)
@@ -125,9 +129,16 @@ def sketch_store_stream(
     """Maintain the per-day user-sketch store from an events stream
     (columns: ts, user_id). Each micro-batch touches only its own
     rows; the store absorbs them by sketch union."""
+    run_id = os.path.abspath(checkpoint_dir)
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        merge_day_sketches(batch.sparkSession, batch, store_dir, batch_id=batch_id)
+        merge_day_sketches(
+            batch.sparkSession,
+            batch,
+            store_dir,
+            batch_id=batch_id,
+            run_id=run_id,
+        )
 
     return (
         events.writeStream.foreachBatch(handle)

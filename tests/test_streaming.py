@@ -479,6 +479,40 @@ def test_sketch_store_replay_and_crash_recovery(spark, tmp_path):
     } == {(d, n * 2) for d, n in baseline}
 
 
+def test_sketch_store_cross_run_regression_fails_loudly(spark, tmp_path):
+    """Run-scoped marker (r8, same contract as the ingest gates): a
+    fresh checkpoint renumbering batches from 0 against a store
+    another run built must raise, not silently skip the merge; a
+    LEGACY single-line marker (pre run-scoping) is adopted by the
+    resuming run."""
+    import pytest
+
+    from etl_with_s3__dynamodb_and_glue_spark.streaming import marker
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.sketches import (
+        estimate_distinct_users,
+        merge_day_sketches,
+    )
+
+    events = read_events(spark, SF_SMOKE).select("ts", "user_id")
+    store = str(tmp_path / "store")
+    merge_day_sketches(spark, events, store, batch_id=3, run_id="ckpt-A")
+    with pytest.raises(ValueError, match="different run"):
+        merge_day_sketches(spark, events, store, batch_id=0, run_id="ckpt-B")
+    # legacy upgrade: rewrite the marker as a pre-run-scoping one-liner
+    with open(marker.marker_path(store), "w") as f:
+        f.write("3")
+    baseline = {
+        (r.day, r.n_events)
+        for r in estimate_distinct_users(spark, store)[0].collect()
+    }
+    merge_day_sketches(spark, events, store, batch_id=3, run_id="ckpt-A")
+    assert {
+        (r.day, r.n_events)
+        for r in estimate_distinct_users(spark, store)[0].collect()
+    } == baseline
+    assert marker.read_marker(store) == ("ckpt-A", 3)
+
+
 def test_rollup_publish_stream_matches_batch_and_guards_replay(spark, tmp_path):
     """Streaming WAP publication: micro-batched folding into published
     snapshot versions must equal the single-pass batch rollup
@@ -635,3 +669,75 @@ def test_decontam_gate_stream_matches_batch_composition(spark, tmp_path):
     # cross-run regression: loud
     with pytest.raises(ValueError, match="different run"):
         screen_batch(arr1, 0, store, findings_dir, decisions_dir, run_id="x")
+
+
+def test_cms_store_stream_matches_batch_cells_and_bounds(spark, tmp_path):
+    """Incremental frequency-sketch maintenance (the CMS twin of the
+    HLL store): a keyed stream split across micro-batches must yield a
+    store whose CELLS equal the single-pass batch sketch — cell-wise
+    sum is associative over arbitrary batching — with estimates that
+    never undercount exact counts; replay within a run is a no-op
+    (cell addition is not idempotent, the marker guards it) and a
+    cross-run batch-id regression fails loudly."""
+    import pytest
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators.cms import cms_build
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.cms_store import (
+        cms_store_stream,
+        estimate_counts,
+        merge_cms_batch,
+    )
+
+    events = read_events(spark, SF_SMOKE).select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    src = tmp_path / "keys_src"
+    events.filter(F.crc32("key") % 2 == 0).write.parquet(str(src / "f0"))
+    events.filter(F.crc32("key") % 2 == 1).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    store = str(tmp_path / "cms_store")
+    q = cms_store_stream(stream, store, str(tmp_path / "ckpt"), "key")
+    q.awaitTermination(120)
+
+    got_cells = {
+        (r.j, r.pos): r.n
+        for r in spark.read.parquet(store).collect()
+    }
+    want_cells = {
+        (r.j, r.pos): r.n for r in cms_build(events, "key").collect()
+    }
+    assert got_cells == want_cells and got_cells
+
+    # one-sided error: estimates never undercount the exact counts
+    exact = {
+        r.key: r.cnt
+        for r in events.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    est = {
+        r.key: r.est_count
+        for r in estimate_counts(
+            spark, store, events.distinct(), "key"
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= n for k, n in exact.items())
+
+    # same-run replay skipped; cross-run regression loud
+    import os
+
+    run_id = os.path.abspath(str(tmp_path / "ckpt"))
+    merge_cms_batch(spark, events, store, "key", batch_id=0, run_id=run_id)
+    assert {
+        (r.j, r.pos): r.n for r in spark.read.parquet(store).collect()
+    } == got_cells
+    with pytest.raises(ValueError, match="different run"):
+        merge_cms_batch(
+            spark, events, store, "key", batch_id=0, run_id="other"
+        )
