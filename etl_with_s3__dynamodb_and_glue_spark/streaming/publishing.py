@@ -11,11 +11,14 @@ This closes the loop between three pieces that exist separately:
 - atomic snapshot promotion (sources/publish.py — readers resolve a
   pointer to an immutable version directory);
 - foreachBatch's at-least-once contract, made exactly-once for the
-  non-idempotent count/sum merge by recording the folded batch_id in
-  the snapshot's metadata: marker and data promote in the SAME
-  pointer swap, so a replayed batch sees itself already folded and
-  skips. Same guard as the sketch store (streaming/sketches.py), but
-  the WAP layer supplies the atomicity instead of a hand-rolled
+  non-idempotent count/sum merge by recording the folded (run_id,
+  batch_id) in the snapshot's metadata: marker and data promote in
+  the SAME pointer swap, so a replayed batch sees itself already
+  folded and skips. Same run-scoped guard as the sketch stores
+  (streaming/marker.py's contract — a regressed batch_id from a
+  DIFFERENT run means a fresh checkpoint renumbering from 0 and
+  fails loudly; a legacy snapshot without a run_id matches any run),
+  but the WAP layer supplies the atomicity instead of a hand-rolled
   directory swap.
 
 The published table is rollup-sized (days × types), so each batch's
@@ -35,6 +38,7 @@ from ..sources.publish import (
 )
 
 _BATCH_KEY = "last_batch_id"
+_RUN_KEY = "run_id"
 
 
 def _partials(events: DataFrame) -> DataFrame:
@@ -47,16 +51,31 @@ def _partials(events: DataFrame) -> DataFrame:
 
 
 def fold_and_publish(
-    batch: DataFrame, root: str, batch_id: int | None = None
+    batch: DataFrame,
+    root: str,
+    batch_id: int | None = None,
+    run_id: str = "",
 ) -> int | None:
     """Fold one batch into the published rollup and publish the result
     as the next version. Returns the new version, or None if the
-    batch was already folded (replay)."""
+    batch was already folded (a same-run replay — ``run_id`` scopes
+    the guard; a regressed batch_id from a different run raises)."""
     spark = batch.sparkSession
     if batch_id is not None and current_version(root) is not None:
-        last = read_metadata(root).get(_BATCH_KEY)
+        meta = read_metadata(root)
+        last = meta.get(_BATCH_KEY)
         if last is not None and batch_id <= int(last):
-            return None
+            last_run = meta.get(_RUN_KEY, "")
+            # legacy snapshots (no run_id) match any run: the resuming
+            # stream is the run that published them
+            if last_run in ("", run_id):
+                return None
+            raise ValueError(
+                f"batch_id {batch_id} regressed below the folded {last} "
+                f"but came from a different run ({run_id!r} vs "
+                f"{last_run!r}): resume from the original checkpoint, "
+                "or publish to a fresh root"
+            )
     incoming = _partials(batch)
     if current_version(root) is not None:
         merged = (
@@ -70,7 +89,11 @@ def fold_and_publish(
         )
     else:
         merged = incoming
-    meta = {} if batch_id is None else {_BATCH_KEY: int(batch_id)}
+    meta = (
+        {}
+        if batch_id is None
+        else {_BATCH_KEY: int(batch_id), _RUN_KEY: run_id}
+    )
     # coalesce(1): the published table is rollup-sized (days × types),
     # one file reads fastest; a wider rollup would size files via
     # write_sized_parquet instead
@@ -82,9 +105,12 @@ def rollup_publish_stream(
 ) -> StreamingQuery:
     """Maintain the published daily rollup from an events stream
     (columns: ts, event_type, value)."""
+    import os
+
+    run_id = os.path.abspath(checkpoint_dir)
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        fold_and_publish(batch, root, batch_id=batch_id)
+        fold_and_publish(batch, root, batch_id=batch_id, run_id=run_id)
 
     return (
         events.writeStream.foreachBatch(handle)

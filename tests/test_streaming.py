@@ -561,14 +561,26 @@ def test_rollup_publish_stream_matches_batch_and_guards_replay(spark, tmp_path):
     }
     assert got == want
 
-    # replayed batch id: no new version, no double counting
+    # replayed batch id WITHIN the run: no new version, no double
+    # counting
+    import os
+
+    import pytest
+
+    run_id = os.path.abspath(str(tmp_path / "ckpt"))
     replay = events.limit(100)
-    assert fold_and_publish(replay, root, batch_id=0) is None
+    assert fold_and_publish(replay, root, batch_id=0, run_id=run_id) is None
     assert current_version(root) == 1
     assert {
         (str(r.day), r.event_type): (r.n_events, round(r.sum_value, 6))
         for r in read_published(spark, root).collect()
     } == want
+
+    # a regressed batch id from a DIFFERENT run (fresh checkpoint
+    # renumbering from 0) fails loudly instead of silently dropping
+    with pytest.raises(ValueError, match="different run"):
+        fold_and_publish(replay, root, batch_id=0, run_id="other-ckpt")
+    assert current_version(root) == 1
 
 
 def test_decontam_gate_stream_matches_batch_composition(spark, tmp_path):
