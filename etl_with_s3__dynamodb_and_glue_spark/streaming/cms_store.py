@@ -24,28 +24,16 @@ a different run fails loudly (``streaming/marker.py``).
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cms import D_ROWS, W_CELLS, cms_build, cms_estimate
-from .marker import is_replay, read_marker, write_marker
+from .genstore import recover_store as _recover_store
+from .genstore import swap_in_generation
+from .marker import is_replay, read_marker
 
 CMS_SCHEMA = "j int, pos int, n long"
-
-
-def _recover_store(store_dir: str) -> None:
-    """Heal the swap's two crash windows (same contract as the HLL
-    store): only ``<store>.old`` present → restore it; both present →
-    drop the leftover."""
-    old = store_dir + ".old"
-    if os.path.isdir(old):
-        if os.path.isdir(store_dir):
-            shutil.rmtree(old)
-        else:
-            os.replace(old, store_dir)
 
 
 def last_merged_batch_id(store_dir: str) -> int | None:
@@ -87,17 +75,7 @@ def merge_cms_batch(
         )
     else:
         merged = incoming
-    tmp = tempfile.mkdtemp(
-        prefix="cms_store_", dir=os.path.dirname(store_dir) or "."
-    )
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if batch_id is not None:
-        write_marker(tmp, run_id, batch_id)
-    old = store_dir + ".old"
-    if os.path.isdir(store_dir):
-        os.replace(store_dir, old)
-    os.replace(tmp, store_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    swap_in_generation(merged, store_dir, run_id=run_id, batch_id=batch_id)
 
 
 def cms_store_stream(

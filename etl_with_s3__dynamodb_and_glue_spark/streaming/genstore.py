@@ -1,0 +1,68 @@
+"""Crash-safe generation swap shared by the whole-store sketch
+maintainers (``sketches.py`` HLL, ``cms_store.py`` CMS): parquet
+cannot be read and atomically self-overwritten in one job, so a new
+generation lands beside the store and promotes by rename-aside —
+every intermediate state is recoverable and the store is never
+missing. Factored (r8 review) so the swap discipline and its two
+fixes live once:
+
+- the replay marker is written INTO the new generation before
+  promotion, so marker and data move atomically (no lost-marker
+  window at all);
+- a swap WITHOUT a batch_id (manual backfill through the same merge
+  function) carries the existing marker forward instead of silently
+  destroying the stream's replay guard — a destroyed marker would let
+  the stream's next at-least-once redelivery double-merge a
+  non-idempotent sum.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+from .marker import read_marker, write_marker
+
+
+def recover_store(store_dir: str) -> None:
+    """Heal the swap's two crash windows: a crash after the old
+    generation was set aside but before the new one was promoted
+    leaves only ``<store>.old`` (restore it); a crash after promotion
+    leaves both (drop the leftover)."""
+    old = store_dir + ".old"
+    if os.path.isdir(old):
+        if os.path.isdir(store_dir):
+            shutil.rmtree(old)
+        else:
+            os.replace(old, store_dir)
+
+
+def swap_in_generation(
+    merged: DataFrame,
+    store_dir: str,
+    run_id: str = "",
+    batch_id: int | None = None,
+) -> None:
+    """Write ``merged`` as the store's next generation and promote it.
+    The store is sketch-sized by construction (rows bounded by days /
+    d·w cells, never by the stream), so ``coalesce(1)`` and the
+    rewrite cost O(store), not O(history)."""
+    tmp = tempfile.mkdtemp(
+        prefix="gen_store_", dir=os.path.dirname(store_dir) or "."
+    )
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        write_marker(tmp, run_id, batch_id)
+    else:
+        # unscoped backfill: the guard state must survive the swap
+        existing = read_marker(store_dir) if os.path.isdir(store_dir) else None
+        if existing is not None:
+            write_marker(tmp, existing[0], existing[1])
+    old = store_dir + ".old"
+    if os.path.isdir(store_dir):
+        os.replace(store_dir, old)
+    os.replace(tmp, store_dir)
+    shutil.rmtree(old, ignore_errors=True)

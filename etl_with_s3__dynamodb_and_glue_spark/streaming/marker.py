@@ -13,10 +13,14 @@ each hand-rolled (now in one place, ADVICE r7):
   redundant re-run of an idempotent batch (every gate lands per-batch
   ``batch_id=N`` subtrees with overwrite), which beats failing forever.
 - **Legacy single-line markers** (pre run-scoping, no run_id line)
-  match ANY run: the original checkpoint resuming after an upgrade is
-  exactly the safe-resume scenario, so the replay is skipped and the
-  marker is rewritten with the current run_id so later comparisons are
-  properly scoped.
+  carry no run identity, so the replay check discriminates on the
+  batch_id instead: the original checkpoint resuming after an upgrade
+  replays AT the landed batch_id (at-least-once redelivery of the last
+  landed batch — the safe-resume scenario, skipped and the marker
+  rewritten run-scoped), while a fresh checkpoint renumbering from 0
+  regresses BELOW it (raises, same as a scoped cross-run regression).
+  The single ambiguous residual — landed == 0 and a fresh run's batch
+  0 — is irreducible without a recorded run and resolves to skip.
 - **Cross-run regression fails loudly**: a batch_id at or below the
   landed one from a DIFFERENT run means a fresh checkpoint is
   re-numbering from 0 against state another run built; skipping would
@@ -47,11 +51,16 @@ def read_marker(state_dir: str) -> tuple[str, int] | None:
         return None
     with open(path) as f:
         lines = f.read().splitlines()
-    if not lines or not lines[-1].strip():
+    # tolerance keys on the BATCH-ID line (a hand-restored marker may
+    # carry a trailing newline; only a missing/empty id line means a
+    # torn legacy write)
+    if not lines or (len(lines) == 1 and not lines[0].strip()):
         return None
     try:
-        if len(lines) >= 2:
+        if len(lines) >= 2 and lines[1].strip():
             return lines[0], int(lines[1])
+        if not lines[0].strip():
+            return None
         return "", int(lines[0].strip())
     except ValueError as exc:
         raise ValueError(
@@ -85,14 +94,18 @@ def is_replay(
     marker_run, landed = marker
     if marker_run == run_id:
         return True
-    if marker_run == "":
-        # Pre-run-scoping marker: the resuming stream IS the run that
-        # wrote it (there was only ever one). Adopt it under the
-        # current run_id so the next comparison is properly scoped.
+    if marker_run == "" and batch_id == landed:
+        # Pre-run-scoping marker, replay AT the landed id: the
+        # original checkpoint's at-least-once redelivery of its last
+        # landed batch (the safe-resume scenario). Adopt it under the
+        # current run_id so the next comparison is properly scoped. A
+        # legacy batch_id BELOW the landed one falls through to the
+        # raise — that is a fresh checkpoint renumbering from 0, and
+        # skipping would silently drop its batches.
         write_marker(state_dir, run_id, landed)
         return True
     raise ValueError(
         f"batch_id {batch_id} regressed below the landed {landed} but "
-        f"came from a different run ({run_id!r} vs {marker_run!r}): "
-        f"{resume_hint}"
+        f"came from a different run ({run_id!r} vs "
+        f"{marker_run or '<legacy unscoped>'!r}): {resume_hint}"
     )

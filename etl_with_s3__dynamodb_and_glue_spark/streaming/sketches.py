@@ -23,13 +23,13 @@ same trade as the IVF centroid load (similarity.py).
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from .marker import is_replay, read_marker, write_marker
+from .genstore import recover_store as _recover_store
+from .genstore import swap_in_generation
+from .marker import is_replay, read_marker
 
 SKETCH_SCHEMA = "day date, user_sketch binary, n_events long"
 
@@ -39,19 +39,6 @@ def _day_sketches(events: DataFrame) -> DataFrame:
         F.hll_sketch_agg("user_id").alias("user_sketch"),
         F.count(F.lit(1)).alias("n_events"),
     )
-
-
-def _recover_store(store_dir: str) -> None:
-    """Heal the swap's two crash windows: a crash after the old
-    generation was set aside but before the new one was promoted
-    leaves only ``<store>.old`` (restore it); a crash after promotion
-    leaves both (drop the leftover)."""
-    old = store_dir + ".old"
-    if os.path.isdir(old):
-        if os.path.isdir(store_dir):
-            shutil.rmtree(old)
-        else:
-            os.replace(old, store_dir)
 
 
 def last_merged_batch_id(store_dir: str) -> int | None:
@@ -109,18 +96,7 @@ def merge_day_sketches(
         )
     else:
         merged = incoming
-    # parquet can't be read and overwritten in one job — land the new
-    # generation beside the store, then swap. The store is one row per
-    # day, so the rewrite is O(days), never O(events).
-    tmp = tempfile.mkdtemp(prefix="sketch_store_", dir=os.path.dirname(store_dir) or ".")
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if batch_id is not None:
-        write_marker(tmp, run_id, batch_id)
-    old = store_dir + ".old"
-    if os.path.isdir(store_dir):
-        os.replace(store_dir, old)
-    os.replace(tmp, store_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    swap_in_generation(merged, store_dir, run_id=run_id, batch_id=batch_id)
 
 
 def sketch_store_stream(

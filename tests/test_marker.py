@@ -45,23 +45,44 @@ def test_corrupt_marker_raises_descriptively(tmp_path):
         read_marker(d)
 
 
-def test_legacy_single_line_marker_matches_any_run_and_upgrades(tmp_path):
-    """Pre-run-scoping markers carry no run_id. The stream resuming
-    from its ORIGINAL checkpoint replays its last landed batch
-    at-least-once — that replay must skip (there was only ever one
-    run), and the marker is rewritten run-scoped so later comparisons
-    are strict."""
+def test_legacy_single_line_marker_upgrades_only_at_landed_id(tmp_path):
+    """Pre-run-scoping markers carry no run_id, so the check
+    discriminates on the batch_id: the original checkpoint's
+    at-least-once redelivery replays AT the landed id (skip + rewrite
+    run-scoped); a fresh checkpoint renumbering from 0 regresses
+    BELOW it and must raise — skipping would silently drop its
+    batches (r8 review finding)."""
     d = str(tmp_path)
     with open(marker_path(d), "w") as f:
         f.write("2")
+    # a legacy batch BELOW the landed id: renumbering, loud
+    with pytest.raises(ValueError, match="legacy unscoped"):
+        is_replay(d, "/ckpt/whoever", 0, "resume hint text")
+    # still legacy (the raise must not have adopted it)
+    assert read_marker(d) == ("", 2)
+    # replay AT the landed id: the safe resume — skip and upgrade
     assert is_replay(d, "/ckpt/original", 2, "hint") is True
-    # upgraded in place: run-scoped at the legacy batch_id
     assert read_marker(d) == ("/ckpt/original", 2)
     # now strict: a DIFFERENT run regressing fails loudly
     with pytest.raises(ValueError, match="different run"):
         is_replay(d, "/ckpt/fresh", 1, "resume hint text")
     # and progress past the marker is not a replay
     assert is_replay(d, "/ckpt/original", 3, "hint") is False
+
+
+def test_marker_with_trailing_newline_still_reads(tmp_path):
+    """A hand-restored marker (the corrupt-marker error tells the
+    operator to restore it; editors append a final newline) must read
+    as the marker it is, not as absent — absent would disable the
+    replay guard and double-merge a non-idempotent store (r8 review
+    finding)."""
+    d = str(tmp_path)
+    with open(marker_path(d), "w") as f:
+        f.write("ckpt-A\n5\n")
+    assert read_marker(d) == ("ckpt-A", 5)
+    with open(marker_path(d), "w") as f:
+        f.write("7\n")
+    assert read_marker(d) == ("", 7)
 
 
 def test_cross_run_regression_error_carries_the_hint(tmp_path):
@@ -104,3 +125,32 @@ def test_tokens_leaked_unions_overlapping_spans(spark):
         for r in tokens_leaked(df).collect()
     }
     assert got == {1: (2, 10), 2: (2, 16), 3: (2, 12), 4: (3, 20)}
+
+
+def test_unscoped_backfill_swap_carries_the_marker_forward(spark, tmp_path):
+    """A manual backfill merge (batch_id=None) rewrites the store
+    through the same generation swap; it must NOT destroy the
+    stream's replay marker — a lost marker lets the next
+    at-least-once redelivery double-merge a non-idempotent sum (r8
+    review finding, fixed in genstore.swap_in_generation)."""
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.cms_store import (
+        merge_cms_batch,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "key string")
+    store = str(tmp_path / "store")
+    merge_cms_batch(spark, df, store, "key", batch_id=4, run_id="ckpt-A")
+    assert read_marker(store) == ("ckpt-A", 4)
+    before = {
+        (r.j, r.pos): r.n for r in spark.read.parquet(store).collect()
+    }
+    # unscoped backfill: merges, marker survives
+    merge_cms_batch(spark, df, store, "key")
+    assert read_marker(store) == ("ckpt-A", 4)
+    after = {(r.j, r.pos): r.n for r in spark.read.parquet(store).collect()}
+    assert after == {k: v * 2 for k, v in before.items()}
+    # and the stream's replay of batch 4 still short-circuits
+    merge_cms_batch(spark, df, store, "key", batch_id=4, run_id="ckpt-A")
+    assert {
+        (r.j, r.pos): r.n for r in spark.read.parquet(store).collect()
+    } == after
