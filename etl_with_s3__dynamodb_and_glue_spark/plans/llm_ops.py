@@ -1600,31 +1600,32 @@ def doc_token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests force collisions with a tiny sketch to exercise the
     one-sided error bound.
 
-    One corpus pass: the per-term count aggregate feeds BOTH the
-    sketch (``cms_build_from_counts`` — hash work is O(vocabulary))
-    and the exact heavy-hitter table; the vocab-sized counts persist
-    across the two consumers (post-aggregation shrinking intermediate
-    — the persist-wins case, unlike the exploded-gram tables)."""
-    from pyspark.storagelevel import StorageLevel
-
-    from ..caching import unpersist_on_release
+    The per-term count aggregate feeds BOTH the sketch
+    (``cms_build_from_counts`` — hash work is O(vocabulary)) and the
+    exact heavy-hitter table. Deliberately NOT persisted, measured
+    both ways same-session (4 reps each): at sf0.1 no-persist runs
+    1.19-1.28 s vs 1.60-2.02 s persisted (plus an 11 s first-rep
+    materialization); at 50k docs 2.4-2.8 vs 3.0-3.6 s. The
+    re-derivation is one columnar scan + map-side-combined count —
+    cheaper than the persist's materialization barrier + store/read
+    cycle (contrast doc_ngram_containment, whose persisted distinct
+    gram set IS expensive to recompute). For reference the old
+    per-instance-hash form measured 2.9-3.6 s / 19-23 s in the same
+    session."""
     from ..operators import cms
 
     toks = _docs(spark, sf_dir).select(tokens("text").alias("tk")).select(
         F.explode("tk").alias("term")
     )
-    term_counts = (
-        toks.groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    term_counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
     )
     sketch = cms.cms_build_from_counts(term_counts, "term", "true_count")
     true_counts = term_counts.filter(F.col("true_count") >= 100)
     est = cms.cms_estimate(true_counts.select("term"), "term", sketch)
-    result = true_counts.join(est, "term").select(
+    return true_counts.join(est, "term").select(
         "term", "true_count", "est_count"
     )
-    return unpersist_on_release(result, term_counts)
 
 
 def _cms_oracle_sql() -> str:
