@@ -154,3 +154,42 @@ def test_unscoped_backfill_swap_carries_the_marker_forward(spark, tmp_path):
     assert {
         (r.j, r.pos): r.n for r in spark.read.parquet(store).collect()
     } == after
+
+
+def test_cms_store_crash_window_recovers(spark, tmp_path):
+    """Generation-swap crash windows (shared genstore helper): a crash
+    after the old generation was set aside but before promotion leaves
+    only <store>.old — the next reader/merger must heal it; a crash
+    after promotion leaves both — the leftover is dropped."""
+    import shutil
+
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.cms_store import (
+        estimate_counts,
+        merge_cms_batch,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "key string")
+    store = str(tmp_path / "store")
+    merge_cms_batch(spark, df, store, "key", batch_id=0, run_id="ckpt-A")
+    want = {
+        r.key: r.est_count
+        for r in estimate_counts(spark, store, df.distinct(), "key").collect()
+    }
+    assert want == {"a": 2, "b": 1}
+
+    # window 1: set-aside happened, promotion didn't
+    shutil.move(store, store + ".old")
+    got = {
+        r.key: r.est_count
+        for r in estimate_counts(spark, store, df.distinct(), "key").collect()
+    }
+    assert got == want and read_marker(store) == ("ckpt-A", 0)
+
+    # window 2: promotion happened, leftover .old remains
+    shutil.copytree(store, store + ".old")
+    merge_cms_batch(spark, df, store, "key", batch_id=1, run_id="ckpt-A")
+    assert not os.path.isdir(store + ".old")
+    assert {
+        r.key: r.est_count
+        for r in estimate_counts(spark, store, df.distinct(), "key").collect()
+    } == {"a": 4, "b": 2}
