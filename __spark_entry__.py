@@ -69,6 +69,13 @@ _MODULES = [
 # r7 item 5; implemented + oracle-twin-agreement-tested this round,
 # kept out because this window is at capacity and rule 1 forbids
 # shipping a never-checked query outside it).
+# ALSO STAGED (round-8 session, registration blocked by the capacity
+# math below): plans/curation.py::doc_dsir_weights — DSIR importance
+# weighting (operators/importance.py), oracle-twin-agreement-tested,
+# property-tested vs a sequential reference, plan-shape-asserted, and
+# timed in bench extras. Registering it is the trigger for the
+# round-9 capacity decision: retire a redundant variant or move the
+# staleness bound to ≤3 artifacts (capacity 197), per the note below.
 #
 # CAPACITY: with the ≤2-artifact staleness bound, a 50-slot window
 # sustains at most 3×50 − 2 (user_sessions occupies a slot every

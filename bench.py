@@ -94,6 +94,7 @@ EXTRAS = [
     "doc_eval_span_overlap",
     "weekly_user_distinct_exact",
     "doc_scrub_duplicate_spans",
+    "doc_dsir_weights",
 ]
 
 
@@ -103,7 +104,10 @@ def _staged_queries() -> dict:
     as extras so their first registered round has a perf baseline."""
     from etl_with_s3__dynamodb_and_glue_spark.plans import curation
 
-    return {"doc_scrub_duplicate_spans": curation.doc_scrub_duplicate_spans}
+    return {
+        "doc_scrub_duplicate_spans": curation.doc_scrub_duplicate_spans,
+        "doc_dsir_weights": curation.doc_dsir_weights,
+    }
 
 
 def main() -> None:

@@ -1,0 +1,154 @@
+"""DSIR-style importance weighting for data selection (Xie et al.,
+"Data Selection for Language Models via Importance Resampling",
+NeurIPS 2023 — public method): score every raw document by how
+target-like its hashed n-gram feature distribution is, so a 100 TB
+crawl can be resampled toward a high-quality target domain in one
+bounded-state pass. Reference scope: the reference repo has no
+data-selection surface; this extends the LLM-curation family
+alongside the quality classifier (operators/classifier.py) — the
+classifier scores *absolute* quality from a trained model, DSIR
+scores *relative to a target corpus* with no model at all.
+
+Construction (all JVM-side expressions, no UDFs):
+
+1. **Features**: unigrams + word bigrams of the whitespace-normalized
+   text, each hashed into one of ``B`` buckets with the repo's
+   portable md5-digit construction (operators/classifier.py). The
+   portable hash is the same deliberate choice as the CMS sketch
+   (operators/cms.py): the whole weight table becomes a pure
+   deterministic function of the data that the DuckDB oracle rebuilds
+   verbatim, so the driver value-checks the operator end-to-end.
+2. **Two bucket histograms in ONE aggregation pass**: raw = every
+   doc, target = docs matching the caller's predicate (conditional
+   sum). B rows of state total, however large the corpus.
+3. **Per-bucket log-likelihood ratio** with add-one smoothing,
+   broadcast back onto the per-doc bucket counts; a doc's log
+   importance weight is the count-weighted sum of the ratios of the
+   buckets it touches — the bag-of-hashed-ngrams likelihood ratio of
+   "drawn from target" vs "drawn from raw".
+
+Scale shape: one explode + map-side-combinable groupBy for the
+per-doc bucket profile (a doc's grams never shuffle — only its
+``(doc_id, bucket, cnt)`` rows do, ≤ min(B, n_grams) per doc), one
+≤B-row global histogram, one broadcast join, one final per-doc sum.
+Estimator state is O(B) regardless of corpus size — what makes
+importance resampling viable at crawl scale where a learned filter
+needs a model server per executor. The per-doc profile feeds both
+the histogram branch and the final join and is deliberately NOT
+persisted — same measured rule as the CMS build
+(plans/llm_ops.py::doc_token_cms_estimates): recomputing one
+columnar explode + map-side-combined count beats a materialization
+barrier + store/read cycle.
+
+The resampling step (draw k docs ∝ exp(log_weight)) composes with
+the existing Efraimidis–Spirakis machinery
+(operators/sampling.py::weighted_sample_score + global TakeOrdered)
+— pass ``exp(log_weight)`` as the weight; no new operator needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .classifier import _hex4
+from .text import tokens, word_ngrams
+
+B_BUCKETS = 1024
+
+
+def gram_bucket(gram: Column, buckets: int = B_BUCKETS) -> Column:
+    """Feature-hash one gram string into [0, buckets) — seeded
+    ('dsir|') portable md5-digit construction, replayable in SQL."""
+    return (_hex4(F.md5(F.concat(F.lit("dsir|"), gram))) % buckets).cast(
+        "int"
+    )
+
+
+def hashed_feature_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = ("doc_id",),
+    buckets: int = B_BUCKETS,
+) -> DataFrame:
+    """Per-doc hashed-ngram bucket profile: (carry_cols…, bucket,
+    cnt). Features are unigrams ++ word bigrams (the DSIR paper's
+    hashed n-gram featurization); one explode, one
+    map-side-combinable groupBy."""
+    toks = tokens(text_col)
+    feats = F.concat(toks, word_ngrams(toks, 2))
+    return (
+        df.select(*carry_cols, F.explode(feats).alias("gram"))
+        .select(*carry_cols, gram_bucket(F.col("gram"), buckets).alias("bucket"))
+        .groupBy(*carry_cols, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def bucket_log_ratios(per_doc: DataFrame, buckets: int = B_BUCKETS) -> DataFrame:
+    """(bucket, log_ratio) from a per-doc profile carrying an
+    ``is_target`` flag: ln p̂_target(bucket) − ln p̂_raw(bucket), both
+    add-one smoothed over the full bucket space. ≤B rows — broadcast
+    material by construction.
+
+    The corpus totals come from a global window OVER THE ≤B-ROW
+    HISTOGRAM, not a one-row aggregate crossJoined back: the usual
+    one-row-crossJoin idiom plans a separate aggregate branch that
+    re-derives the per-doc profile (a third full corpus explode —
+    observed in the formatted plan before this shape), while the
+    window is one extra pass over ≤B already-aggregated rows in the
+    same stage. Global windows are banned over data-sized frames, not
+    over sketch-sized ones."""
+    hist = per_doc.groupBy("bucket").agg(
+        F.sum("cnt").alias("raw_cnt"),
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(F.lit(0))).alias(
+            "tgt_cnt"
+        ),
+    )
+    whole = Window.partitionBy()
+    b = float(buckets)
+    return hist.select(
+        "bucket",
+        (
+            F.log(
+                (F.col("tgt_cnt") + 1.0)
+                / (F.sum("tgt_cnt").over(whole) + b)
+            )
+            - F.log(
+                (F.col("raw_cnt") + 1.0)
+                / (F.sum("raw_cnt").over(whole) + b)
+            )
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = B_BUCKETS,
+) -> DataFrame:
+    """(id_col, n_feats, log_weight) for EVERY input doc: the DSIR
+    log importance weight of the doc under target-vs-raw hashed-ngram
+    unigram+bigram models. ``target`` is a boolean Column over ``df``
+    rows selecting the target exemplars (they are scored too — raw
+    includes target by definition, and their high weights are the
+    expected fixed point).
+
+    Every observed bucket exists in the raw histogram by construction
+    (raw = all docs), so the final inner join drops nothing."""
+    per_doc = hashed_feature_counts(
+        df.select(id_col, text_col, target.alias("is_target")),
+        text_col=text_col,
+        carry_cols=(id_col, "is_target"),
+        buckets=buckets,
+    )
+    ratios = bucket_log_ratios(per_doc, buckets=buckets)
+    return (
+        per_doc.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"),
+        )
+    )

@@ -662,6 +662,87 @@ ORDER BY d.doc_id
 """
 
 
+# --- DSIR importance weighting --------------------------------------------
+
+
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023 — see
+    ``operators/importance.py`` for the construction and scale shape):
+    every document scored by the hashed-ngram log-likelihood ratio of
+    "drawn from the English slice" vs "drawn from the whole corpus".
+    The synthetic corpus shares one vocabulary across languages, so
+    the lang signal lives only in token/bigram frequency profiles —
+    the semantic sanity test pins the ranking separation DSIR
+    extracts from that (AUC ≈ 0.89), the property test pins the
+    arithmetic against a sequential reference, and the oracle twin
+    replays hashing, smoothing and summation verbatim.
+
+    STAGED for a later registry window (the round-8 window is at its
+    50-slot capacity and rotation rule 1 forbids shipping a
+    never-checked query outside it; the round-9 window is already
+    fully determined by the mandatory returns). Registration requires
+    a capacity move — retire a redundant variant or move the staleness
+    bound to ≤3 artifacts per the capacity note in
+    ``__spark_entry__.py`` — recorded there as the round-9 decision.
+    """
+    from ..operators import importance
+
+    docs = _docs(spark, sf_dir)
+    return (
+        importance.dsir_log_weights(docs, target=F.col("lang") == "en")
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round("log_weight", 6).alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_sql() -> str:
+    bucket = (
+        _hex4_sql("md5('dsir|' || gram)") + " % 1024"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, is_t, unnest(toks) AS gram FROM t
+  UNION ALL
+  SELECT doc_id, is_t,
+         array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+  FROM t, UNNEST(range(1, GREATEST(len(toks) - 1, 0) + 1)) AS u(i)
+),
+docb AS (
+  SELECT doc_id, is_t, {bucket} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM feats GROUP BY 1, 2, 3
+),
+hist AS (
+  SELECT bucket, SUM(cnt) AS raw_cnt,
+         SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS tgt_cnt
+  FROM docb GROUP BY 1
+),
+tot AS (SELECT SUM(raw_cnt) AS raw_tot, SUM(tgt_cnt) AS tgt_tot FROM hist),
+ratio AS (
+  SELECT bucket,
+         LN((tgt_cnt + 1.0) / (tgt_tot + 1024.0))
+           - LN((raw_cnt + 1.0) / (raw_tot + 1024.0)) AS log_ratio
+  FROM hist CROSS JOIN tot
+)
+SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_feats,
+       ROUND(SUM(d.cnt * r.log_ratio), 6) AS log_weight
+FROM docb d JOIN ratio r USING (bucket)
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+DOC_DSIR_WEIGHTS_SQL = _dsir_sql()
+
+
 QUERIES = {
     "doc_quality_classifier": doc_quality_classifier,
     "doc_boilerplate_fraction": doc_boilerplate_fraction,

@@ -1566,3 +1566,54 @@ def test_split_leakage_lsh_agrees_with_exact(spark):
         assert n <= exact[cell], (cell, n, exact[cell])
     total_exact, total_lsh = sum(exact.values()), sum(lsh.values())
     assert total_lsh >= 0.8 * total_exact, (total_lsh, total_exact)
+
+
+def test_staged_dsir_weights_matches_oracle(spark):
+    """The STAGED query doc_dsir_weights must already match its DuckDB
+    twin value-for-value, so registering it later cannot surprise —
+    hashing, smoothing, and the count-weighted log-ratio sum replay
+    verbatim (the portable-md5 choice made for the CMS sketch, for the
+    same reason)."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
+        DOC_DSIR_WEIGHTS_SQL,
+        doc_dsir_weights,
+    )
+    from tests.conftest import SF_ORACLE
+    from tests.oracle_harness import compare
+
+    res = compare(
+        spark,
+        SF_ORACLE,
+        "doc_dsir_weights",
+        doc_dsir_weights,
+        DOC_DSIR_WEIGHTS_SQL,
+    )
+    assert res.get("values_match"), res
+
+
+def test_dsir_weights_separate_target_language(spark):
+    """Semantic sanity: the synthetic corpus shares ONE 31-token
+    vocabulary across all languages (verified — the lang label shows
+    up only as different token/bigram FREQUENCY profiles), so this is
+    the hard version of the task: DSIR must rank English docs high
+    from frequency evidence alone. Measured AUC on this deterministic
+    corpus is ≈0.89; assert a margin below it plus a clear median
+    shift."""
+    import statistics
+
+    from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
+        doc_dsir_weights,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    w = doc_dsir_weights(spark, SF_SMOKE).join(docs, "doc_id").collect()
+    en = sorted(r.log_weight for r in w if r.lang == "en")
+    rest = sorted(r.log_weight for r in w if r.lang != "en")
+    assert en and rest
+    import bisect
+
+    auc = sum(bisect.bisect_left(rest, e) for e in en) / (len(en) * len(rest))
+    assert auc >= 0.85, auc
+    assert statistics.median(en) > statistics.median(rest) + 1.0

@@ -480,3 +480,22 @@ def test_weekly_distinct_exact_is_one_shuffle_no_window(spark):
     plan = plan_str(weekly_user_distinct_exact(spark, SF_SMOKE))
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_ratio_table_is_broadcast_and_corpus_scans_twice(spark):
+    """DSIR weights: the ≤B-row log-ratio table joins back by
+    broadcast (never a shuffle of the per-doc profile against it, and
+    never a nested loop), and the corpus is derived exactly TWICE —
+    profile branch + histogram branch. The bucket totals ride a
+    global window over the ≤B-row histogram instead of the one-row
+    crossJoin idiom, which planned a third full corpus explode."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
+        doc_dsir_weights,
+    )
+
+    plan = plan_str(doc_dsir_weights(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2, tree

@@ -584,3 +584,79 @@ def test_cms_cells_equal_sequential_md5_reference(spark, rows):
         (r.j, r.pos): r.n for r in cms.cms_build(df, "term", d=d, w=w).collect()
     }
     assert got == dict(want)
+
+
+_dsir_docs = st.lists(
+    st.tuples(
+        st.lists(
+            st.sampled_from(["a", "b", "aa", "bb", "cc"]),
+            min_size=0,
+            max_size=8,
+        ),
+        st.booleans(),  # is_target
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_dsir_docs)
+@_slow
+def test_dsir_weights_match_sequential_reference(spark, docs):
+    """dsir_log_weights IS the DSIR arithmetic: a pure-Python
+    reference (hashlib.md5 bucketing of unigrams+bigrams, add-one
+    smoothed target/raw histograms, count-weighted log-ratio sum)
+    reproduces every doc's weight on random corpora — including
+    all-target, no-target, and empty-text corners."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators import importance
+
+    buckets = 16
+
+    def feats(tk: list[str]) -> list[str]:
+        tk = tk or [""]  # empty text tokenizes to one empty token
+        return tk + [" ".join(tk[i : i + 2]) for i in range(len(tk) - 1)]
+
+    def bucket(g: str) -> int:
+        h = hashlib.md5(("dsir|" + g).encode()).hexdigest()
+        return int(h[:4], 16) % buckets
+
+    per_doc: dict[int, Counter] = {}
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    for i, (tk, is_t) in enumerate(docs):
+        c = Counter(bucket(g) for g in feats(tk))
+        per_doc[i] = c
+        raw.update(c)
+        if is_t:
+            tgt.update(c)
+    raw_tot, tgt_tot = sum(raw.values()), sum(tgt.values())
+    want = {}
+    for i, c in per_doc.items():
+        lw = sum(
+            n
+            * (
+                math.log((tgt[b] + 1.0) / (tgt_tot + buckets))
+                - math.log((raw[b] + 1.0) / (raw_tot + buckets))
+            )
+            for b, n in c.items()
+        )
+        want[i] = (sum(c.values()), lw)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(tk), is_t) for i, (tk, is_t) in enumerate(docs)],
+        "doc_id long, text string, is_t boolean",
+    )
+    got = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in importance.dsir_log_weights(
+            df, target=F.col("is_t"), buckets=buckets
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert math.isclose(got[i][1], want[i][1], rel_tol=1e-9, abs_tol=1e-9)
