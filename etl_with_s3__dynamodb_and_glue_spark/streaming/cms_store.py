@@ -29,16 +29,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cms import D_ROWS, W_CELLS, cms_build, cms_estimate
+from .genstore import last_swapped_batch_id
 from .genstore import recover_store as _recover_store
 from .genstore import swap_in_generation
-from .marker import is_replay, read_marker
+from .marker import is_replay
 
 CMS_SCHEMA = "j int, pos int, n long"
 
 
 def last_merged_batch_id(store_dir: str) -> int | None:
-    marker = read_marker(store_dir)
-    return None if marker is None else marker[1]
+    # heal-first: a crash mid-swap leaves the marker in <store>.old
+    return last_swapped_batch_id(store_dir)
 
 
 def merge_cms_batch(

@@ -24,7 +24,19 @@ import tempfile
 
 from pyspark.sql import DataFrame
 
-from .marker import read_marker, write_marker
+from .marker import last_batch_id, read_marker, write_marker
+
+
+def last_swapped_batch_id(store_dir: str) -> int | None:
+    """``marker.last_batch_id`` with the swap crash windows healed
+    first: a crash between rename-aside and promotion leaves the
+    marker (and the store) recoverable in ``<store>.old`` — reading
+    without healing would report "nothing ever landed" and invite a
+    renumbered re-seed that the next merge then rejects (or, with
+    ``batch_id=None`` backfills, double-merges non-idempotent
+    sums)."""
+    recover_store(store_dir)
+    return last_batch_id(store_dir)
 
 
 def recover_store(store_dir: str) -> None:
@@ -53,14 +65,24 @@ def swap_in_generation(
     tmp = tempfile.mkdtemp(
         prefix="gen_store_", dir=os.path.dirname(store_dir) or "."
     )
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if batch_id is not None:
-        write_marker(tmp, run_id, batch_id)
-    else:
-        # unscoped backfill: the guard state must survive the swap
-        existing = read_marker(store_dir) if os.path.isdir(store_dir) else None
-        if existing is not None:
-            write_marker(tmp, existing[0], existing[1])
+    try:
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if batch_id is not None:
+            write_marker(tmp, run_id, batch_id)
+        else:
+            # unscoped backfill: the guard state must survive the swap
+            existing = (
+                read_marker(store_dir) if os.path.isdir(store_dir) else None
+            )
+            if existing is not None:
+                write_marker(tmp, existing[0], existing[1])
+    except BaseException:
+        # a failed write must not leave a full-store-sized orphan per
+        # attempt (a crash can still strand one; the next successful
+        # swap of the SAME tmp name cannot exist — mkdtemp is unique —
+        # so orphans are bounded by hard crashes, not by failures)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     old = store_dir + ".old"
     if os.path.isdir(store_dir):
         os.replace(store_dir, old)

@@ -41,14 +41,13 @@ from ..operators.dedup import (
     corpus_signature_frame,
     minhash_near_dups_vs_store,
 )
-from .marker import is_replay, read_marker, write_marker
+from .marker import is_replay, last_batch_id, write_marker
 
 SEED_BATCH_ID = -1
 
 
 def last_ingested_batch_id(store_dir: str) -> int | None:
-    marker = read_marker(store_dir)
-    return None if marker is None else marker[1]
+    return last_batch_id(store_dir)
 
 
 def _store_generations(store_dir: str) -> list[int]:

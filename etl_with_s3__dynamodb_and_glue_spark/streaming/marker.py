@@ -71,6 +71,15 @@ def read_marker(state_dir: str) -> tuple[str, int] | None:
         ) from exc
 
 
+def last_batch_id(state_dir: str) -> int | None:
+    """Batch id of the last fully-landed batch, or None — the shared
+    accessor behind every gate's ``last_*_batch_id``. Generation-swap
+    stores must heal their crash windows before reading; they go
+    through ``genstore.last_swapped_batch_id`` instead."""
+    marker = read_marker(state_dir)
+    return None if marker is None else marker[1]
+
+
 def write_marker(state_dir: str, run_id: str, batch_id: int) -> None:
     """Atomically record (run_id, batch_id): temp file + os.replace so
     a crash leaves either the old marker or the new one, never a

@@ -17,9 +17,11 @@ This closes the loop between three pieces that exist separately:
   folded and skips. Same run-scoped guard as the sketch stores
   (streaming/marker.py's contract — a regressed batch_id from a
   DIFFERENT run means a fresh checkpoint renumbering from 0 and
-  fails loudly; a legacy snapshot without a run_id matches any run),
-  but the WAP layer supplies the atomicity instead of a hand-rolled
-  directory swap.
+  fails loudly; a legacy snapshot without a run_id skips only a
+  replay AT the folded id and raises below it), but the WAP layer
+  supplies the atomicity instead of a hand-rolled directory swap,
+  and an unscoped manual backfill carries the folded marker forward
+  in the new snapshot's metadata instead of wiping it.
 
 The published table is rollup-sized (days × types), so each batch's
 read-merge-publish cycle is O(rollup) + O(batch) — never O(history).
@@ -66,15 +68,22 @@ def fold_and_publish(
         last = meta.get(_BATCH_KEY)
         if last is not None and batch_id <= int(last):
             last_run = meta.get(_RUN_KEY, "")
-            # legacy snapshots (no run_id) match any run: the resuming
-            # stream is the run that published them
-            if last_run in ("", run_id):
+            if last_run == run_id:
+                return None
+            # legacy snapshots (no recorded run) discriminate on the
+            # batch_id, marker.py's contract: replay AT the folded id
+            # is the original checkpoint's at-least-once redelivery of
+            # its last folded batch (the safe-resume scenario, skip);
+            # BELOW it is a fresh checkpoint renumbering from 0, and
+            # skipping would silently drop its batches from the
+            # published rollup
+            if last_run == "" and batch_id == int(last):
                 return None
             raise ValueError(
                 f"batch_id {batch_id} regressed below the folded {last} "
                 f"but came from a different run ({run_id!r} vs "
-                f"{last_run!r}): resume from the original checkpoint, "
-                "or publish to a fresh root"
+                f"{last_run or '<legacy unscoped>'!r}): resume from the "
+                "original checkpoint, or publish to a fresh root"
             )
     incoming = _partials(batch)
     if current_version(root) is not None:
@@ -89,11 +98,18 @@ def fold_and_publish(
         )
     else:
         merged = incoming
-    meta = (
-        {}
-        if batch_id is None
-        else {_BATCH_KEY: int(batch_id), _RUN_KEY: run_id}
-    )
+    if batch_id is not None:
+        meta = {_BATCH_KEY: int(batch_id), _RUN_KEY: run_id}
+    elif current_version(root) is not None:
+        # unscoped backfill: the stream's replay guard must survive
+        # the publish (genstore carries its marker forward the same
+        # way) — publishing {} here would wipe last_batch_id and let
+        # the stream's next at-least-once redelivery double-fold a
+        # non-idempotent count/sum merge
+        prior = read_metadata(root)
+        meta = {k: prior[k] for k in (_BATCH_KEY, _RUN_KEY) if k in prior}
+    else:
+        meta = {}
     # coalesce(1): the published table is rollup-sized (days × types),
     # one file reads fastest; a wider rollup would size files via
     # write_sized_parquet instead

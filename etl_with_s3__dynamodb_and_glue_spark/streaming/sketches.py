@@ -27,9 +27,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from .genstore import last_swapped_batch_id
 from .genstore import recover_store as _recover_store
 from .genstore import swap_in_generation
-from .marker import is_replay, read_marker
+from .marker import is_replay
 
 SKETCH_SCHEMA = "day date, user_sketch binary, n_events long"
 
@@ -42,8 +43,8 @@ def _day_sketches(events: DataFrame) -> DataFrame:
 
 
 def last_merged_batch_id(store_dir: str) -> int | None:
-    marker = read_marker(store_dir)
-    return None if marker is None else marker[1]
+    # heal-first: a crash mid-swap leaves the marker in <store>.old
+    return last_swapped_batch_id(store_dir)
 
 
 def merge_day_sketches(

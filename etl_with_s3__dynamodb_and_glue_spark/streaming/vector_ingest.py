@@ -38,14 +38,13 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.embedding_gen import embed_texts
 from ..operators.similarity import IvfIndex, ivf_assign
-from .marker import is_replay, read_marker, write_marker
+from .marker import is_replay, last_batch_id, write_marker
 
 SEED_BATCH_ID = -1
 
 
 def last_ingested_batch_id(index_dir: str) -> int | None:
-    marker = read_marker(index_dir)
-    return None if marker is None else marker[1]
+    return last_batch_id(index_dir)
 
 
 def seed_index(

@@ -193,3 +193,78 @@ def test_cms_store_crash_window_recovers(spark, tmp_path):
         r.key: r.est_count
         for r in estimate_counts(spark, store, df.distinct(), "key").collect()
     } == {"a": 4, "b": 2}
+
+
+def test_last_merged_batch_id_heals_crash_window(spark, tmp_path):
+    """The resume-decision accessor must see through the swap's crash
+    window: with only <store>.old on disk (crash between set-aside and
+    promotion), last_merged_batch_id heals first and reports the
+    landed id — returning None here would invite a renumbered re-seed
+    that the next merge rejects (review r8)."""
+    import shutil
+
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.cms_store import (
+        last_merged_batch_id,
+        merge_cms_batch,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "key string")
+    store = str(tmp_path / "store")
+    merge_cms_batch(spark, df, store, "key", batch_id=3, run_id="ckpt-A")
+    shutil.move(store, store + ".old")
+    assert last_merged_batch_id(store) == 3
+    assert os.path.isdir(store) and not os.path.isdir(store + ".old")
+
+
+def _mk_events(spark, n=6):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        F.lit("click").alias("event_type"),
+        F.col("id").cast("double").alias("value"),
+    )
+
+
+def test_fold_and_publish_unscoped_backfill_carries_marker(spark, tmp_path):
+    """A manual backfill (batch_id=None) through the WAP publisher
+    must carry the folded (run_id, batch_id) forward into the new
+    snapshot's metadata — publishing {} would wipe the replay guard
+    and let the stream's next at-least-once redelivery double-fold
+    (review r8; genstore.swap_in_generation's rule, WAP edition)."""
+    from etl_with_s3__dynamodb_and_glue_spark.sources.publish import (
+        read_metadata,
+    )
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.publishing import (
+        fold_and_publish,
+    )
+
+    root = str(tmp_path / "rollup")
+    ev = _mk_events(spark)
+    assert fold_and_publish(ev, root, batch_id=0, run_id="ckpt-A") == 0
+    # unscoped backfill publishes a new version but keeps the guard
+    assert fold_and_publish(ev, root) == 1
+    meta = read_metadata(root)
+    assert meta.get("last_batch_id") == 0 and meta.get("run_id") == "ckpt-A"
+    # the stream's redelivery of batch 0 still short-circuits
+    assert fold_and_publish(ev, root, batch_id=0, run_id="ckpt-A") is None
+
+
+def test_fold_and_publish_legacy_skips_at_folded_id_raises_below(
+    spark, tmp_path
+):
+    """Legacy snapshots (no recorded run) follow marker.py's truth
+    table: a new run's replay AT the folded id skips (the original
+    checkpoint resuming after an upgrade), BELOW it raises — skipping
+    would silently drop a fresh checkpoint's renumbered batches from
+    the published rollup (review r8)."""
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.publishing import (
+        fold_and_publish,
+    )
+
+    root = str(tmp_path / "rollup")
+    ev = _mk_events(spark)
+    fold_and_publish(ev, root, batch_id=5, run_id="")  # legacy-shaped
+    assert fold_and_publish(ev, root, batch_id=5, run_id="ckpt-B") is None
+    with pytest.raises(ValueError, match="different run"):
+        fold_and_publish(ev, root, batch_id=3, run_id="ckpt-B")

@@ -26,7 +26,7 @@ instead of mixing two data distributions:
   lineages that had never been measured above sf0.1 (VERDICT r7
   missing #4).
 
-Usage: python tools/scale_probe.py [docs|embeddings|relational|all]
+Usage: python tools/scale_probe.py [docs|embeddings|relational|retrieval|all]
 (default all; writes .scale_probe/ under the repo root, prints one
 JSON line per (query, size, repeat) and a scaling-exponent summary;
 quiet machine required — same discipline as bench.py).
@@ -44,8 +44,19 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
-QUERIES = ["doc_minhash_near_dups", "doc_token_cms_estimates", "doc_duplicate_spans"]
+QUERIES = [
+    "doc_minhash_near_dups",
+    "doc_token_cms_estimates",
+    "doc_duplicate_spans",
+    "doc_dsir_weights",
+]
 SIZES = {"n5k": 5_000, "n50k": 50_000}
+RET_QUERIES = [
+    "doc_bm25_topk",
+    "doc_inverted_index",
+    "doc_lm_score",
+    "doc_hybrid_rrf",
+]
 EMB_QUERIES = [
     "embedding_topk_bruteforce",
     "embedding_ivf_topk",
@@ -134,8 +145,10 @@ def gen_embeddings(n_vecs: int, out_dir: str) -> None:
 
 def _registry():
     import __spark_entry__ as entry_mod
+    import bench
 
-    return entry_mod.queries()
+    # staged-but-unregistered queries (bench extras) probe too
+    return {**entry_mod.queries(), **bench._staged_queries()}
 
 
 def _time_queries(
@@ -432,6 +445,24 @@ def probe_embeddings(spark, base: str) -> None:
     _time_queries(spark, EMB_QUERIES, EMB_SIZES, base, "e10k", "e100k")
 
 
+def probe_retrieval(spark, base: str) -> None:
+    """Retrieval lineage over the SAME two-point docs family (plus
+    matching-size embedding tables for the hybrid fuser) — BM25,
+    full inverted-index build, bigram-LM scoring, and hybrid RRF had
+    never been timed above sf0.1."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans import retrieval as rq
+
+    for name, n in SIZES.items():
+        d = os.path.join(base, name)
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            gen_documents(n, d)
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+            gen_embeddings(n, d)
+    # warm-up: JVM + codegen
+    rq.QUERIES["doc_bm25_topk"](spark, os.path.join(base, "n5k")).collect()
+    _time_queries(spark, RET_QUERIES, SIZES, base, "n5k", "n50k")
+
+
 def main() -> None:
     from etl_with_s3__dynamodb_and_glue_spark import get_spark
 
@@ -444,6 +475,8 @@ def main() -> None:
         probe_embeddings(spark, base)
     if family in ("relational", "all"):
         probe_relational(spark, base)
+    if family in ("retrieval", "all"):
+        probe_retrieval(spark, base)
     spark.stop()
 
 
