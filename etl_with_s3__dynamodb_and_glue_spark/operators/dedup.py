@@ -995,6 +995,36 @@ def duplicate_spans_vs(
     return _positions_to_spans(staged, dup_pos, min_tokens, id_col)
 
 
+# Gram-hash construction version stamped into every anchor store. A
+# store probed under a DIFFERENT construction would silently match
+# nothing (hash values differ even though groupings are equivalent) —
+# the worst decontamination failure mode, so the probe fails loudly
+# instead. v1 = xxhash64 over the sliced token array (kept after a
+# measured r8 A/B against the zip-string form — see
+# text.py::word_ngram_hashes). Stores written before stamping existed
+# used the same v1 construction, so an unstamped store reads as v1.
+ANCHOR_FORMAT = "gram-xxhash64-slicedarray-v1"
+_ANCHOR_FORMAT_NAME = "_ANCHOR_FORMAT"
+_UNSTAMPED_FORMAT = "gram-xxhash64-slicedarray-v1"
+
+
+def _check_anchor_format(path: str) -> None:
+    import os
+
+    marker = os.path.join(path, _ANCHOR_FORMAT_NAME)
+    found = _UNSTAMPED_FORMAT
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            found = f.read().strip()
+    if found != ANCHOR_FORMAT:
+        raise ValueError(
+            f"anchor store {path!r} was built with gram-hash format "
+            f"{found!r} but this build probes with {ANCHOR_FORMAT!r} "
+            "— matches would silently be missed; rebuild the store "
+            "with build_anchor_store on the same reference corpus"
+        )
+
+
 def build_anchor_store(
     reference: DataFrame,
     path: str,
@@ -1005,7 +1035,11 @@ def build_anchor_store(
     the build-once side of incremental substring decontamination (the
     same offline/serving split as ``build_minhash_store``): the eval
     suite is hashed ONCE, and every arriving batch screens against the
-    stored 8-byte hashes without re-reading the reference."""
+    stored 8-byte hashes without re-reading the reference. The store
+    is stamped with the gram-hash construction version; probes check
+    it (see ``ANCHOR_FORMAT``)."""
+    import os
+
     from .text import tokens, word_ngram_hashes
 
     (
@@ -1018,6 +1052,10 @@ def build_anchor_store(
         .write.mode("overwrite")
         .parquet(path)
     )
+    tmp = os.path.join(path, _ANCHOR_FORMAT_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(ANCHOR_FORMAT)
+    os.replace(tmp, os.path.join(path, _ANCHOR_FORMAT_NAME))
 
 
 def duplicate_spans_vs_store(
@@ -1032,9 +1070,12 @@ def duplicate_spans_vs_store(
     anchor pass plus a broadcast of the stored gram set — the
     reference text is never touched again. ``min_tokens`` must match
     the store's build value (span granularity is baked into the
-    anchors)."""
+    anchors), and the store's gram-hash construction version must
+    match this build's (fails loudly otherwise — a silent mismatch
+    would admit every contaminated span)."""
     from .text import tokens, word_ngram_hashes
 
+    _check_anchor_format(store_path)
     spark = docs.sparkSession
     staged = docs.select(F.col(id_col), tokens(text_col).alias("tk"))
     grams = staged.select(

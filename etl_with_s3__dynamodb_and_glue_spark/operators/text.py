@@ -67,9 +67,20 @@ def word_ngram_hashes(toks: Column, n: int) -> Column:
     Tokens cannot contain spaces (whitespace tokenization), so the
     space-joined gram string is injective in the token window — equal
     windows collide under either construction, and window-equality
-    consumers (winnowing containment, fingerprint sets) get identical
-    groupings ~25% cheaper (the per-element lambda drops the
-    ``concat_ws`` string build; measured at sf0.1)."""
+    consumers (winnowing containment, span anchors, fingerprint sets)
+    get identical groupings.
+
+    Kept on the sliced-array form after a measured r8 A/B against
+    ``xxhash64(word_ngrams(...))`` (the zip-string form): the string
+    form wins the isolated explode micro-bench 1.8× but LOSES ~15%
+    warm inside ``doc_ngram_containment`` (array_distinct over the
+    hash array — the chained-concat string materialization dominates
+    when nothing is exploded) and is a wash inside
+    ``duplicate_spans``; mixed real-query results don't justify
+    changing persisted hash VALUES. The anchor store stamps this
+    construction version (``dedup.ANCHOR_FORMAT``) so any future
+    change fails loudly at probe time instead of silently missing
+    every span."""
     count = F.size(toks) - (n - 1)
     return F.when(
         count > 0,

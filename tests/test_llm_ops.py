@@ -1617,3 +1617,34 @@ def test_dsir_weights_separate_target_language(spark):
     auc = sum(bisect.bisect_left(rest, e) for e in en) / (len(en) * len(rest))
     assert auc >= 0.85, auc
     assert statistics.median(en) > statistics.median(rest) + 1.0
+
+
+def test_anchor_store_format_mismatch_fails_loudly(spark, tmp_path):
+    """A persisted anchor store built under a DIFFERENT gram-hash
+    construction must refuse to probe — silently matching nothing
+    would admit every contaminated span. A wrong-stamp store raises;
+    a freshly built store probes; an UNSTAMPED store reads as the v1
+    construction (pre-stamping stores used exactly it) and probes."""
+    import os
+
+    import pytest
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators import dedup
+
+    ref = spark.createDataFrame(
+        [(0, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "anchors")
+    dedup.build_anchor_store(ref, store, min_tokens=8)
+    # fresh store probes (and finds the planted overlap)
+    got = dedup.duplicate_spans_vs_store(ref, store, min_tokens=8).collect()
+    assert len(got) == 1
+
+    marker = os.path.join(store, dedup._ANCHOR_FORMAT_NAME)
+    os.remove(marker)  # unstamped = pre-stamping v1 store: compatible
+    got2 = dedup.duplicate_spans_vs_store(ref, store, min_tokens=8).collect()
+    assert got2 == got
+    with open(marker, "w") as f:
+        f.write("gram-xxhash64-zipstring-v2")
+    with pytest.raises(ValueError, match="rebuild the store"):
+        dedup.duplicate_spans_vs_store(ref, store, min_tokens=8)

@@ -660,3 +660,41 @@ def test_dsir_weights_match_sequential_reference(spark, docs):
     for i in want:
         assert got[i][0] == want[i][0]
         assert math.isclose(got[i][1], want[i][1], rel_tol=1e-9, abs_tol=1e-9)
+
+
+_ngram_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "cc", "ddd"]), min_size=0, max_size=12
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=_ngram_texts, n=st.integers(min_value=2, max_value=6))
+@_slow
+def test_word_ngrams_match_sequential_reference(spark, texts, n):
+    """word_ngrams (r8 rewrite: zipped shifted array views instead of
+    per-position slice) IS the textbook sliding window: space-joined
+    token windows in order, empty when the doc is shorter than n —
+    pinned against a pure-Python reference on random corpora so the
+    construction can be re-optimized without semantic drift."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.text import (
+        tokens,
+        word_ngrams,
+    )
+
+    def ref(tk: list[str]) -> list[str]:
+        tk = tk or [""]  # empty text tokenizes to one empty token
+        return [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+
+    df = spark.createDataFrame(
+        [(i, " ".join(tk)) for i, tk in enumerate(texts)],
+        "i long, text string",
+    )
+    got = {
+        r.i: r.g
+        for r in df.select("i", word_ngrams(tokens("text"), n).alias("g")).collect()
+    }
+    for i, tk in enumerate(texts):
+        assert got[i] == ref(tk), (i, tk, n)
