@@ -268,3 +268,44 @@ def test_fold_and_publish_legacy_skips_at_folded_id_raises_below(
     assert fold_and_publish(ev, root, batch_id=5, run_id="ckpt-B") is None
     with pytest.raises(ValueError, match="different run"):
         fold_and_publish(ev, root, batch_id=3, run_id="ckpt-B")
+
+
+def test_swap_in_generation_cleans_temp_dir_on_write_failure(
+    spark, tmp_path
+):
+    """A failed generation write must not strand a store-sized
+    gen_store_* orphan beside the store (review r8): the swap removes
+    its temp dir on failure and leaves the existing store untouched."""
+    from pyspark.sql import functions as F
+
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.cms_store import (
+        estimate_counts,
+        merge_cms_batch,
+    )
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.genstore import (
+        swap_in_generation,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "key string")
+    store = str(tmp_path / "store")
+    merge_cms_batch(spark, df, store, "key", batch_id=0, run_id="ckpt-A")
+    before = {
+        r.key: r.est_count
+        for r in estimate_counts(spark, store, df.distinct(), "key").collect()
+    }
+
+    exploding = spark.range(2).select(
+        F.assert_true(F.col("id") < 1).alias("boom"), F.col("id")
+    )
+    with pytest.raises(Exception):
+        swap_in_generation(exploding, store, run_id="ckpt-A", batch_id=1)
+
+    leftovers = [
+        p for p in os.listdir(tmp_path) if p.startswith("gen_store_")
+    ]
+    assert leftovers == [], leftovers
+    assert {
+        r.key: r.est_count
+        for r in estimate_counts(spark, store, df.distinct(), "key").collect()
+    } == before
+    assert read_marker(store) == ("ckpt-A", 0)
