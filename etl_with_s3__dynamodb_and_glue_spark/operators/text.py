@@ -44,9 +44,14 @@ def word_ngrams(toks: Column, n: int) -> Column:
     POSITION — the per-position ``transform(sequence…, slice…)``
     form allocates an array cell per gram and measured 5.9× slower
     at n=2 (32.4 → 5.5 s exploding 50k docs' bigrams) down to 1.9×
-    at n=8, outputs byte-identical. Arrays shorter than ``n`` yield
-    an empty gram list (the ``when`` guard also keeps ``slice`` off
-    non-positive lengths — CaseWhen evaluates only the taken
+    at n=8, outputs byte-identical on null-free arrays. Elements must
+    be non-null strings (the whitespace-token contract —
+    :func:`tokens` output never contains nulls): a null ELEMENT
+    null-propagates through ``concat`` here where the old
+    ``concat_ws`` silently skipped it; neither is a meaningful gram,
+    so the contract is explicit instead. Arrays shorter than ``n``
+    yield an empty gram list (the ``when`` guard also keeps ``slice``
+    off non-positive lengths — CaseWhen evaluates only the taken
     branch)."""
     count = F.size(toks) - (n - 1)
     grams = F.slice(toks, 1, count)

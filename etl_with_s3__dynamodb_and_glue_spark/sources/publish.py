@@ -172,3 +172,18 @@ def read_metadata(root: str, version: int | None = None) -> dict:
             return json.load(f)
     except FileNotFoundError:
         return {}
+
+
+def write_metadata(root: str, version: int, metadata: dict) -> None:
+    """Atomically replace ``version``'s metadata sidecar. The version's
+    DATA stays immutable — this exists for metadata-only adoptions
+    (e.g. the streaming publisher stamping its run_id onto a legacy
+    snapshot after resolving an at-the-folded-id replay, the WAP
+    analogue of marker.py rewriting a legacy marker run-scoped)."""
+    path = os.path.join(_version_dir(root, version), "_METADATA")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(metadata, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)

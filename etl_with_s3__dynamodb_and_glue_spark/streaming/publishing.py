@@ -37,6 +37,7 @@ from ..sources.publish import (
     publish_snapshot,
     read_metadata,
     read_published,
+    write_metadata,
 )
 
 _BATCH_KEY = "last_batch_id"
@@ -63,21 +64,31 @@ def fold_and_publish(
     batch was already folded (a same-run replay — ``run_id`` scopes
     the guard; a regressed batch_id from a different run raises)."""
     spark = batch.sparkSession
-    if batch_id is not None and current_version(root) is not None:
-        meta = read_metadata(root)
-        last = meta.get(_BATCH_KEY)
+    cur = current_version(root)
+    prior = read_metadata(root) if cur is not None else {}
+    if batch_id is not None and cur is not None:
+        last = prior.get(_BATCH_KEY)
         if last is not None and batch_id <= int(last):
-            last_run = meta.get(_RUN_KEY, "")
+            last_run = prior.get(_RUN_KEY, "")
             if last_run == run_id:
                 return None
             # legacy snapshots (no recorded run) discriminate on the
             # batch_id, marker.py's contract: replay AT the folded id
             # is the original checkpoint's at-least-once redelivery of
-            # its last folded batch (the safe-resume scenario, skip);
-            # BELOW it is a fresh checkpoint renumbering from 0, and
-            # skipping would silently drop its batches from the
-            # published rollup
+            # its last folded batch (the safe-resume scenario) — skip
+            # and ADOPT the current run by rewriting the snapshot's
+            # metadata sidecar, so the ambiguity resolves exactly once
+            # (a later different run replaying at this id raises
+            # instead of silently dropping its data, same as the
+            # sketch stores' marker rewrite); BELOW the folded id is a
+            # fresh checkpoint renumbering from 0, and skipping would
+            # silently drop its batches from the published rollup
             if last_run == "" and batch_id == int(last):
+                write_metadata(
+                    root,
+                    cur,
+                    {**prior, _BATCH_KEY: int(last), _RUN_KEY: run_id},
+                )
                 return None
             raise ValueError(
                 f"batch_id {batch_id} regressed below the folded {last} "
@@ -86,7 +97,7 @@ def fold_and_publish(
                 "original checkpoint, or publish to a fresh root"
             )
     incoming = _partials(batch)
-    if current_version(root) is not None:
+    if cur is not None:
         merged = (
             read_published(spark, root)
             .unionByName(incoming)
@@ -100,16 +111,13 @@ def fold_and_publish(
         merged = incoming
     if batch_id is not None:
         meta = {_BATCH_KEY: int(batch_id), _RUN_KEY: run_id}
-    elif current_version(root) is not None:
+    else:
         # unscoped backfill: the stream's replay guard must survive
         # the publish (genstore carries its marker forward the same
         # way) — publishing {} here would wipe last_batch_id and let
         # the stream's next at-least-once redelivery double-fold a
         # non-idempotent count/sum merge
-        prior = read_metadata(root)
         meta = {k: prior[k] for k in (_BATCH_KEY, _RUN_KEY) if k in prior}
-    else:
-        meta = {}
     # coalesce(1): the published table is rollup-sized (days × types),
     # one file reads fastest; a wider rollup would size files via
     # write_sized_parquet instead

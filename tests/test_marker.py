@@ -262,12 +262,29 @@ def test_fold_and_publish_legacy_skips_at_folded_id_raises_below(
         fold_and_publish,
     )
 
-    root = str(tmp_path / "rollup")
     ev = _mk_events(spark)
+    # legacy replay BELOW the folded id raises (fresh checkpoint
+    # renumbering from 0 — skipping would silently drop its batches)
+    low = str(tmp_path / "rollup_low")
+    fold_and_publish(ev, low, batch_id=5, run_id="")  # legacy-shaped
+    with pytest.raises(ValueError, match="different run"):
+        fold_and_publish(ev, low, batch_id=3, run_id="ckpt-B")
+
+    # legacy replay AT the folded id skips and ADOPTS the current run
+    # (metadata rewritten run-scoped, the marker.py contract): the
+    # ambiguity resolves once — a THIRD run replaying at the folded
+    # id now raises instead of silently dropping its data
+    from etl_with_s3__dynamodb_and_glue_spark.sources.publish import (
+        read_metadata,
+    )
+
+    root = str(tmp_path / "rollup")
     fold_and_publish(ev, root, batch_id=5, run_id="")  # legacy-shaped
     assert fold_and_publish(ev, root, batch_id=5, run_id="ckpt-B") is None
+    assert read_metadata(root).get("run_id") == "ckpt-B"
+    assert fold_and_publish(ev, root, batch_id=5, run_id="ckpt-B") is None
     with pytest.raises(ValueError, match="different run"):
-        fold_and_publish(ev, root, batch_id=3, run_id="ckpt-B")
+        fold_and_publish(ev, root, batch_id=5, run_id="ckpt-C")
 
 
 def test_swap_in_generation_cleans_temp_dir_on_write_failure(

@@ -425,7 +425,8 @@ def probe_relational(spark, base: str) -> None:
     qs = _registry()
     for name, scale in REL_SIZES.items():
         d = os.path.join(base, name)
-        if not os.path.exists(os.path.join(d, "lineitem.parquet")):
+        # isdir, not exists — see probe_docs
+        if not os.path.isdir(os.path.join(d, "lineitem.parquet")):
             gen_relational(scale, d)
     # warm-up: JVM + codegen on the small point
     qs["pricing_summary"](spark, os.path.join(base, "t1x")).collect()
@@ -437,7 +438,10 @@ def probe_docs(spark, base: str) -> None:
 
     for name, n in SIZES.items():
         d = os.path.join(base, name)
-        if not os.path.exists(os.path.join(d, "documents.parquet")):
+        # isdir, not exists: a stale pre-change SINGLE-FILE corpus
+        # must regenerate, or the probe silently times the 1-2-split
+        # serial-read layout the multi-file fix eliminated
+        if not os.path.isdir(os.path.join(d, "documents.parquet")):
             gen_documents(n, d)
     # warm-up: JVM + codegen
     llm_ops.QUERIES["doc_token_stats"](
@@ -451,7 +455,7 @@ def probe_embeddings(spark, base: str) -> None:
 
     for name, n in EMB_SIZES.items():
         d = os.path.join(base, name)
-        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+        if not os.path.isdir(os.path.join(d, "embeddings.parquet")):
             gen_embeddings(n, d)
     # untimed prebuild of every index artifact (offline construction);
     # also doubles as the JVM/codegen warm-up for the serving paths
@@ -483,9 +487,12 @@ def probe_retrieval(spark, base: str) -> None:
 
     for name, n in SIZES.items():
         d = os.path.join(base, name)
-        if not os.path.exists(os.path.join(d, "documents.parquet")):
+        # isdir, not exists: a stale pre-change SINGLE-FILE corpus
+        # must regenerate, or the probe silently times the 1-2-split
+        # serial-read layout the multi-file fix eliminated
+        if not os.path.isdir(os.path.join(d, "documents.parquet")):
             gen_documents(n, d)
-        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+        if not os.path.isdir(os.path.join(d, "embeddings.parquet")):
             gen_embeddings(n, d)
     # warm-up: JVM + codegen
     rq.QUERIES["doc_bm25_topk"](spark, os.path.join(base, "n5k")).collect()
