@@ -84,7 +84,9 @@ def hashed_feature_counts(
     )
 
 
-def bucket_log_ratios(per_doc: DataFrame, buckets: int = B_BUCKETS) -> DataFrame:
+def bucket_log_ratios(
+    per_doc: DataFrame, buckets: int = B_BUCKETS, dense: bool = False
+) -> DataFrame:
     """(bucket, log_ratio) from a per-doc profile carrying an
     ``is_target`` flag: ln p̂_target(bucket) − ln p̂_raw(bucket), both
     add-one smoothed over the full bucket space. ≤B rows — broadcast
@@ -97,13 +99,26 @@ def bucket_log_ratios(per_doc: DataFrame, buckets: int = B_BUCKETS) -> DataFrame
     observed in the formatted plan before this shape), while the
     window is one extra pass over ≤B already-aggregated rows in the
     same stage. Global windows are banned over data-sized frames, not
-    over sketch-sized ones."""
+    over sketch-sized ones.
+
+    ``dense=True`` emits a row for EVERY bucket (unobserved buckets
+    get the pure-smoothing ratio) — required when the table is
+    persisted as a scoring store (:func:`build_dsir_store`): a
+    later-arriving doc can touch buckets the build corpus never did,
+    and an inner probe join must not silently drop those features."""
     hist = per_doc.groupBy("bucket").agg(
         F.sum("cnt").alias("raw_cnt"),
         F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(F.lit(0))).alias(
             "tgt_cnt"
         ),
     )
+    if dense:
+        all_buckets = per_doc.sparkSession.range(buckets).select(
+            F.col("id").cast("int").alias("bucket")
+        )
+        hist = all_buckets.join(hist, "bucket", "left").fillna(
+            0, ["raw_cnt", "tgt_cnt"]
+        )
     whole = Window.partitionBy()
     b = float(buckets)
     return hist.select(
@@ -144,6 +159,102 @@ def dsir_log_weights(
         buckets=buckets,
     )
     ratios = bucket_log_ratios(per_doc, buckets=buckets)
+    return (
+        per_doc.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"),
+        )
+    )
+
+
+# Store format stamp (the anchor-store discipline, dedup.py): the
+# bucket count AND hash construction are baked into the persisted
+# ratios, so a probe under a different featurization would score
+# garbage silently — fail loudly instead.
+_DSIR_FORMAT_NAME = "_DSIR_FORMAT"
+
+
+def _dsir_format(buckets: int) -> str:
+    return f"dsir-md5-unibigram-b{buckets}-v1"
+
+
+def _check_dsir_format(path: str, buckets: int) -> None:
+    import os
+
+    marker = os.path.join(path, _DSIR_FORMAT_NAME)
+    found = None
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            found = f.read().strip()
+    want = _dsir_format(buckets)
+    if found != want:
+        raise ValueError(
+            f"DSIR ratio store {path!r} was built as {found or '<unstamped>'!r} "
+            f"but this probe expects {want!r} — scores would be "
+            "garbage; rebuild with build_dsir_store at the matching "
+            "bucket count"
+        )
+
+
+def build_dsir_store(
+    df: DataFrame,
+    target: Column,
+    path: str,
+    text_col: str = "text",
+    buckets: int = B_BUCKETS,
+) -> None:
+    """Persist the DENSE per-bucket log-ratio table — the build-once
+    side of incremental data selection (the same offline/serving
+    split as the dedup signature, decontamination anchor, CMS and HLL
+    stores): the target/raw histograms are estimated ONCE over a
+    reference corpus, and every arriving batch scores against B
+    broadcast rows without re-reading it. Dense (every bucket, with
+    unobserved buckets carrying the pure-smoothing ratio) so a probe
+    never drops a feature the build corpus happened not to contain."""
+    import os
+
+    ratios = bucket_log_ratios(
+        hashed_feature_counts(
+            df.select(text_col, target.alias("is_target")),
+            text_col=text_col,
+            carry_cols=("is_target",),
+            buckets=buckets,
+        ),
+        buckets=buckets,
+        dense=True,
+    )
+    ratios.coalesce(1).write.mode("overwrite").parquet(path)
+    tmp = os.path.join(path, _DSIR_FORMAT_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(_dsir_format(buckets))
+    os.replace(tmp, os.path.join(path, _DSIR_FORMAT_NAME))
+
+
+def dsir_score_with_store(
+    docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = B_BUCKETS,
+) -> DataFrame:
+    """(id_col, n_feats, log_weight) for an ARRIVING batch against a
+    persisted ratio store (:func:`build_dsir_store`) — per-batch cost
+    is the batch's own feature pass plus a broadcast of B rows; the
+    reference corpus is never touched again. Usable directly inside
+    ``foreachBatch`` like the near-dup ingest and decontamination
+    gates. The store's bucket count and hash construction must match
+    this build's (fails loudly otherwise)."""
+    _check_dsir_format(store_path, buckets)
+    spark = docs.sparkSession
+    per_doc = hashed_feature_counts(
+        docs.select(id_col, text_col),
+        text_col=text_col,
+        carry_cols=(id_col,),
+        buckets=buckets,
+    )
+    ratios = spark.read.parquet(store_path)
     return (
         per_doc.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)

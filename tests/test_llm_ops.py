@@ -1648,3 +1648,103 @@ def test_anchor_store_format_mismatch_fails_loudly(spark, tmp_path):
         f.write("gram-xxhash64-zipstring-v2")
     with pytest.raises(ValueError, match="rebuild the store"):
         dedup.duplicate_spans_vs_store(ref, store, min_tokens=8)
+
+
+def test_dsir_store_scores_equal_inline_weights(spark, tmp_path):
+    """The persisted ratio store is the serving twin of
+    dsir_log_weights: probing the SAME corpus the store was built
+    from reproduces every inline weight (dense rows don't change
+    observed-bucket ratios — totals are identical), and a store built
+    at a different bucket count or left unstamped refuses to score."""
+    import math
+    import os
+
+    import pytest
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators import importance
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    target = F.col("lang") == "en"
+    store = str(tmp_path / "dsir_store")
+    importance.build_dsir_store(docs, target, store)
+
+    inline = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in importance.dsir_log_weights(docs, target).collect()
+    }
+    stored = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in importance.dsir_score_with_store(docs, store).collect()
+    }
+    assert set(inline) == set(stored)
+    for k in inline:
+        assert inline[k][0] == stored[k][0]
+        assert math.isclose(
+            inline[k][1], stored[k][1], rel_tol=1e-9, abs_tol=1e-9
+        )
+
+    with pytest.raises(ValueError, match="rebuild"):
+        importance.dsir_score_with_store(docs, store, buckets=64)
+    os.remove(os.path.join(store, importance._DSIR_FORMAT_NAME))
+    with pytest.raises(ValueError, match="unstamped"):
+        importance.dsir_score_with_store(docs, store)
+
+
+def test_dsir_store_scores_unseen_grams_with_smoothing_default(
+    spark, tmp_path
+):
+    """A later-arriving doc whose grams the build corpus never
+    produced must not silently lose features: every unseen bucket
+    carries the dense pure-smoothing ratio
+    ln((0+1)/(tgt_tot+B)) − ln((0+1)/(raw_tot+B)), verified against a
+    pure-Python replay of the densified store."""
+    import hashlib
+    import math
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators import importance
+
+    buckets = 16
+    build = spark.createDataFrame(
+        [(0, "aa aa bb", True), (1, "bb cc", False)],
+        "doc_id long, text string, is_t boolean",
+    )
+    store = str(tmp_path / "s")
+    importance.build_dsir_store(
+        build, F.col("is_t"), store, buckets=buckets
+    )
+
+    def bucket(g):
+        return int(
+            hashlib.md5(("dsir|" + g).encode()).hexdigest()[:4], 16
+        ) % buckets
+
+    def feats(text):
+        tk = text.split()
+        return tk + [" ".join(tk[i : i + 2]) for i in range(len(tk) - 1)]
+
+    from collections import Counter
+
+    raw, tgt = Counter(), Counter()
+    for text, is_t in (("aa aa bb", True), ("bb cc", False)):
+        c = Counter(bucket(g) for g in feats(text))
+        raw.update(c)
+        if is_t:
+            tgt.update(c)
+    rt, tt = sum(raw.values()), sum(tgt.values())
+
+    probe = spark.createDataFrame(
+        [(9, "zz yy zz")], "doc_id long, text string"
+    )
+    got = importance.dsir_score_with_store(
+        probe, store, buckets=buckets
+    ).collect()[0]
+    want = sum(
+        n
+        * (
+            math.log((tgt[b] + 1.0) / (tt + buckets))
+            - math.log((raw[b] + 1.0) / (rt + buckets))
+        )
+        for b, n in Counter(bucket(g) for g in feats("zz yy zz")).items()
+    )
+    assert got.n_feats == 5
+    assert math.isclose(got.log_weight, want, rel_tol=1e-9, abs_tol=1e-9)
