@@ -1748,3 +1748,43 @@ def test_dsir_store_scores_unseen_grams_with_smoothing_default(
     )
     assert got.n_feats == 5
     assert math.isclose(got.log_weight, want, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_dsir_resampling_composes_and_enriches_target(spark):
+    """The DSIR resampling step is the documented composition with the
+    existing Efraimidis–Spirakis machinery (importance.py module doc):
+    draw k docs ∝ exp(log_weight) via weighted_sample_score + global
+    top-k. End-to-end check: the drawn sample is substantially
+    enriched in the target language vs the corpus base rate, and the
+    draw is deterministic (pure function of salt + doc_id)."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators import importance
+    from etl_with_s3__dynamodb_and_glue_spark.operators.sampling import (
+        weighted_sample_score,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    w = importance.dsir_log_weights(docs, target=F.col("lang") == "en")
+    scored = w.select(
+        "doc_id",
+        weighted_sample_score(
+            F.col("doc_id"), F.exp("log_weight"), salt="dsir"
+        ).alias("_s"),
+    )
+    k = 100
+
+    def draw():
+        return [
+            r.doc_id
+            for r in scored.orderBy(F.desc("_s"), "doc_id").limit(k).collect()
+        ]
+
+    sample = draw()
+    assert sample == draw()  # deterministic replay
+
+    lang = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    base_rate = sum(1 for v in lang.values() if v == "en") / len(lang)
+    sample_rate = sum(1 for d in sample if lang[d] == "en") / k
+    # en base rate ≈ 0.39 at sf0.001; importance resampling must
+    # substantially enrich it (measured ≈0.9+ on this deterministic
+    # corpus; assert a wide margin)
+    assert sample_rate >= base_rate + 0.3, (base_rate, sample_rate)
