@@ -37,7 +37,7 @@ _MODULES = [
 
 # The driver's correctness harness checks the FIRST 50 registry entries
 # per round; the registry is larger than that, so ordering is coverage
-# policy (round 8 edition). Rotation rules (tested by
+# policy (round 9 edition). Rotation rules (tested by
 # tests/test_registry_rotation.py):
 #   1. every query never seen in ANY CORRECTNESS_r*.json artifact must
 #      be in the current window (first 50) — nothing ships a round
@@ -52,114 +52,110 @@ _MODULES = [
 #      recent round that checked them AND whose lineage this round's
 #      diff does not touch.
 #
-# ROUND-8 WINDOW: the 46 queries last checked in round 5 (the
-# rotation test's r7 failure list — the orders/doc-curation/retrieval
-# block) rotate back in, plus user_sessions (rule 3) and the three
-# round-8 registrations staged last round (rule 1):
-# weekly_user_distinct_exact, embedding_ivfpq_topk,
-# doc_eval_span_overlap. Exactly 50.
+# CAPACITY DECISION (round 9, per VERDICT r8 item 3): the staleness
+# bound moved from ≤2 to ≤3 artifacts (every query must be in the
+# current window or in one of the LAST THREE committed
+# CORRECTNESS_r*.json artifacts). Rationale over retirement: the ≤2
+# bound's 148-slot capacity was exhausted the moment
+# doc_scrub_duplicate_spans registered, and the build keeps adding
+# operators every round — retiring a green query per new registration
+# trades real coverage for bookkeeping, while one extra round of
+# parking (4-round full-coverage cycle instead of 3) is still well
+# inside the regression-detection horizon the local pytest suite and
+# rule 2 (touched lineage re-checks immediately) already cover.
+# CAPACITY under ≤3: a 50-slot window sustains 4×50 − 3
+# (user_sessions occupies a slot every round) = 197 queries; the
+# registry is at 150 after this round's three registrations — 47
+# slots of headroom. The same math lives in
+# tests/test_registry_rotation.py::test_no_query_stale_beyond_three_artifacts.
 #
-# ROUND-9 QUEUE: the 49-query r7-checked block at the head of
-# _CHECK_LAST (flagship_daily_segment_topk …
-# rolling_7d_distinct_exact) parks beyond two artifacts once
-# CORRECTNESS_r08 lands — compute it from the artifacts, the rotation
-# test enforces it. ALSO round 9: register
-# plans/curation.py::doc_scrub_duplicate_spans (the
-# remove_duplicate_spans scrub transform as a declared query — VERDICT
-# r7 item 5; implemented + oracle-twin-agreement-tested this round,
-# kept out because this window is at capacity and rule 1 forbids
-# shipping a never-checked query outside it).
-# ALSO STAGED (round-8 session, registration blocked by the capacity
-# math below): plans/curation.py::doc_dsir_weights — DSIR importance
-# weighting (operators/importance.py), oracle-twin-agreement-tested,
-# property-tested vs a sequential reference, plan-shape-asserted, and
-# timed in bench extras. Registering it is the trigger for the
-# round-9 capacity decision: retire a redundant variant or move the
-# staleness bound to ≤3 artifacts (capacity 197), per the note below.
+# ROUND-9 WINDOW: the r6-checked block (published_segment_kpis …
+# buyer_eventer_intersect) rotates back in minus two deferrals
+# (buyers_not_eventers_except, returnflag_status_pivot — legal under
+# ≤3, they sit in the r6 artifact until the r10 window), plus
+# user_sessions (rule 3) and the three round-9 registrations
+# (rule 1): doc_scrub_duplicate_spans, doc_dsir_weights,
+# doc_dsir_sample. Exactly 50.
 #
-# CAPACITY: with the ≤2-artifact staleness bound, a 50-slot window
-# sustains at most 3×50 − 2 (user_sessions occupies a slot every
-# round) = 148 queries. After doc_scrub_duplicate_spans registers in
-# round 9 the registry is EXACTLY 148: every later window is fully
-# determined by the returns (r9 = 48 r6-checked + user_sessions +
-# scrub; r10 = the 49 r8-window returns + user_sessions; …), so any
-# FURTHER registration must either retire a query or move the
-# staleness bound to ≤3 artifacts — the same size-derived rule
-# (full coverage at the cycle the window allows) at the next registry
-# size, giving 4×50 − 3 = 197 slots. Prefer retirement of a redundant
-# variant first; relax the bound only with the capacity math updated
-# here and in tests/test_registry_rotation.py.
+# ROUND-10 QUEUE: mandatory returns are the two r6 deferrals above
+# (at r10 the last-three artifacts are r7/r8/r9 and they are in none)
+# plus user_sessions; the 49-query r7-checked block at the head of
+# _CHECK_LAST becomes stale at r11, so r10 should proactively rotate
+# most of it in (47 fit alongside the mandatory three), deferring the
+# remainder to r11 — compute it from the artifacts, the rotation test
+# enforces it.
 
 # Rule-2 ledger: queries whose code or oracle this round's diff
 # touched (directly or through an operator they consume). The rotation
 # test enforces these sit inside the window.
 _TOUCHED_THIS_ROUND = [
-    "weekly_user_distinct_exact",  # new registration
-    "embedding_ivfpq_topk",        # new registration
-    "doc_eval_span_overlap",       # new registration
-    "doc_token_cms_estimates",     # cms_build hashes per distinct key
+    "doc_scrub_duplicate_spans",  # new registration
+    "doc_dsir_weights",           # new registration + null-text coalesce
+    "doc_dsir_sample",            # new registration (importance lineage)
 ]
 
 _CHECK_FIRST = [
-    # --- last checked r5: parked two artifacts, must return
-    # (order = the rotation test's r7 failure list) ---
-    "orders_price_histogram",
-    "doc_chunks",
-    "doc_char_entropy",
-    "segment_kpis_intended",
-    "top_segments_per_day_intended",
-    "part_scalar_showcase",
-    "active_user_ids_union",
-    "customers_with_events_semi",
-    "events_json_extract",
-    "priority_status_grouping_sets",
-    "doc_chunk_packs",
-    "doc_bm25_topk",
-    "doc_inverted_index",
-    "doc_lm_score",
-    "doc_boilerplate_fraction",
-    "embedding_dedup_final",
-    "customer_scd1_merge",
-    "doc_hybrid_rrf",
-    "doc_quality_classifier",
-    "doc_dedup_final",
-    "customer_cdc_apply",
-    "orders_profile",
-    "user_conversion_funnel",
-    "doc_per_source_sample",
-    "fk_integrity_audit",
-    "orders_expectations",
-    "events_forward_fill",
-    "volume_shipping",
-    "doc_dedup_cluster_stats",
-    "user_daily_anomalies",
-    "serving_top_rows_lookup",
-    "doc_arrivals_dedup",
-    "doc_training_order",
-    "doc_curation_funnel",
-    "doc_tfidf_top_terms",
-    "doc_top_tokens",
-    "doc_decontamination",
-    "segment_distinct_stats",
-    "doc_bpe_token_counts",
-    "doc_ngram_containment",
-    "doc_temperature_mix",
-    "orders_price_drift",
-    "doc_token_cms_estimates",
-    "doc_weighted_sample",
-    "events_value_running_total",
-    "events_activity_concurrency",
+    # --- last checked r6: due this round (the two ≤3-legal deferrals
+    # buyers_not_eventers_except / returnflag_status_pivot sit at the
+    # end of _CHECK_LAST and are the r10 window's mandatory head) ---
+    "published_segment_kpis",
+    "top_return_customers",
+    "nation_revenue_pareto",
+    "doc_token_budget_sample",
+    "doc_lang_confusion",
+    "doc_dedup_keep_best",
+    "embedding_hard_negatives",
+    "embedding_dedup_final_lsh",
+    "asset_frame_samples",
+    "events_daily_complete",
+    "user_weekly_retention",
+    "event_type_transitions",
+    "events_daily_rollup_incremental",
+    "event_type_cooccurrence",
+    "events_wow_change",
+    "segment_nation_chi2",
+    "part_name_fuzzy_matches",
+    "lineitem_corr_matrix",
+    "orders_price_decile_bins",
+    "customer_scd2_apply",
+    "customer_balance_zscores",
+    "orders_pit_customer_balance",
+    "rolling_7d_distinct_users",
+    "events_customers_null_bypass",
+    "clicks_asof_recent_view",
+    "doc_encoding_audit",
+    "doc_novelty_fraction",
+    "doc_arrivals_dedup_lsh",
+    "doc_arrivals_dedup_store",
+    "doc_decontamination_bloom",
+    "doc_lm_outliers",
+    "daily_new_users_cumulative",
+    "doc_length_buckets",
+    "order_quantity_arrays",
+    "event_key_skew_profile",
+    "doc_split_assignment",
+    "doc_split_leakage_audit",
+    "doc_split_leakage_audit_lsh",
+    "doc_vocab_coverage",
+    "lineitem_winsorized_stats",
+    "eventers_orderers_full_outer",
+    "top_orders_global",
+    "customers_without_events_anti",
+    "returnflag_cube",
+    "order_date_parts",
+    "buyer_eventer_intersect",
     # --- incident-prone events.ts lineage, in-window every round ---
     "user_sessions",
-    # --- new this round (rule 1): staged r7, go first-run now ---
-    "weekly_user_distinct_exact",
-    "embedding_ivfpq_topk",
-    "doc_eval_span_overlap",
+    # --- new this round (rule 1): the two r8-staged registrations plus
+    # the DSIR resampling end-to-end query (VERDICT r8 items 2-4) ---
+    "doc_scrub_duplicate_spans",
+    "doc_dsir_weights",
+    "doc_dsir_sample",
 ]
 _CHECK_LAST = [
     # hash-green r7 (or rows-only-by-design r7), lineage untouched by
-    # this round's diff — parked; this block is first in the round-9
-    # return queue
+    # this round's diff — parked; becomes stale at r11, so the r10
+    # window should rotate most of this block back in proactively
     "flagship_daily_segment_topk",
     "segment_kpis_compat",
     "top_rows_per_day_compat",
@@ -209,53 +205,58 @@ _CHECK_LAST = [
     "asset_near_dups",
     "doc_duplicate_spans",
     "rolling_7d_distinct_exact",
-    # checked r6, parked
-    "published_segment_kpis",
-    "top_return_customers",
-    "nation_revenue_pareto",
-    "doc_token_budget_sample",
-    "doc_lang_confusion",
-    "doc_dedup_keep_best",
-    "embedding_hard_negatives",
-    "embedding_dedup_final_lsh",
-    "asset_frame_samples",
-    "events_daily_complete",
-    "user_weekly_retention",
-    "event_type_transitions",
-    "events_daily_rollup_incremental",
-    "event_type_cooccurrence",
-    "events_wow_change",
-    "segment_nation_chi2",
-    "part_name_fuzzy_matches",
-    "lineitem_corr_matrix",
-    "orders_price_decile_bins",
-    "customer_scd2_apply",
-    "customer_balance_zscores",
-    "orders_pit_customer_balance",
-    "rolling_7d_distinct_users",
-    "events_customers_null_bypass",
-    "clicks_asof_recent_view",
-    "doc_encoding_audit",
-    "doc_novelty_fraction",
-    "doc_arrivals_dedup_lsh",
-    "doc_arrivals_dedup_store",
-    "doc_decontamination_bloom",
-    "doc_lm_outliers",
-    "daily_new_users_cumulative",
-    "doc_length_buckets",
-    "order_quantity_arrays",
-    "event_key_skew_profile",
-    "doc_split_assignment",
-    "doc_split_leakage_audit",
-    "doc_split_leakage_audit_lsh",
-    "doc_vocab_coverage",
-    "lineitem_winsorized_stats",
-    "eventers_orderers_full_outer",
-    "top_orders_global",
-    "customers_without_events_anti",
-    "returnflag_cube",
-    "order_date_parts",
-    "buyer_eventer_intersect",
+    # checked r8, parked
+    "orders_price_histogram",
+    "doc_chunks",
+    "doc_char_entropy",
+    "segment_kpis_intended",
+    "top_segments_per_day_intended",
+    "part_scalar_showcase",
+    "active_user_ids_union",
+    "customers_with_events_semi",
+    "events_json_extract",
+    "priority_status_grouping_sets",
+    "doc_chunk_packs",
+    "doc_bm25_topk",
+    "doc_inverted_index",
+    "doc_lm_score",
+    "doc_boilerplate_fraction",
+    "embedding_dedup_final",
+    "customer_scd1_merge",
+    "doc_hybrid_rrf",
+    "doc_quality_classifier",
+    "doc_dedup_final",
+    "customer_cdc_apply",
+    "orders_profile",
+    "user_conversion_funnel",
+    "doc_per_source_sample",
+    "fk_integrity_audit",
+    "orders_expectations",
+    "events_forward_fill",
+    "volume_shipping",
+    "doc_dedup_cluster_stats",
+    "user_daily_anomalies",
+    "serving_top_rows_lookup",
+    "doc_arrivals_dedup",
+    "doc_training_order",
+    "doc_curation_funnel",
+    "doc_tfidf_top_terms",
+    "doc_top_tokens",
+    "doc_decontamination",
+    "segment_distinct_stats",
+    "doc_bpe_token_counts",
+    "doc_ngram_containment",
+    "doc_temperature_mix",
+    "orders_price_drift",
+    "doc_token_cms_estimates",
+    "doc_weighted_sample",
+    "events_value_running_total",
+    "events_activity_concurrency",
+    "weekly_user_distinct_exact",
+    "embedding_ivfpq_topk",
+    "doc_eval_span_overlap",
+    # checked r6, deferred past this round under the ≤3 bound —
+    # MANDATORY in the r10 window
     "buyers_not_eventers_except",
     "returnflag_status_pivot",
 ]

@@ -88,26 +88,24 @@ EXTRAS = [
     "rolling_7d_distinct_exact",
     "ivf_imbalance",
     # round-8 session surface (ivfpq serving rides the prebuilt
-    # encoded layout; the scrub query is STAGED for the r9 registry so
-    # it resolves through _STAGED below, not the registry)
+    # encoded layout)
     "embedding_ivfpq_topk",
     "doc_eval_span_overlap",
     "weekly_user_distinct_exact",
     "doc_scrub_duplicate_spans",
     "doc_dsir_weights",
+    # round-9 session surface
+    "doc_dsir_sample",
 ]
 
 
 def _staged_queries() -> dict:
     """Implemented-but-not-yet-registered queries (rotation rule 1
     keeps them out of the registry until a window slot opens); timed
-    as extras so their first registered round has a perf baseline."""
-    from etl_with_s3__dynamodb_and_glue_spark.plans import curation
-
-    return {
-        "doc_scrub_duplicate_spans": curation.doc_scrub_duplicate_spans,
-        "doc_dsir_weights": curation.doc_dsir_weights,
-    }
+    as extras so their first registered round has a perf baseline.
+    Empty this round — the round-8 staged pair registered in round 9
+    once the staleness bound moved to ≤3 artifacts."""
+    return {}
 
 
 def main() -> None:
@@ -316,13 +314,25 @@ def main() -> None:
     line = json.dumps(payload)
     # Belt and braces: mirror the full line to a committed-alongside
     # local artifact so the round's numbers are reconstructible even if
-    # the captured tail still clips (round = latest CORRECTNESS + 1).
+    # the captured tail still clips.
+    #
+    # NAMING CONVENTION (fixed round 9 — VERDICT r8 "wrong" item 2):
+    # the mirror is named for the round whose CODE it measures, which
+    # is latest BENCH_r{N} + 1 — the driver writes BENCH_r{N} strictly
+    # at the END of round N, after both the session runs and its own
+    # end-of-round bench execution, so max(BENCH_r*) + 1 is the
+    # current round for BOTH kinds of run. (The previous rule,
+    # max(CORRECTNESS_r*) + 1, was off by one for the driver's run
+    # because the driver lands CORRECTNESS_r{N} BEFORE it runs bench:
+    # the r8 driver capture landed as BENCH_LOCAL_r09.) A same-round
+    # driver run overwrites the session mirror — the driver capture is
+    # canonical and the stdout line is always the contract.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         rounds = [
             int(m.group(1))
             for f in os.listdir(here)
-            for m in [re.match(r"CORRECTNESS_r(\d+)\.json$", f)]
+            for m in [re.match(r"BENCH_r(\d+)\.json$", f)]
             if m
         ]
         rnd = max(rounds) + 1 if rounds else 0

@@ -41,9 +41,12 @@ columnar explode + map-side-combined count beats a materialization
 barrier + store/read cycle.
 
 The resampling step (draw k docs ∝ exp(log_weight)) composes with
-the existing Efraimidis–Spirakis machinery
-(operators/sampling.py::weighted_sample_score + global TakeOrdered)
-— pass ``exp(log_weight)`` as the weight; no new operator needed.
+the existing Efraimidis–Spirakis machinery: for weights that fit a
+double, pass ``exp(log_weight)`` to
+operators/sampling.py::weighted_sample_score + global TakeOrdered;
+at crawl scale use :func:`dsir_gumbel_key`, the same A-RES ordering
+computed entirely in log space (plans/curation.py::doc_dsir_sample
+is the declared end-to-end query).
 """
 
 from __future__ import annotations
@@ -74,7 +77,12 @@ def hashed_feature_counts(
     cnt). Features are unigrams ++ word bigrams (the DSIR paper's
     hashed n-gram featurization); one explode, one
     map-side-combinable groupBy."""
-    toks = tokens(text_col)
+    # NULL text coalesces to '' (ADVICE r8): tokens(NULL) is a NULL
+    # array and the explode would silently drop the doc from every
+    # downstream weight/resample; '' tokenizes to [''] — one gram —
+    # so the doc still scores and the "EVERY input doc" contract of
+    # dsir_log_weights holds.
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     feats = F.concat(toks, word_ngrams(toks, 2))
     return (
         df.select(*carry_cols, F.explode(feats).alias("gram"))
@@ -167,6 +175,36 @@ def dsir_log_weights(
             F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"),
         )
     )
+
+
+def dsir_gumbel_key(
+    key: Column | str, log_weight: Column | str, salt: str = "dsir-sample"
+) -> Column:
+    """Efraimidis–Spirakis (A-RES) sampling key in LOG-WEIGHT space:
+    rank rows ASCENDING by ``ln(−ln u) − log_w`` — the same ordering
+    as ``u^(1/w)`` descending (sampling.py::weighted_sample_score),
+    but without ever materializing ``w = exp(log_w)``, which for DSIR
+    log weights (hundreds of nats either way at crawl scale) would
+    overflow/underflow a double. Derivation: u^(1/w) desc ⟺ ln(u)/w
+    desc ⟺ −ln(u)/w asc ⟺ (w>0, −ln u>0) ln(−ln u) − ln w asc.
+
+    ``u`` is the row's deterministic md5 uniform, here centered as
+    ``(hex8 + 0.5)/2³²`` so u ∈ (0,1) STRICTLY open — ``ln(u)`` and
+    ``ln(−ln u)`` are both finite for every input, and the DuckDB
+    oracle (which raises on ln(0)) replays the key verbatim. Per-row
+    map; pair with a global or per-stratum top-k (TakeOrdered
+    ascending), exactly like the linear-weight sampler."""
+    from .classifier import _hex_val
+
+    k = F.col(key) if isinstance(key, str) else key
+    lw = F.col(log_weight) if isinstance(log_weight, str) else log_weight
+    h = F.md5(F.concat_ws("|", F.lit(salt), k.cast("string")))
+    hex8 = sum(
+        _hex_val(h, i + 1).cast("long") * F.lit(16 ** (7 - i)).cast("long")
+        for i in range(8)
+    )
+    u = (hex8.cast("double") + 0.5) / F.lit(float(16**8))
+    return F.log(-F.log(u)) - lw.cast("double")
 
 
 # Store format stamp (the anchor-store discipline, dedup.py): the

@@ -222,12 +222,11 @@ def doc_scrub_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, clean_text, n_tokens_before, n_tokens_removed,
     n_spans_removed) — clean docs pass through with zero removals.
 
-    STAGED for the round-9 registry window (the round-8 window is at
-    its 50-slot capacity — 46 mandatory returns + rule 3 + the three
-    r7-staged registrations — and rotation rule 1 forbids shipping a
-    never-checked query outside it). The oracle twin below is validated
-    by the staged-query agreement test this round; the companion
-    invariant test proves scrubbed docs re-extract zero spans.
+    Staged in round 8 (window at capacity; rotation rule 1),
+    registered round 9 as planned; the oracle twin below was
+    agreement-tested a round before it faced the driver, and the
+    companion invariant test proves scrubbed docs re-extract zero
+    spans.
     """
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     train = docs.filter(F.col("doc_id") % 25 != 0)
@@ -677,13 +676,11 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic against a sequential reference, and the oracle twin
     replays hashing, smoothing and summation verbatim.
 
-    STAGED for a later registry window (the round-8 window is at its
-    50-slot capacity and rotation rule 1 forbids shipping a
-    never-checked query outside it; the round-9 window is already
-    fully determined by the mandatory returns). Registration requires
-    a capacity move — retire a redundant variant or move the staleness
-    bound to ≤3 artifacts per the capacity note in
-    ``__spark_entry__.py`` — recorded there as the round-9 decision.
+    Staged in round 8 behind the registry-capacity decision,
+    registered round 9 after the staleness bound moved to ≤3
+    artifacts (the capacity note in ``__spark_entry__.py`` records
+    the reasoning); the oracle twin below was agreement-tested a
+    round before it faced the driver.
     """
     from ..operators import importance
 
@@ -703,10 +700,13 @@ def _dsir_sql() -> str:
     bucket = (
         _hex4_sql("md5('dsir|' || gram)") + " % 1024"
     )
+    # COALESCE mirrors the Spark side's null-text fix (ADVICE r8 /
+    # operators/importance.py::hashed_feature_counts): a NULL-text doc
+    # must score, not vanish from the weight table.
     return f"""
 WITH t AS (
   SELECT doc_id, lang = 'en' AS is_t,
-         string_split_regex(lower(trim(text)), '\\s+') AS toks
+         string_split_regex(lower(trim(COALESCE(text, ''))), '\\s+') AS toks
   FROM documents
 ),
 feats AS (
@@ -732,15 +732,71 @@ ratio AS (
          LN((tgt_cnt + 1.0) / (tgt_tot + 1024.0))
            - LN((raw_cnt + 1.0) / (raw_tot + 1024.0)) AS log_ratio
   FROM hist CROSS JOIN tot
+),
+w AS (
+  SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_feats,
+         ROUND(SUM(d.cnt * r.log_ratio), 6) AS log_weight
+  FROM docb d JOIN ratio r USING (bucket)
+  GROUP BY d.doc_id
 )
-SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_feats,
-       ROUND(SUM(d.cnt * r.log_ratio), 6) AS log_weight
-FROM docb d JOIN ratio r USING (bucket)
-GROUP BY d.doc_id ORDER BY d.doc_id
 """
 
 
-DOC_DSIR_WEIGHTS_SQL = _dsir_sql()
+DOC_DSIR_WEIGHTS_SQL = (
+    _dsir_sql() + "SELECT doc_id, n_feats, log_weight FROM w ORDER BY doc_id"
+)
+
+
+DSIR_SAMPLE_K = 100
+
+
+def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING end-to-end (VERDICT r8 item 4 —
+    the user-facing artifact of data selection): the k documents a
+    target-domain resample actually admits, drawn WITHOUT replacement
+    with probability ∝ exp(log_weight) via the Gumbel-form
+    Efraimidis–Spirakis key (operators/importance.py::dsir_gumbel_key
+    — log-space so crawl-scale weights never overflow exp()).
+
+    The sort key uses the ROUNDED log weight (6 dp) — the exact
+    values the weights query publishes and the oracle reproduces
+    digit-for-digit — so float-summation-order noise between engines
+    can never flip an ordering near ties; remaining ties break on
+    doc_id. Selection is a global top-k (TakeOrdered ascending), no
+    single-task window, same scale shape as doc_weighted_sample.
+    """
+    from ..operators import importance
+
+    docs = _docs(spark, sf_dir)
+    weights = importance.dsir_log_weights(docs, target=F.col("lang") == "en")
+    scored = weights.select(
+        "doc_id", "n_feats", F.round("log_weight", 6).alias("log_weight")
+    )
+    key = importance.dsir_gumbel_key("doc_id", "log_weight")
+    return (
+        scored.orderBy(key.asc(), "doc_id")
+        .limit(DSIR_SAMPLE_K)
+        .select("doc_id", "n_feats", "log_weight")
+    )
+
+
+def _hex8_sql(expr: str) -> str:
+    digits = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(digits) + ")"
+
+
+DOC_DSIR_SAMPLE_SQL = (
+    _dsir_sql()
+    + f"""SELECT doc_id, n_feats, log_weight FROM w
+ORDER BY ln(-ln(({_hex8_sql("md5('dsir-sample|' || CAST(doc_id AS VARCHAR))")}
+                 + 0.5) / 4294967296.0)) - log_weight,
+         doc_id
+LIMIT {DSIR_SAMPLE_K}"""
+)
 
 
 QUERIES = {
@@ -754,6 +810,9 @@ QUERIES = {
     "doc_encoding_audit": doc_encoding_audit,
     "doc_novelty_fraction": doc_novelty_fraction,
     "doc_curation_funnel": doc_curation_funnel,
+    "doc_scrub_duplicate_spans": doc_scrub_duplicate_spans,
+    "doc_dsir_weights": doc_dsir_weights,
+    "doc_dsir_sample": doc_dsir_sample,
 }
 
 ORACLE = {
@@ -766,4 +825,7 @@ ORACLE = {
     "doc_encoding_audit": DOC_ENCODING_AUDIT_SQL,
     "doc_novelty_fraction": DOC_NOVELTY_FRACTION_SQL,
     "doc_curation_funnel": DOC_CURATION_FUNNEL_SQL,
+    "doc_scrub_duplicate_spans": DOC_SCRUB_DUPLICATE_SPANS_SQL,
+    "doc_dsir_weights": DOC_DSIR_WEIGHTS_SQL,
+    "doc_dsir_sample": DOC_DSIR_SAMPLE_SQL,
 }

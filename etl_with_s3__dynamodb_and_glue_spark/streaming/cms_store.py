@@ -38,7 +38,12 @@ CMS_SCHEMA = "j int, pos int, n long"
 
 
 def last_merged_batch_id(store_dir: str) -> int | None:
-    # heal-first: a crash mid-swap leaves the marker in <store>.old
+    """Heal-first read (a crash mid-swap leaves the marker in
+    ``<store>.old``) — NOT pure: delegates to
+    ``genstore.last_swapped_batch_id``, which mutates the store
+    directory and assumes the single-writer contract; readonly
+    pollers against a live stream should use ``marker.last_batch_id``
+    (see the genstore docstring)."""
     return last_swapped_batch_id(store_dir)
 
 

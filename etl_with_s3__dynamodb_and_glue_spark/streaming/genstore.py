@@ -34,7 +34,16 @@ def last_swapped_batch_id(store_dir: str) -> int | None:
     without healing would report "nothing ever landed" and invite a
     renumbered re-seed that the next merge then rejects (or, with
     ``batch_id=None`` backfills, double-merges non-idempotent
-    sums)."""
+    sums).
+
+    NOT a pure read (ADVICE r8): the heal MUTATES the store directory
+    (promotes or drops ``<store>.old``), and it assumes the store's
+    declared single-writer contract — calling it concurrently with an
+    in-flight swap (between rename-aside and promotion) can promote
+    ``.old`` back under the writer and fail its
+    ``os.replace``. Monitoring/readonly pollers that must coexist
+    with a live stream should call ``marker.last_batch_id`` directly
+    and treat a missing store as "swap in flight", not this."""
     recover_store(store_dir)
     return last_batch_id(store_dir)
 

@@ -76,6 +76,10 @@ SUBSET = [
     # decontamination (empty corpus AND empty eval side), scrub
     "weekly_user_distinct_exact",
     "doc_eval_span_overlap",
+    # round-9 session additions: DSIR weighting + resampling (empty
+    # corpus → empty histogram, empty sample)
+    "doc_dsir_weights",
+    "doc_dsir_sample",
 ]
 
 
@@ -102,9 +106,8 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     assert rows == [] or all(r is not None for r in rows)
 
 
-def test_staged_scrub_query_survives_empty_tables(spark, empty_sf_dir):
-    """The r9-staged scrub query resolves outside the registry until
-    its window slot opens — cover it the same way."""
+def test_scrub_query_survives_empty_tables(spark, empty_sf_dir):
+    """doc_scrub_duplicate_spans (registered r9) on empty tables."""
     from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
         doc_scrub_duplicate_spans,
     )

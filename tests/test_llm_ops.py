@@ -1568,12 +1568,11 @@ def test_split_leakage_lsh_agrees_with_exact(spark):
     assert total_lsh >= 0.8 * total_exact, (total_lsh, total_exact)
 
 
-def test_staged_dsir_weights_matches_oracle(spark):
-    """The STAGED query doc_dsir_weights must already match its DuckDB
-    twin value-for-value, so registering it later cannot surprise —
-    hashing, smoothing, and the count-weighted log-ratio sum replay
-    verbatim (the portable-md5 choice made for the CMS sketch, for the
-    same reason)."""
+def test_dsir_weights_matches_oracle(spark):
+    """doc_dsir_weights (staged r8, registered r9) must match its
+    DuckDB twin value-for-value — hashing, smoothing, and the
+    count-weighted log-ratio sum replay verbatim (the portable-md5
+    choice made for the CMS sketch, for the same reason)."""
     from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
         DOC_DSIR_WEIGHTS_SQL,
         doc_dsir_weights,
@@ -1789,3 +1788,61 @@ def test_dsir_resampling_composes_and_enriches_target(spark):
     # RNG) — assert the qualitative claim with headroom below the
     # measured point
     assert sample_rate >= base_rate + 0.25, (base_rate, sample_rate)
+
+
+def test_dsir_sample_is_gumbel_topk_of_weights(spark):
+    """doc_dsir_sample (the registered end-to-end resample) must be
+    EXACTLY the k ascending rows of doc_dsir_weights under the
+    log-space Gumbel key ln(−ln u) − log_weight with
+    u = (md5hex8('dsir-sample|id') + 0.5)/2³² — replayed here in pure
+    Python from the weights query's own (rounded) output, so the
+    selection layer can never drift from the weighting layer."""
+    import hashlib
+    import math
+
+    from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
+        DSIR_SAMPLE_K,
+        doc_dsir_sample,
+        doc_dsir_weights,
+    )
+
+    weights = doc_dsir_weights(spark, SF_SMOKE).collect()
+
+    def key(doc_id, log_w):
+        h = hashlib.md5(f"dsir-sample|{doc_id}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 0.5) / 2**32
+        return math.log(-math.log(u)) - log_w
+
+    want = sorted(
+        ((key(r.doc_id, r.log_weight), r.doc_id) for r in weights)
+    )[:DSIR_SAMPLE_K]
+    got = doc_dsir_sample(spark, SF_SMOKE).collect()
+    assert [r.doc_id for r in got] == [d for _, d in want]
+    # the sample carries the weights verbatim (same rounding)
+    wmap = {r.doc_id: (r.n_feats, r.log_weight) for r in weights}
+    for r in got:
+        assert (r.n_feats, r.log_weight) == wmap[r.doc_id]
+
+
+def test_dsir_weights_score_null_text_docs(spark):
+    """ADVICE r8: a NULL-text doc must not silently vanish from the
+    weight table (tokens(NULL) explodes to nothing) — it coalesces to
+    '' and scores like an empty doc, preserving the 'EVERY input doc'
+    contract that any downstream resample budget depends on."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators import importance
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb aa", True), (1, None, False), (2, "", False)],
+        "doc_id long, text string, is_t boolean",
+    )
+    got = {
+        r.doc_id: r
+        for r in importance.dsir_log_weights(
+            docs, target=F.col("is_t"), buckets=16
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    # '' tokenizes to [''] → exactly one (unigram) feature, and NULL
+    # scores identically to ''
+    assert got[1].n_feats == got[2].n_feats == 1
+    assert got[1].log_weight == got[2].log_weight
