@@ -266,26 +266,37 @@ def main() -> None:
     import gc
 
     extras_fns = {**{n: qs[n] for n in EXTRAS if n in qs}, **_staged_queries()}
+    # Extras carry the headline's noise discipline since round 9
+    # (VERDICT r8 item 6): TWO warm reps per extra, best-of recorded
+    # as the comparable number and both reps published in extra_reps —
+    # the r8 ±20-40% "drift" on untouched extras had to be adjudicated
+    # by argument because single-shot numbers carry no noise band.
+    extra_reps: dict[str, list[float]] = {}
     for name in EXTRAS:
         if name not in extras_fns:
             errors[f"_{name}"] = "not in registry and not staged"
             extra_timings[name] = None
             continue
-        try:
-            spark.catalog.clearCache()
-            # drain Python-side finalizers (unpersist_on_release) and
-            # nudge the JVM to compact BEFORE timing: without this,
-            # late extras pay for the whole session's garbage —
-            # measured up to 6× run-to-run swings on the store-serving
-            # query with an identical plan
-            gc.collect()
-            spark._jvm.System.gc()
-            t0 = time.perf_counter()
-            extras_fns[name](spark, sf_dir).collect()
-            extra_timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001
-            extra_timings[name] = None
-            errors[f"_{name}"] = f"{type(exc).__name__}: {exc}"[:500]
+        reps: list[float] = []
+        for _rep in range(2):
+            try:
+                spark.catalog.clearCache()
+                # drain Python-side finalizers (unpersist_on_release)
+                # and nudge the JVM to compact BEFORE timing: without
+                # this, late extras pay for the whole session's
+                # garbage — measured up to 6× run-to-run swings on the
+                # store-serving query with an identical plan
+                gc.collect()
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                extras_fns[name](spark, sf_dir).collect()
+                reps.append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # noqa: BLE001
+                errors[f"_{name}"] = f"{type(exc).__name__}: {exc}"[:500]
+                break
+        extra_timings[name] = min(reps) if reps else None
+        if reps:
+            extra_reps[name] = reps
 
     # Key order matters for the grading driver's FIXED-SIZE TAIL
     # capture (the r6 artifact arrived with the line's head — and the
@@ -295,6 +306,7 @@ def main() -> None:
     payload = {
         "queries": timings,
         "queries_warm": warm_timings,
+        "extra_reps": extra_reps,
         "extra": {
             "embedding_ivf_index_build": build_sec,
             "embedding_ivf_requery": requery_sec,

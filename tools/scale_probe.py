@@ -499,6 +499,264 @@ def probe_retrieval(spark, base: str) -> None:
     _time_queries(spark, RET_QUERIES, SIZES, base, "n5k", "n50k")
 
 
+def _probe_call(spark, label: str, fn, reps: int = 2, **tags) -> float:
+    """Best-of-``reps`` timing of one call with the probe discipline
+    (cache clear + both GCs before each rep); prints one JSON line per
+    rep and returns the best. ``fn`` does its own materialization —
+    noop sink for pure reads, the call itself for store writers (the
+    write IS the deployment cost being measured)."""
+    best = float("inf")
+    for rep in range(reps):
+        spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        fn(rep)
+        dt = round(time.perf_counter() - t0, 3)
+        print(json.dumps({"probe": label, "rep": rep, "sec": dt, **tags}))
+        best = min(best, dt)
+    return best
+
+
+def _exp_line(label: str, t1: float, t10: float, **tags) -> None:
+    import math
+
+    print(
+        json.dumps(
+            {
+                "probe": label,
+                "sec_1x": t1,
+                "sec_10x": t10,
+                "ratio_10x": round(t10 / t1, 2),
+                "scaling_exponent": round(math.log(t10 / t1) / math.log(10), 3),
+                **tags,
+            }
+        )
+    )
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def probe_stores(spark, base: str) -> None:
+    """Incremental/streaming-store family (VERDICT r8 item 5) — the
+    only family never probed at 10×, and where a 100 TB deployment
+    actually lives (steady-state incremental, not one-shot): the
+    MinHash signature store's arrivals-vs-store matcher, the CMS
+    frequency store's merge + estimate, and the decontamination gate,
+    each at 10× STORE size and 10× BATCH size independently. Pure
+    reads go through the noop sink; store-writing calls time the
+    whole call (the write is the deployment cost). The two docs
+    corpora share the generator seed, so n5k is an exact prefix of
+    n50k — arrivals drawn from one genuinely match the other's
+    dups/near-dups."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators import dedup
+    from etl_with_s3__dynamodb_and_glue_spark.streaming import (
+        cms_store,
+        decontam_gate,
+    )
+
+    for name, n in SIZES.items():
+        d = os.path.join(base, name)
+        if not os.path.isdir(os.path.join(d, "documents.parquet")):
+            gen_documents(n, d)
+    docs5 = spark.read.parquet(os.path.join(base, "n5k", "documents.parquet"))
+    docs50 = spark.read.parquet(
+        os.path.join(base, "n50k", "documents.parquet")
+    )
+    sdir = os.path.join(base, "stores")
+    shutil.rmtree(sdir, ignore_errors=True)
+    os.makedirs(sdir)
+    # warm-up: JVM + codegen + Python worker spin-up
+    _noop(dedup.exact_dedup(docs5.limit(200)))
+
+    # --- A. MinHash signature store: arrivals-vs-store serving -----
+    mh_paths = {}
+    for name, docs in (("s5k", docs5), ("s50k", docs50)):
+        p = os.path.join(sdir, f"minhash_{name}")
+        t0 = time.perf_counter()
+        dedup.build_minhash_store(docs, p)
+        print(
+            json.dumps(
+                {
+                    "build": f"minhash_store_{name}",
+                    "sec": round(time.perf_counter() - t0, 3),
+                    "timed": False,
+                }
+            )
+        )
+        mh_paths[name] = p
+
+    def arrivals(n):
+        # real corpus rows re-keyed as a new batch: content matches
+        # (exact + near dups) exist against BOTH stores by prefix
+        return docs50.filter(F.col("doc_id") < n).withColumn(
+            "doc_id", F.col("doc_id") + 10_000_000
+        )
+
+    serve = {}
+    for name in ("s5k", "s50k"):
+        store = dedup.load_minhash_store(spark, mh_paths[name])
+        serve[name] = _probe_call(
+            spark,
+            "minhash_store_serving",
+            lambda rep, s=store: _noop(
+                dedup.minhash_near_dups_vs_store(arrivals(500), s)
+            ),
+            store=name,
+            batch=500,
+        )
+    _exp_line(
+        "minhash_store_serving_vs_store_size",
+        serve["s5k"],
+        serve["s50k"],
+        batch=500,
+    )
+    big_store = dedup.load_minhash_store(spark, mh_paths["s50k"])
+    batch_t = {}
+    for nb in (500, 5000):
+        batch_t[nb] = _probe_call(
+            spark,
+            "minhash_store_serving",
+            lambda rep, n=nb: _noop(
+                dedup.minhash_near_dups_vs_store(arrivals(n), big_store)
+            ),
+            store="s50k",
+            batch=nb,
+        )
+    _exp_line(
+        "minhash_store_serving_vs_batch_size",
+        batch_t[500],
+        batch_t[5000],
+        store="s50k",
+    )
+
+    # --- B. CMS frequency store: merge + estimate -------------------
+    def keyed(docs):
+        return docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+
+    # merge cost vs BATCH size (fresh store each rep: the guard marker
+    # would otherwise flag rep 2 as a replay)
+    merge_t = {}
+    for name, docs in (("b250k", docs5), ("b2500k", docs50)):
+
+        def do_merge(rep, d=docs, n=name):
+            p = os.path.join(sdir, f"cms_fresh_{n}_{rep}")
+            cms_store.merge_cms_batch(
+                spark, keyed(d), p, "tok", batch_id=0, run_id="probe"
+            )
+
+        merge_t[name] = _probe_call(
+            spark, "cms_merge_fresh", do_merge, batch=name
+        )
+    _exp_line(
+        "cms_merge_vs_batch_size", merge_t["b250k"], merge_t["b2500k"]
+    )
+    # merge cost vs STORE AGE: the store is O(d·w) cells whatever it
+    # has absorbed, so merge #10 must cost what merge #1 did
+    aged = os.path.join(sdir, "cms_aged")
+    times = []
+    for b in range(10):
+        spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        cms_store.merge_cms_batch(
+            spark, keyed(docs5), aged, "tok", batch_id=b, run_id="probe"
+        )
+        times.append(round(time.perf_counter() - t0, 3))
+    print(
+        json.dumps(
+            {
+                "probe": "cms_merge_vs_store_age",
+                "merge_1": times[0],
+                "merge_10": times[-1],
+                "all": times,
+            }
+        )
+    )
+    # estimate vs KEY count (store fixed; sketch broadcasts)
+    keys = keyed(docs50).distinct()
+    est_t = {}
+    for nk in (1000, 10_000):
+        kdf = keys.limit(nk)
+        est_t[nk] = _probe_call(
+            spark,
+            "cms_estimate",
+            lambda rep, k=kdf: _noop(
+                cms_store.estimate_counts(spark, aged, k, "tok")
+            ),
+            n_keys=nk,
+        )
+    _exp_line("cms_estimate_vs_key_count", est_t[1000], est_t[10_000])
+
+    # --- C. Decontamination gate ------------------------------------
+    anchor = {}
+    for name, mod in (("e500", 100), ("e5000", 10)):
+        ev = docs50.filter(F.col("doc_id") % mod == 0)
+        p = os.path.join(sdir, f"anchors_{name}")
+        t0 = time.perf_counter()
+        dedup.build_anchor_store(ev, p, min_tokens=8)
+        print(
+            json.dumps(
+                {
+                    "build": f"anchor_store_{name}",
+                    "sec": round(time.perf_counter() - t0, 3),
+                    "timed": False,
+                }
+            )
+        )
+        anchor[name] = p
+
+    def screen(rep, batch, store, tag):
+        # fresh landing dirs + advancing batch_id per rep: the gate's
+        # replay marker rejects a repeated id by design
+        fdir = os.path.join(sdir, f"gate_f_{tag}_{rep}")
+        ddir = os.path.join(sdir, f"gate_d_{tag}_{rep}")
+        decontam_gate.screen_batch(
+            batch, rep, store, fdir, ddir, min_tokens=8, run_id=f"probe_{tag}"
+        )
+
+    gate_t = {}
+    for name in ("e500", "e5000"):
+        gate_t[name] = _probe_call(
+            spark,
+            "decontam_gate_screen",
+            lambda rep, s=anchor[name], n=name: screen(
+                rep, docs5, s, f"store_{n}"
+            ),
+            store=name,
+            batch=5000,
+        )
+    _exp_line(
+        "decontam_gate_vs_store_size",
+        gate_t["e500"],
+        gate_t["e5000"],
+        batch=5000,
+    )
+    gb_t = {}
+    for name, docs in (("b5k", docs5), ("b50k", docs50)):
+        gb_t[name] = _probe_call(
+            spark,
+            "decontam_gate_screen",
+            lambda rep, d=docs, n=name: screen(
+                rep, d, anchor["e500"], f"batch_{n}"
+            ),
+            store="e500",
+            batch=name,
+        )
+    _exp_line(
+        "decontam_gate_vs_batch_size", gb_t["b5k"], gb_t["b50k"], store="e500"
+    )
+
+
 def main() -> None:
     from etl_with_s3__dynamodb_and_glue_spark import get_spark
 
@@ -513,6 +771,8 @@ def main() -> None:
         probe_relational(spark, base)
     if family in ("retrieval", "all"):
         probe_retrieval(spark, base)
+    if family in ("stores", "all"):
+        probe_stores(spark, base)
     spark.stop()
 
 
