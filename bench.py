@@ -96,6 +96,7 @@ EXTRAS = [
     "doc_dsir_weights",
     # round-9 session surface
     "doc_dsir_sample",
+    "doc_source_quality_buckets",
 ]
 
 

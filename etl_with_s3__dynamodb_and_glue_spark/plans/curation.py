@@ -747,6 +747,89 @@ DOC_DSIR_WEIGHTS_SQL = (
 )
 
 
+def doc_source_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive quality bucketing (the CCNet discipline —
+    Wenzek et al. 2020, public method: quality gates must be RELATIVE
+    to each source's own distribution, because an absolute threshold
+    that trims boilerplate from web text would gut a code or forum
+    source whose scores sit in a different band). Every doc labeled
+    head/middle/tail by its source's own quality terciles — the
+    standard knob for downweighting or dropping the tail per domain.
+
+    Plan shape: one corpus scan computes the (already oracle-pinned)
+    composite quality; the per-source tercile table is a ≤|sources|-row
+    exact-percentile aggregate broadcast back onto the scan — no
+    second corpus pass, no window over data-sized frames. Thresholds
+    and scores are rounded to 6 dp in BOTH engines before the bucket
+    comparison, so interpolation noise can't flip a boundary doc."""
+    from ..operators.text import quality_score, tokens
+
+    docs = _docs(spark, sf_dir)
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.round(quality_score("text", toks=tokens("text")), 6).alias(
+            "quality"
+        ),
+    )
+    th = q.groupBy("source").agg(
+        F.round(F.expr("percentile(quality, 0.33)"), 6).alias("p33"),
+        F.round(F.expr("percentile(quality, 0.67)"), 6).alias("p67"),
+    )
+    return q.join(F.broadcast(th), "source").select(
+        "doc_id",
+        "source",
+        "quality",
+        F.when(F.col("quality") >= F.col("p67"), F.lit("head"))
+        .when(F.col("quality") >= F.col("p33"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+# Quality formula cribbed verbatim from DOC_QUALITY_SQL
+# (plans/llm_ops.py) so the bucket query can never drift from the
+# per-doc quality query it stratifies.
+DOC_SOURCE_QUALITY_BUCKETS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(toks, x -> list_contains({_SW['en']}, x))) AS DOUBLE)
+             / GREATEST(len(toks), 1) AS sw_ratio,
+         CAST(strlen(text) - strlen(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / GREATEST(strlen(text), 1) AS p_ratio,
+         CAST(list_sum(list_transform(toks, x -> strlen(x))) AS DOUBLE)
+             / GREATEST(len(toks), 1) AS wlen,
+         LEAST(CAST(len(toks) AS DOUBLE) / 20.0, 1.0) AS len_score
+  FROM t
+),
+q AS (
+  SELECT doc_id, source,
+         ROUND(len_score * 0.3
+               + (CASE WHEN wlen >= 2.0 AND wlen <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+               + (1.0 - LEAST(p_ratio * 4.0, 1.0)) * 0.2
+               + LEAST(sw_ratio * 3.0, 1.0) * 0.2, 6) AS quality
+  FROM feat
+),
+th AS (
+  SELECT source,
+         ROUND(quantile_cont(quality, 0.33), 6) AS p33,
+         ROUND(quantile_cont(quality, 0.67), 6) AS p67
+  FROM q GROUP BY source
+)
+SELECT q.doc_id, q.source, q.quality,
+       CASE WHEN q.quality >= th.p67 THEN 'head'
+            WHEN q.quality >= th.p33 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM q JOIN th USING (source)
+ORDER BY q.doc_id
+"""
+
+
 DSIR_SAMPLE_K = 100
 
 
@@ -813,6 +896,7 @@ QUERIES = {
     "doc_scrub_duplicate_spans": doc_scrub_duplicate_spans,
     "doc_dsir_weights": doc_dsir_weights,
     "doc_dsir_sample": doc_dsir_sample,
+    "doc_source_quality_buckets": doc_source_quality_buckets,
 }
 
 ORACLE = {
@@ -828,4 +912,5 @@ ORACLE = {
     "doc_scrub_duplicate_spans": DOC_SCRUB_DUPLICATE_SPANS_SQL,
     "doc_dsir_weights": DOC_DSIR_WEIGHTS_SQL,
     "doc_dsir_sample": DOC_DSIR_SAMPLE_SQL,
+    "doc_source_quality_buckets": DOC_SOURCE_QUALITY_BUCKETS_SQL,
 }

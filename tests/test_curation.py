@@ -201,3 +201,33 @@ def test_bloom_decontaminate_superset_of_exact(spark):
     extra_grams = sum(approx[d] - exact.get(d, 0) for d in approx)
     print(f"bloom decontam: {len(exact)} exact docs, "
           f"{extra_docs} extra docs, {extra_grams} extra grams")
+
+
+def test_source_quality_buckets_tercile_semantics(spark):
+    """Per-source adaptive bucketing (doc_source_quality_buckets):
+    every source splits into head/middle/tail on ITS OWN quality
+    terciles — each bucket holds roughly a third of the source
+    (quantile_cont boundaries + 6-dp score ties can shift a few
+    docs), bucket quality ordering is strict within every source,
+    and the gate is RELATIVE: bucket membership follows the source's
+    own distribution, not a global cut."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
+        doc_source_quality_buckets,
+    )
+
+    rows = doc_source_quality_buckets(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_src: dict[str, dict[str, list[float]]] = {}
+    for r in rows:
+        by_src.setdefault(r.source, {}).setdefault(r.bucket, []).append(
+            r.quality
+        )
+    assert len(by_src) >= 2
+    for src, buckets in by_src.items():
+        assert set(buckets) == {"head", "middle", "tail"}, (src, buckets)
+        n = sum(len(v) for v in buckets.values())
+        for name, v in buckets.items():
+            assert 0.15 * n <= len(v) <= 0.55 * n, (src, name, len(v), n)
+        assert min(buckets["head"]) >= max(buckets["middle"]), src
+        assert min(buckets["middle"]) >= max(buckets["tail"]), src

@@ -77,9 +77,11 @@ SUBSET = [
     "weekly_user_distinct_exact",
     "doc_eval_span_overlap",
     # round-9 session additions: DSIR weighting + resampling (empty
-    # corpus → empty histogram, empty sample)
+    # corpus → empty histogram, empty sample), per-source quality
+    # terciles (empty corpus → empty threshold table)
     "doc_dsir_weights",
     "doc_dsir_sample",
+    "doc_source_quality_buckets",
 ]
 
 
