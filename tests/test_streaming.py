@@ -753,3 +753,90 @@ def test_cms_store_stream_matches_batch_cells_and_bounds(spark, tmp_path):
         merge_cms_batch(
             spark, events, store, "key", batch_id=0, run_id="other"
         )
+
+
+def test_dsir_gate_stream_matches_store_scoring(spark, tmp_path):
+    """Streaming DSIR admission gate: file-batches scored against a
+    prebuilt ratio store reproduce the store-scoring composition
+    exactly (the store pins both histograms, so batch boundaries
+    cannot move any weight — the reason the gate is store-backed, see
+    the module doc), every arriving doc lands a decision with the
+    threshold cut applied, a within-run replay is a no-op, and a
+    cross-run batch-id regression fails loudly."""
+    import math
+    import os
+    import time
+
+    import pytest
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators import importance
+    from etl_with_s3__dynamodb_and_glue_spark.streaming.dsir_gate import (
+        dsir_gate_stream,
+        read_decisions,
+        score_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    store = str(tmp_path / "ratio_store")
+    importance.build_dsir_store(docs, F.col("lang") == "en", store)
+
+    arrivals = docs.select("doc_id", "text")
+    arr1 = arrivals.filter(F.col("doc_id") % 2 == 0)
+    arr2 = arrivals.filter(F.col("doc_id") % 2 == 1)
+    src = tmp_path / "arrivals"
+    arr1.coalesce(1).write.parquet(str(src / "f0"))
+    arr2.coalesce(1).write.parquet(str(src / "f1"))
+    now = time.time()
+    for sub, age in (("f0", 200), ("f1", 100)):
+        for p in (src / sub).rglob("*.parquet"):
+            os.utime(p, (now - age, now - age))
+
+    decisions_dir = str(tmp_path / "decisions")
+    ckpt = str(tmp_path / "ckpt")
+    threshold = 0.5
+    q = dsir_gate_stream(
+        spark.readStream.schema(arr1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*"),
+        store,
+        decisions_dir,
+        ckpt,
+        log_weight_min=threshold,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.doc_id: (r.n_feats, r.log_weight, r.admitted)
+        for r in read_decisions(spark, decisions_dir).collect()
+    }
+    want = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in importance.dsir_score_with_store(arrivals, store).collect()
+    }
+    assert set(got) == set(want)  # every arriving doc decided
+    for d, (nf, lw, adm) in got.items():
+        assert nf == want[d][0]
+        assert math.isclose(lw, want[d][1], rel_tol=1e-9, abs_tol=1e-9)
+        assert adm == (lw >= threshold)
+    assert any(a for _, _, a in got.values())
+    assert not all(a for _, _, a in got.values())
+
+    # within-run replay of a landed batch id is a no-op: rescoring
+    # batch 1 with a threshold that WOULD flip every decision must
+    # leave the landed decisions untouched
+    run_id = os.path.abspath(ckpt)
+    score_batch(
+        arr2, 1, store, decisions_dir, log_weight_min=1e9, run_id=run_id
+    )
+    after = {
+        r.doc_id: r.admitted
+        for r in read_decisions(spark, decisions_dir).collect()
+    }
+    assert after == {d: a for d, (_, _, a) in got.items()}
+
+    # cross-run regression (fresh checkpoint renumbering from 0
+    # against this run's state) fails loudly
+    with pytest.raises(ValueError, match="different run"):
+        score_batch(
+            arr1, 0, store, decisions_dir, run_id="/other/ckpt"
+        )

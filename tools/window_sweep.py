@@ -53,6 +53,7 @@ CAP_VECS = 1000
 EXACT_TWINS = {
     "doc_jaccard_pairs",
     "doc_dedup_final",
+    "doc_dedup_keep_best",
     "doc_dedup_cluster_stats",
     "doc_arrivals_dedup",
     "doc_split_leakage_audit",
