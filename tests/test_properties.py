@@ -698,3 +698,59 @@ def test_word_ngrams_match_sequential_reference(spark, texts, n):
     }
     for i, tk in enumerate(texts):
         assert got[i] == ref(tk), (i, tk, n)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.floats(
+                min_value=1e-6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=2,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_gumbel_key_orders_exactly_like_linear_ares(pairs):
+    """dsir_gumbel_key's log-space form is the SAME A-RES ordering as
+    weighted_sample_score's linear form — pure-math replay (no Spark):
+    for one shared uniform u per key, ranking ascending by
+    ln(−ln u) − ln w must equal ranking descending by ln(u)/w for any
+    positive weights. This is the identity doc_dsir_sample's
+    correctness rests on when weights leave double-range; pin it
+    against the exact float arithmetic, not just algebra on paper."""
+    import hashlib
+    import math
+
+    def u_of(key):
+        h = hashlib.md5(f"gkey|{key}".encode()).hexdigest()
+        return (int(h[:8], 16) + 0.5) / 2**32
+
+    # pairwise sign consistency, guarded against float near-ties: when
+    # both forms see a clear gap, they must agree on its direction
+    # (linear "better" = HIGHER ln(u)/w; gumbel "better" = LOWER key)
+    scored = [
+        (
+            math.log(u_of(k)) / w,
+            math.log(-math.log(u_of(k))) - math.log(w),
+            k,
+        )
+        for k, w in pairs
+    ]
+    for i in range(len(scored)):
+        for j in range(i + 1, len(scored)):
+            li, gi, _ = scored[i]
+            lj, gj, _ = scored[j]
+            dl, dg = li - lj, gi - gj
+            if (
+                abs(dl) <= 1e-9 * max(abs(li), abs(lj), 1.0)
+                or abs(dg) <= 1e-9 * max(abs(gi), abs(gj), 1.0)
+            ):
+                continue  # inside float-tie territory for either form
+            assert (dl > 0) == (dg < 0), (scored[i], scored[j])

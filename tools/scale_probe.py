@@ -49,6 +49,10 @@ QUERIES = [
     "doc_token_cms_estimates",
     "doc_duplicate_spans",
     "doc_dsir_weights",
+    # weights + the log-space Gumbel top-k selection layer: the probe
+    # times the plan shape (the generator's single-lang corpus makes
+    # every weight 0, which moves no joins or aggregations)
+    "doc_dsir_sample",
 ]
 SIZES = {"n5k": 5_000, "n50k": 50_000}
 RET_QUERIES = [
