@@ -34,11 +34,11 @@ per-doc bucket profile (a doc's grams never shuffle — only its
 Estimator state is O(B) regardless of corpus size — what makes
 importance resampling viable at crawl scale where a learned filter
 needs a model server per executor. The per-doc profile feeds both
-the histogram branch and the final join and is deliberately NOT
-persisted — same measured rule as the CMS build
-(plans/llm_ops.py::doc_token_cms_estimates): recomputing one
-columnar explode + map-side-combined count beats a materialization
-barrier + store/read cycle.
+the histogram branch and the final join and IS persisted (round-9
+A/B measurement — see :func:`dsir_log_weights`): the CMS build's
+recompute-beats-persist rule does NOT transfer here, because both
+consumers sit downstream of the full two-n-gram corpus explode
+rather than a cheap distinct-key hash.
 
 The resampling step (draw k docs ∝ exp(log_weight)) composes with
 the existing Efraimidis–Spirakis machinery: for weights that fit a
@@ -159,15 +159,29 @@ def dsir_log_weights(
     expected fixed point).
 
     Every observed bucket exists in the raw histogram by construction
-    (raw = all docs), so the final inner join drops nothing."""
+    (raw = all docs), so the final inner join drops nothing.
+
+    The per-doc profile IS persisted here (round-9 A/B, reversing the
+    rule inherited from the CMS build): unlike the CMS case — where
+    the recomputed branch is one cheap distinct-key hash — BOTH of
+    this plan's consumers sit downstream of the full two-n-gram
+    corpus explode, and the aggregated profile is tiny relative to
+    the exploded grams. Measured at sf0.1: 3.22 s recompute → 2.06 s
+    persisted (best-of-3); at the 10× probe corpus 5.79 → 3.89 s
+    (best-of-2) — ~35% at both scales. Storage is tied to the
+    returned frame's lifetime (``unpersist_on_release``)."""
+    from pyspark import StorageLevel
+
+    from ..caching import unpersist_on_release
+
     per_doc = hashed_feature_counts(
         df.select(id_col, text_col, target.alias("is_target")),
         text_col=text_col,
         carry_cols=(id_col, "is_target"),
         buckets=buckets,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ratios = bucket_log_ratios(per_doc, buckets=buckets)
-    return (
+    result = (
         per_doc.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
         .agg(
@@ -175,6 +189,7 @@ def dsir_log_weights(
             F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"),
         )
     )
+    return unpersist_on_release(result, per_doc)
 
 
 def dsir_gumbel_key(
