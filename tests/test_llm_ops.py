@@ -129,10 +129,11 @@ def test_anchor_store_equals_inline_cross_corpus_spans(spark, docs, tmp_path):
     assert inline == stored and inline
 
 
-def test_staged_eval_span_overlap_matches_oracle(spark):
-    """The STAGED round-8 query doc_eval_span_overlap must already
-    match its DuckDB twin value-for-value, so registering it later
-    cannot surprise."""
+def test_eval_span_overlap_matches_oracle(spark):
+    """doc_eval_span_overlap (staged r7, registered r8, driver-green
+    r8) must match its DuckDB twin value-for-value — kept as the
+    local agreement test so a regression is caught before the next
+    driver window reaches it."""
     from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
         DOC_EVAL_SPAN_OVERLAP_SQL,
         doc_eval_span_overlap,
