@@ -97,6 +97,7 @@ EXTRAS = [
     # round-9 session surface
     "doc_dsir_sample",
     "doc_source_quality_buckets",
+    "doc_token_dup_share",
 ]
 
 

@@ -436,6 +436,90 @@ ORDER BY s.doc_id, s.span_start
 """
 
 
+def doc_token_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level verbatim-duplication accounting — the headline
+    number of every substring-dedup paper (Lee et al. 2022 report it
+    as "% of tokens in duplicated substrings"): ONE row with
+    (n_docs, n_tokens, n_tokens_duplicated, n_docs_affected,
+    dup_share). Composes the span extractor (`dedup.duplicate_spans`,
+    same min_tokens=8 as `doc_duplicate_spans`) with the
+    interval-union token accounting the decontamination gate already
+    uses (`streaming/decontam_gate.tokens_leaked` — spans from
+    non-consecutive anchors can overlap, and a plain SUM(span_len)
+    would double-count the shared tokens). Scale shape: the span
+    pipeline's anchor-gram shuffle + a findings-sized window + one
+    single-row aggregate; nothing new shuffles at corpus size."""
+    from ..streaming.decontam_gate import tokens_leaked
+
+    docs = _docs(spark, sf_dir)
+    spans = dedup.duplicate_spans(docs, min_tokens=8)
+    leaked = tokens_leaked(spans)
+    per_doc = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_toks")
+    ).join(leaked, "doc_id", "left")
+    leak = F.coalesce("n_tokens_leaked", F.lit(0).cast("long"))
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum(leak).cast("long").alias("n_tokens_duplicated"),
+        F.sum((F.coalesce("n_spans", F.lit(0)) > 0).cast("long"))
+        .cast("long")
+        .alias("n_docs_affected"),
+        F.round(F.sum(leak) / F.sum("n_toks"), 6).alias("dup_share"),
+    )
+
+
+# Spans CTE cribbed from DOC_DUPLICATE_SPANS_SQL above (same grams /
+# dup / islands pipeline, span_text dropped); the interval union is
+# the same running-max sweep as tokens_leaked: a token counts iff it
+# lies past every earlier span's max end within the doc.
+DOC_TOKEN_DUP_SHARE_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM t, UNNEST(range(1, GREATEST(len(toks) - 7, 0) + 1)) AS u(i)
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+pos AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+             AS isl
+  FROM grams g JOIN dup USING (gram)
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+  FROM pos GROUP BY doc_id, isl
+),
+contrib AS (
+  SELECT doc_id,
+         GREATEST(e - GREATEST(s, COALESCE(MAX(e) OVER (
+             PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)), 0)
+           AS c
+  FROM spans
+),
+leaked AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(c) AS leak
+  FROM contrib GROUP BY doc_id
+),
+tot AS (SELECT doc_id, len(toks) AS n_toks FROM t)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(leak), 0) AS BIGINT) AS n_tokens_duplicated,
+       CAST(SUM(CASE WHEN COALESCE(n_spans, 0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_affected,
+       ROUND(CAST(COALESCE(SUM(leak), 0) AS DOUBLE) / SUM(n_toks), 6)
+           AS dup_share
+FROM tot LEFT JOIN leaked USING (doc_id)
+"""
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (the pre-tokenizer step of a
     training pipeline): 32-token windows, 8-token overlap, tail never
@@ -2112,6 +2196,7 @@ QUERIES = {
     "doc_length_buckets": doc_length_buckets,
     "doc_ngram_containment": doc_ngram_containment,
     "doc_duplicate_spans": doc_duplicate_spans,
+    "doc_token_dup_share": doc_token_dup_share,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_top_tokens": doc_top_tokens,
     "doc_token_cms_estimates": doc_token_cms_estimates,
@@ -2153,6 +2238,7 @@ ORACLE = {
     "doc_dedup_cluster_stats": DOC_DEDUP_CLUSTER_STATS_SQL,
     "doc_ngram_containment": DOC_NGRAM_CONTAINMENT_SQL,
     "doc_duplicate_spans": DOC_DUPLICATE_SPANS_SQL,
+    "doc_token_dup_share": DOC_TOKEN_DUP_SHARE_SQL,
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
     "doc_top_tokens": DOC_TOP_TOKENS_SQL,
     "doc_token_cms_estimates": DOC_TOKEN_CMS_SQL,

@@ -82,6 +82,7 @@ SUBSET = [
     "doc_dsir_weights",
     "doc_dsir_sample",
     "doc_source_quality_buckets",
+    "doc_token_dup_share",
 ]
 
 
