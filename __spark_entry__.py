@@ -65,25 +65,25 @@ _MODULES = [
 # rule 2 (touched lineage re-checks immediately) already cover.
 # CAPACITY under ≤3: a 50-slot window sustains 4×50 − 3
 # (user_sessions occupies a slot every round) = 197 queries; the
-# registry is at 152 after this round's five registrations — 45
+# registry is at 153 after this round's six registrations — 44
 # slots of headroom. The same math lives in
 # tests/test_registry_rotation.py::test_no_query_stale_beyond_three_artifacts.
 #
 # ROUND-9 WINDOW: the r6-checked block (published_segment_kpis …
-# returnflag_cube) rotates back in minus four deferrals
-# (order_date_parts, buyer_eventer_intersect,
+# customers_without_events_anti) rotates back in minus five deferrals
+# (returnflag_cube, order_date_parts, buyer_eventer_intersect,
 # buyers_not_eventers_except, returnflag_status_pivot — legal under
 # ≤3, they sit in the r6 artifact until the r10 window), plus
-# user_sessions (rule 3) and the five round-9 registrations
+# user_sessions (rule 3) and the six round-9 registrations
 # (rule 1): doc_scrub_duplicate_spans, doc_dsir_weights,
-# doc_dsir_sample, doc_source_quality_buckets, doc_token_dup_share.
-# Exactly 50.
+# doc_dsir_sample, doc_source_quality_buckets, doc_token_dup_share,
+# doc_source_token_budget. Exactly 50.
 #
-# ROUND-10 QUEUE: mandatory returns are the four r6 deferrals above
+# ROUND-10 QUEUE: mandatory returns are the five r6 deferrals above
 # (at r10 the last-three artifacts are r7/r8/r9 and they are in none)
 # plus user_sessions; the 49-query r7-checked block at the head of
 # _CHECK_LAST becomes stale at r11, so r10 should proactively rotate
-# most of it in (45 fit alongside the mandatory five), deferring the
+# most of it in (44 fit alongside the mandatory six), deferring the
 # remainder to r11 — compute it from the artifacts, the rotation test
 # enforces it.
 
@@ -96,6 +96,7 @@ _TOUCHED_THIS_ROUND = [
     "doc_dsir_sample",            # new registration (importance lineage)
     "doc_source_quality_buckets",  # new registration
     "doc_token_dup_share",         # new registration
+    "doc_source_token_budget",     # new registration
 ]
 
 _CHECK_FIRST = [
@@ -145,7 +146,6 @@ _CHECK_FIRST = [
     "eventers_orderers_full_outer",
     "top_orders_global",
     "customers_without_events_anti",
-    "returnflag_cube",
     # --- incident-prone events.ts lineage, in-window every round ---
     "user_sessions",
     # --- new this round (rule 1): the two r8-staged registrations plus
@@ -155,6 +155,7 @@ _CHECK_FIRST = [
     "doc_dsir_sample",
     "doc_source_quality_buckets",
     "doc_token_dup_share",
+    "doc_source_token_budget",
 ]
 _CHECK_LAST = [
     # hash-green r7 (or rows-only-by-design r7), lineage untouched by
@@ -261,6 +262,7 @@ _CHECK_LAST = [
     "doc_eval_span_overlap",
     # checked r6, deferred past this round under the ≤3 bound —
     # MANDATORY in the r10 window
+    "returnflag_cube",
     "order_date_parts",
     "buyer_eventer_intersect",
     "buyers_not_eventers_except",

@@ -98,6 +98,7 @@ EXTRAS = [
     "doc_dsir_sample",
     "doc_source_quality_buckets",
     "doc_token_dup_share",
+    "doc_source_token_budget",
 ]
 
 

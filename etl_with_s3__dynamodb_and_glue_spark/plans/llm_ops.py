@@ -175,6 +175,63 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer cost accounting — training mixtures are
+    specified in TOKENS, not documents, so the mixing/budgeting layer
+    needs each source's token mass and fertility before any sampling
+    rate can be set: (source, n_docs, n_chars, n_ws_tokens,
+    n_bpe_tokens, fertility = bpe/ws tokens, chars_per_bpe_token).
+    High-fertility sources (code, non-Latin scripts) cost more tokens
+    per word — budgeting by document count over-trains on them.
+    One scan, one ≤|sources|-row aggregate; the BPE-ish estimator is
+    the same lookaround-free construction the per-doc query pins, so
+    the oracle replays the whole report verbatim."""
+    docs = _docs(spark, sf_dir)
+    staged = docs.select(
+        "source",
+        F.length("text").cast("long").alias("nc"),
+        F.size(tokens("text")).cast("long").alias("ws"),
+        bpe_ish_token_count("text").cast("long").alias("bpe"),
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nc").cast("long").alias("n_chars"),
+        F.sum("ws").cast("long").alias("n_ws_tokens"),
+        F.sum("bpe").cast("long").alias("n_bpe_tokens"),
+        F.round(F.sum("bpe") / F.sum("ws"), 6).alias("fertility"),
+        F.round(F.sum("nc") / F.sum("bpe"), 6).alias("chars_per_bpe_token"),
+    )
+
+
+DOC_SOURCE_TOKEN_BUDGET_SQL = r"""
+WITH marked AS (
+  SELECT source,
+         CAST(strlen(text) AS BIGINT) AS nc,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+              AS BIGINT) AS ws,
+         CAST(len(list_filter(string_split_regex(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(trim(text)),
+                              '([a-z])([0-9])', '\1' || chr(1) || '\2', 'g'),
+               '([0-9])([a-z])', '\1' || chr(1) || '\2', 'g'),
+             '([^\w\s])', chr(1) || '\1', 'g'),
+           '[\s' || chr(1) || ']+'), x -> x <> '')) AS BIGINT) AS bpe
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nc) AS BIGINT) AS n_chars,
+       CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS fertility,
+       ROUND(CAST(SUM(nc) AS DOUBLE) / SUM(bpe), 6) AS chars_per_bpe_token
+FROM marked
+GROUP BY source
+ORDER BY source
+"""
+
+
 def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training order (sharded reproducible shuffle):
     shard + position are a pure function of (salt, doc_id) — identical
@@ -2197,6 +2254,7 @@ QUERIES = {
     "doc_ngram_containment": doc_ngram_containment,
     "doc_duplicate_spans": doc_duplicate_spans,
     "doc_token_dup_share": doc_token_dup_share,
+    "doc_source_token_budget": doc_source_token_budget,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_top_tokens": doc_top_tokens,
     "doc_token_cms_estimates": doc_token_cms_estimates,
@@ -2239,6 +2297,7 @@ ORACLE = {
     "doc_ngram_containment": DOC_NGRAM_CONTAINMENT_SQL,
     "doc_duplicate_spans": DOC_DUPLICATE_SPANS_SQL,
     "doc_token_dup_share": DOC_TOKEN_DUP_SHARE_SQL,
+    "doc_source_token_budget": DOC_SOURCE_TOKEN_BUDGET_SQL,
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
     "doc_top_tokens": DOC_TOP_TOKENS_SQL,
     "doc_token_cms_estimates": DOC_TOKEN_CMS_SQL,

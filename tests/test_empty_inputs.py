@@ -83,6 +83,7 @@ SUBSET = [
     "doc_dsir_sample",
     "doc_source_quality_buckets",
     "doc_token_dup_share",
+    "doc_source_token_budget",
 ]
 
 
