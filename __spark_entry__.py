@@ -37,7 +37,7 @@ _MODULES = [
 
 # The driver's correctness harness checks the FIRST 50 registry entries
 # per round; the registry is larger than that, so ordering is coverage
-# policy (round 9 edition). Rotation rules (tested by
+# policy (round 10 edition). Rotation rules (tested by
 # tests/test_registry_rotation.py):
 #   1. every query never seen in ANY CORRECTNESS_r*.json artifact must
 #      be in the current window (first 50) — nothing ships a round
@@ -45,122 +45,98 @@ _MODULES = [
 #   2. every query whose code or oracle changed this round stays in
 #      the window — encoded as _TOUCHED_THIS_ROUND below (updated as
 #      part of each round's diff; the rotation test asserts it is a
-#      subset of the window);
+#      subset of the window). "Touched" is FUNCTION-level: a query is
+#      touched when a function on its plan lineage changed, not when
+#      an unrelated function in a shared module did (e.g. a
+#      ``minhash_signatures`` edit touches the LSH consumers but not
+#      ``doc_dedup_final``, which consumes only ``jaccard_pairs`` +
+#      ``resolve_near_dups`` from the same file);
 #   3. the incident-prone events.ts lineage (user_sessions) stays in
 #      the window every round;
 #   4. the overflow parks queries that were driver-green in the most
 #      recent round that checked them AND whose lineage this round's
 #      diff does not touch.
 #
-# CAPACITY DECISION (round 9, per VERDICT r8 item 3): the staleness
-# bound moved from ≤2 to ≤3 artifacts (every query must be in the
-# current window or in one of the LAST THREE committed
-# CORRECTNESS_r*.json artifacts). Rationale over retirement: the ≤2
-# bound's 148-slot capacity was exhausted the moment
-# doc_scrub_duplicate_spans registered, and the build keeps adding
-# operators every round — retiring a green query per new registration
-# trades real coverage for bookkeeping, while one extra round of
-# parking (4-round full-coverage cycle instead of 3) is still well
-# inside the regression-detection horizon the local pytest suite and
-# rule 2 (touched lineage re-checks immediately) already cover.
+# STALENESS BOUND (ADVICE r9, medium): the ≤3-artifact bound is
+# evaluated AS OF WINDOW CONSTRUCTION — the last three artifacts with
+# round < _WINDOW_ROUND. The current round's own artifact (written by
+# the driver at round end, round == _WINDOW_ROUND) re-checks the
+# current window and never shrinks coverage, so it is excluded from
+# the bound rather than allowed to retro-invalidate a legal parking
+# decision. The forcing function moves to
+# test_window_rotated_for_every_artifact: an artifact with round >
+# _WINDOW_ROUND on disk means a new round began — that test goes red
+# with a message naming the rotation, by design, until the new
+# round's first commit rotates the window and bumps _WINDOW_ROUND.
+#
 # CAPACITY under ≤3: a 50-slot window sustains 4×50 − 3
 # (user_sessions occupies a slot every round) = 197 queries; the
-# registry is at 153 after this round's six registrations — 44
-# slots of headroom. The same math lives in
-# tests/test_registry_rotation.py::test_no_query_stale_beyond_three_artifacts.
+# registry size is asserted against that ceiling in
+# tests/test_registry_rotation.py::test_registry_within_window_capacity.
+# DECISION RULE when a round's mandatory returns + rule-1
+# registrations would exceed 50 (VERDICT r9 item 7): prefer RETIRING
+# a redundant variant (e.g. one of the three rolling-distinct
+# flavors) over moving the staleness bound again — a 5-round cycle
+# would outlive the local suite's regression horizon, while redundant
+# variants are exactly the coverage a full window can't afford.
 #
-# ROUND-9 WINDOW: the r6-checked block (published_segment_kpis …
-# customers_without_events_anti) rotates back in minus five deferrals
-# (returnflag_cube, order_date_parts, buyer_eventer_intersect,
-# buyers_not_eventers_except, returnflag_status_pivot — legal under
-# ≤3, they sit in the r6 artifact until the r10 window), plus
-# user_sessions (rule 3) and the six round-9 registrations
-# (rule 1): doc_scrub_duplicate_spans, doc_dsir_weights,
-# doc_dsir_sample, doc_source_quality_buckets, doc_token_dup_share,
-# doc_source_token_budget. Exactly 50.
+# ROUND-10 WINDOW: the five r6 deferrals (mandatory — at r10 the
+# last-three artifacts are r7/r8/r9 and they are in none), plus
+# user_sessions (rule 3), plus the six r9-checked queries this
+# round's diff touches (rule 2: the MinHash signature-fusion /
+# band-key perf pass touches doc_arrivals_dedup_lsh,
+# doc_arrivals_dedup_store, doc_split_leakage_audit_lsh; the DSIR
+# persist-finalizer fix touches doc_dsir_weights, doc_dsir_sample;
+# the empty-corpus COALESCE fix touches doc_token_dup_share), plus
+# 38 of the 49-query r7-checked block (stale at r11 otherwise —
+# the 11 deferred to the r11 window are listed at the head of
+# _CHECK_LAST). Exactly 50.
 #
-# ROUND-10 QUEUE: mandatory returns are the five r6 deferrals above
-# (at r10 the last-three artifacts are r7/r8/r9 and they are in none)
-# plus user_sessions; the 49-query r7-checked block at the head of
-# _CHECK_LAST becomes stale at r11, so r10 should proactively rotate
-# most of it in (44 fit alongside the mandatory six), deferring the
-# remainder to r11 — compute it from the artifacts, the rotation test
-# enforces it.
+# ROUND-11 QUEUE (precomputed): mandatory returns are the 11 r7
+# deferrals at the head of _CHECK_LAST (at r11 the last-three
+# artifacts are r8/r9/r10 and they sit only in r7) plus
+# user_sessions; the 49-query r8-checked block goes stale at r12, so
+# r11 should rotate ~35 of it proactively (fits alongside the
+# mandatory 12), deferring ~14 to r12 — and r12 in turn carries
+# those 14 plus the 43-query r9-parked block (stale at r13). The
+# pipeline stays ~full; rule-1 registrations cost one r7/r8-block
+# deferral each, so keep new registrations ≤ handful per round.
+
+_WINDOW_ROUND = 10
 
 # Rule-2 ledger: queries whose code or oracle this round's diff
-# touched (directly or through an operator they consume). The rotation
-# test enforces these sit inside the window.
+# touched (directly or through a plan-lineage function they consume).
+# The rotation test enforces these sit inside the window.
 _TOUCHED_THIS_ROUND = [
-    "doc_scrub_duplicate_spans",  # new registration
-    "doc_dsir_weights",           # new registration + null-text coalesce
-    "doc_dsir_sample",            # new registration (importance lineage)
-    "doc_source_quality_buckets",  # new registration
-    "doc_token_dup_share",         # new registration
-    "doc_source_token_budget",     # new registration
+    "doc_minhash_near_dups",       # MinHash signature fusion + band-key packing
+    "doc_dedup_final_lsh",         # same core (minhash_near_dups)
+    "doc_arrivals_dedup_lsh",      # same core (incremental cross-side)
+    "doc_arrivals_dedup_store",    # same core (vs-store serving path)
+    "doc_split_leakage_audit_lsh",  # same core (minhash_near_dups)
+    "doc_dsir_weights",            # DSIR persist-finalizer fix (ADVICE r9)
+    "doc_dsir_sample",             # DSIR persist-finalizer fix (ADVICE r9)
+    "doc_token_dup_share",         # empty-corpus COALESCE fix (ADVICE r9)
 ]
 
 _CHECK_FIRST = [
-    # --- last checked r6: due this round (the two ≤3-legal deferrals
-    # buyers_not_eventers_except / returnflag_status_pivot sit at the
-    # end of _CHECK_LAST and are the r10 window's mandatory head) ---
-    "published_segment_kpis",
-    "top_return_customers",
-    "nation_revenue_pareto",
-    "doc_token_budget_sample",
-    "doc_lang_confusion",
-    "doc_dedup_keep_best",
-    "embedding_hard_negatives",
-    "embedding_dedup_final_lsh",
-    "asset_frame_samples",
-    "events_daily_complete",
-    "user_weekly_retention",
-    "event_type_transitions",
-    "events_daily_rollup_incremental",
-    "event_type_cooccurrence",
-    "events_wow_change",
-    "segment_nation_chi2",
-    "part_name_fuzzy_matches",
-    "lineitem_corr_matrix",
-    "orders_price_decile_bins",
-    "customer_scd2_apply",
-    "customer_balance_zscores",
-    "orders_pit_customer_balance",
-    "rolling_7d_distinct_users",
-    "events_customers_null_bypass",
-    "clicks_asof_recent_view",
-    "doc_encoding_audit",
-    "doc_novelty_fraction",
-    "doc_arrivals_dedup_lsh",
-    "doc_arrivals_dedup_store",
-    "doc_decontamination_bloom",
-    "doc_lm_outliers",
-    "daily_new_users_cumulative",
-    "doc_length_buckets",
-    "order_quantity_arrays",
-    "event_key_skew_profile",
-    "doc_split_assignment",
-    "doc_split_leakage_audit",
-    "doc_split_leakage_audit_lsh",
-    "doc_vocab_coverage",
-    "lineitem_winsorized_stats",
-    "eventers_orderers_full_outer",
-    "top_orders_global",
-    "customers_without_events_anti",
+    # --- last checked r6: mandatory this round (in none of r7/r8/r9) ---
+    "returnflag_cube",
+    "order_date_parts",
+    "buyer_eventer_intersect",
+    "buyers_not_eventers_except",
+    "returnflag_status_pivot",
     # --- incident-prone events.ts lineage, in-window every round ---
     "user_sessions",
-    # --- new this round (rule 1): the two r8-staged registrations plus
-    # the DSIR resampling end-to-end query (VERDICT r8 items 2-4) ---
-    "doc_scrub_duplicate_spans",
+    # --- r9-checked but rule-2 touched by this round's diff ---
+    "doc_arrivals_dedup_lsh",
+    "doc_arrivals_dedup_store",
+    "doc_split_leakage_audit_lsh",
     "doc_dsir_weights",
     "doc_dsir_sample",
-    "doc_source_quality_buckets",
     "doc_token_dup_share",
-    "doc_source_token_budget",
-]
-_CHECK_LAST = [
-    # hash-green r7 (or rows-only-by-design r7), lineage untouched by
-    # this round's diff — parked; becomes stale at r11, so the r10
-    # window should rotate most of this block back in proactively
+    # --- r7-checked block rotating back in (stale at r11 otherwise);
+    # includes the rule-2-touched doc_dedup_final_lsh /
+    # doc_minhash_near_dups / doc_duplicate_spans lineages ---
     "flagship_daily_segment_topk",
     "segment_kpis_compat",
     "top_rows_per_day_compat",
@@ -176,23 +152,12 @@ _CHECK_LAST = [
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_lsh",
     "asset_features",
-    "order_approx_stats",
-    "asset_content_hashes",
-    "weekly_user_sketch_rollup",
-    "customer_rolling_spend",
-    "part_text_features",
-    "csv_quarantine_counts",
     "doc_repetition_signals",
     "doc_pii_scrub",
     "doc_source_mix",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
-    "clicks_asof_prior_view",
-    "error_followup_counts",
-    "priority_returns_exists",
-    "small_qty_part_revenue",
     "segment_event_value_salted",
-    "activity_union_by_name",
     "order_price_percentiles",
     "order_rank_flavors",
     "pricing_summary",
@@ -210,7 +175,22 @@ _CHECK_LAST = [
     "asset_near_dups",
     "doc_duplicate_spans",
     "rolling_7d_distinct_exact",
-    # checked r8, parked
+]
+_CHECK_LAST = [
+    # checked r7, deferred to the r11 window under the
+    # as-of-construction ≤3 bound — MANDATORY in the r11 window
+    "order_approx_stats",
+    "asset_content_hashes",
+    "weekly_user_sketch_rollup",
+    "customer_rolling_spend",
+    "part_text_features",
+    "csv_quarantine_counts",
+    "clicks_asof_prior_view",
+    "error_followup_counts",
+    "priority_returns_exists",
+    "small_qty_part_revenue",
+    "activity_union_by_name",
+    # checked r8, parked (rotates in at r11 — stale at r12)
     "orders_price_histogram",
     "doc_chunks",
     "doc_char_entropy",
@@ -260,13 +240,50 @@ _CHECK_LAST = [
     "weekly_user_distinct_exact",
     "embedding_ivfpq_topk",
     "doc_eval_span_overlap",
-    # checked r6, deferred past this round under the ≤3 bound —
-    # MANDATORY in the r10 window
-    "returnflag_cube",
-    "order_date_parts",
-    "buyer_eventer_intersect",
-    "buyers_not_eventers_except",
-    "returnflag_status_pivot",
+    # checked r9, parked
+    "published_segment_kpis",
+    "top_return_customers",
+    "nation_revenue_pareto",
+    "doc_token_budget_sample",
+    "doc_lang_confusion",
+    "doc_dedup_keep_best",
+    "embedding_hard_negatives",
+    "embedding_dedup_final_lsh",
+    "asset_frame_samples",
+    "events_daily_complete",
+    "user_weekly_retention",
+    "event_type_transitions",
+    "events_daily_rollup_incremental",
+    "event_type_cooccurrence",
+    "events_wow_change",
+    "segment_nation_chi2",
+    "part_name_fuzzy_matches",
+    "lineitem_corr_matrix",
+    "orders_price_decile_bins",
+    "customer_scd2_apply",
+    "customer_balance_zscores",
+    "orders_pit_customer_balance",
+    "rolling_7d_distinct_users",
+    "events_customers_null_bypass",
+    "clicks_asof_recent_view",
+    "doc_encoding_audit",
+    "doc_novelty_fraction",
+    "doc_decontamination_bloom",
+    "doc_lm_outliers",
+    "daily_new_users_cumulative",
+    "doc_length_buckets",
+    "order_quantity_arrays",
+    "event_key_skew_profile",
+    "doc_split_assignment",
+    "doc_split_leakage_audit",
+    "doc_vocab_coverage",
+    "lineitem_winsorized_stats",
+    "eventers_orderers_full_outer",
+    "top_orders_global",
+    "customers_without_events_anti",
+    "doc_scrub_duplicate_spans",
+    "doc_source_quality_buckets",
+    "doc_source_token_budget",
 ]
 
 

@@ -13,11 +13,23 @@ instead of comment-only (VERDICT r5 item 8):
    appeared in any ``CORRECTNESS_r*.json`` artifact must be inside the
    current window;
 3. bounded staleness: every query either sits in the current window or
-   was driver-checked within the last THREE committed artifacts (the
+   was driver-checked within the last THREE artifacts AS OF WINDOW
+   CONSTRUCTION — artifacts with round < ``_WINDOW_ROUND`` (the
    4-round full-coverage cycle a 50-slot window allows at this
-   registry size — bound moved from two in round 9 per VERDICT r8
-   item 3; capacity 4×50 − 3 = 197 with the registry at 150, see the
-   capacity note in ``__spark_entry__.py``).
+   registry size; bound moved from two in round 9 per VERDICT r8
+   item 3, and evaluated as-of-construction since round 10 per
+   ADVICE r9 so the current round's own artifact — which re-checks
+   the current window and never shrinks coverage — cannot
+   retro-invalidate a legal parking decision). Capacity is
+   4×WINDOW − 3; the ceiling is executable below
+   (``test_registry_within_window_capacity``), never a hardcoded
+   registry count;
+4. rotation freshness: an artifact with round > ``_WINDOW_ROUND`` on
+   disk means a new round began. ``test_window_rotated_for_every_artifact``
+   goes red BY DESIGN until that round's first commit rotates the
+   window and bumps ``_WINDOW_ROUND`` — the driver's end-of-round
+   artifact commit co-lands with the NEXT round's rotation, and this
+   test (not an incidentally-stale bound) is the forcing function.
 """
 
 from __future__ import annotations
@@ -86,7 +98,12 @@ def test_diff_touched_queries_are_in_window():
 
 
 def test_no_query_stale_beyond_three_artifacts():
-    arts = _artifacts()
+    """Bound evaluated as of window construction: only artifacts the
+    window could have seen (round < _WINDOW_ROUND) count. The current
+    round's own artifact re-checks the current window, so excluding it
+    never hides staleness; artifacts NEWER than the window are the
+    rotation-freshness test's job."""
+    arts = [a for a in _artifacts() if a[0] < entry_mod._WINDOW_ROUND]
     if len(arts) < 3:
         return
     reg = list(_registry())
@@ -94,8 +111,27 @@ def test_no_query_stale_beyond_three_artifacts():
     recent = set(arts[-1][1]) | set(arts[-2][1]) | set(arts[-3][1])
     stale = [n for n in reg if n not in window and n not in recent]
     assert not stale, (
-        "parked for more than three rounds and not in the current "
+        "parked for more than three rounds (as of window construction, "
+        f"round {entry_mod._WINDOW_ROUND}) and not in the current "
         f"window: {stale}"
+    )
+
+
+def test_window_rotated_for_every_artifact():
+    """The designed forcing function (rule 4 above): the driver writes
+    CORRECTNESS_r{N}.json after round N ends, so an artifact with
+    round > _WINDOW_ROUND means round N+1 has begun and its rotation
+    has not landed yet. Red HERE is the signal to rotate — construct
+    the next window (the precomputed queue lives in the
+    __spark_entry__.py policy comment) and bump _WINDOW_ROUND."""
+    arts = _artifacts()
+    if not arts:
+        return
+    newest = arts[-1][0]
+    assert newest <= entry_mod._WINDOW_ROUND, (
+        f"CORRECTNESS_r{newest:02d}.json has landed: construct the "
+        f"round-{newest + 1} window (queue precomputed in "
+        "__spark_entry__.py) and bump _WINDOW_ROUND"
     )
 
 

@@ -78,6 +78,9 @@ def build_capped_dir(spark, sf_dir: str, out_dir: str) -> str:
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
     caps = {"documents": ("doc_id", CAP_DOCS), "embeddings": ("vec_id", CAP_VECS)}
+    # abspath: a relative sf_dir CLI arg would otherwise produce
+    # symlinks that resolve relative to out_dir and dangle (ADVICE r9)
+    sf_dir = os.path.abspath(sf_dir)
     for t in TABLES:
         src = os.path.join(sf_dir, f"{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
