@@ -29,8 +29,16 @@ def unpersist_on_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
 
     The finalizer is a no-op on a stopped SparkContext (session
     shutdown races GC at interpreter exit) and ``unpersist`` is
-    idempotent, so double-release is safe.
+    idempotent, so double-release is safe. Re-registering on a frame
+    that already carries deps (an operator layering another cache onto
+    a frame it got from a helper) MERGES the dep sets under one
+    finalizer, so :func:`carry_cache_deps` can always transfer the
+    whole set by detaching one handle.
     """
+    prior = getattr(result, "_graft_finalizer", None)
+    if prior is not None:
+        prior.detach()
+        cached = tuple(getattr(result, "_graft_cache_deps", ())) + cached
 
     def _release() -> None:
         for df in cached:
@@ -43,8 +51,36 @@ def unpersist_on_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     # cached intermediates (and hence their storage) stay alive even if
     # every other reference to them is dropped.
     result._graft_cache_deps = cached
-    weakref.finalize(result, _release)
+    result._graft_finalizer = weakref.finalize(result, _release)
     return result
+
+
+def carry_cache_deps(result: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Transfer cache ownership from ``sources`` (frames returned by
+    :func:`unpersist_on_release`) to ``result``, a frame COMPOSED from
+    them.
+
+    Without this, a lazy composition defeats the operator's persist
+    (ADVICE r9): ``weights.select(...).orderBy(...)`` drops the
+    ``weights`` object the moment the expression finishes, CPython
+    refcounting fires its finalizer, and the cache is gone before the
+    caller's action ever runs — the persist becomes pure overhead.
+    Transferring detaches each source's finalizer and re-ties the
+    SAME cached intermediates to ``result``'s lifetime.
+
+    Sources without transferred deps pass through untouched, so this
+    is safe to call unconditionally at composition boundaries. Frames
+    registered via :func:`unpersist_on_release_all` (shared countdown)
+    are deliberately NOT transferable and keep their own lifecycle.
+    """
+    deps: list[DataFrame] = []
+    for s in sources:
+        fin = getattr(s, "_graft_finalizer", None)
+        if fin is None:
+            continue
+        fin.detach()
+        deps.extend(getattr(s, "_graft_cache_deps", ()))
+    return unpersist_on_release(result, *deps) if deps else result
 
 
 def unpersist_on_release_all(

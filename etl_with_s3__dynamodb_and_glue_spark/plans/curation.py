@@ -682,18 +682,20 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reasoning); the oracle twin below was agreement-tested a
     round before it faced the driver.
     """
+    from ..caching import carry_cache_deps
     from ..operators import importance
 
     docs = _docs(spark, sf_dir)
-    return (
-        importance.dsir_log_weights(docs, target=F.col("lang") == "en")
-        .select(
-            "doc_id",
-            "n_feats",
-            F.round("log_weight", 6).alias("log_weight"),
-        )
-        .orderBy("doc_id")
-    )
+    weights = importance.dsir_log_weights(docs, target=F.col("lang") == "en")
+    out = weights.select(
+        "doc_id",
+        "n_feats",
+        F.round("log_weight", 6).alias("log_weight"),
+    ).orderBy("doc_id")
+    # the per_doc persist must survive until the CALLER's action —
+    # without the transfer, dropping `weights` here fires its
+    # finalizer and the measured 35% win never applies (ADVICE r9)
+    return carry_cache_deps(out, weights)
 
 
 def _dsir_sql() -> str:
@@ -848,6 +850,7 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. Selection is a global top-k (TakeOrdered ascending), no
     single-task window, same scale shape as doc_weighted_sample.
     """
+    from ..caching import carry_cache_deps
     from ..operators import importance
 
     docs = _docs(spark, sf_dir)
@@ -856,11 +859,14 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_feats", F.round("log_weight", 6).alias("log_weight")
     )
     key = importance.dsir_gumbel_key("doc_id", "log_weight")
-    return (
+    sample = (
         scored.orderBy(key.asc(), "doc_id")
         .limit(DSIR_SAMPLE_K)
         .select("doc_id", "n_feats", "log_weight")
     )
+    # tie the per_doc persist to the frame the caller actually acts
+    # on — see doc_dsir_weights (ADVICE r9)
+    return carry_cache_deps(sample, weights)
 
 
 def _hex8_sql(expr: str) -> str:

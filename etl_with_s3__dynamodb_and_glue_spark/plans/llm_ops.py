@@ -518,7 +518,13 @@ def doc_token_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").cast("long").alias("n_tokens"),
-        F.sum(leak).cast("long").alias("n_tokens_duplicated"),
+        # coalesce AFTER the aggregate too: SUM over zero rows is NULL
+        # in Spark, while the oracle's COALESCE(SUM(leak), 0) yields 0
+        # on an empty corpus — both engines must agree on the empty
+        # edge (ADVICE r9)
+        F.coalesce(F.sum(leak), F.lit(0)).cast("long").alias(
+            "n_tokens_duplicated"
+        ),
         F.sum((F.coalesce("n_spans", F.lit(0)) > 0).cast("long"))
         .cast("long")
         .alias("n_docs_affected"),
@@ -1217,11 +1223,15 @@ def doc_arrivals_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the batch's collisions, not |corpus|²), exact-Jaccard verify,
     same per-arrival decision. Rows-only for the driver (banding is
     approximate); agreement vs the exact twin is asserted in tests."""
+    from ..caching import carry_cache_deps
+
     arrivals, corpus = _split_arrivals(spark, sf_dir)
     pairs = dedup.minhash_near_dups_incremental(
         arrivals, corpus, threshold=_INCR_THRESHOLD
     )
-    return _arrivals_decision(arrivals, pairs)
+    # the decision join is lazy — transfer the token-set caches to the
+    # returned frame or they unpersist before the action (ADVICE r9)
+    return carry_cache_deps(_arrivals_decision(arrivals, pairs), pairs)
 
 
 def ensure_minhash_store(spark: SparkSession, sf_dir: str) -> str:
@@ -1248,12 +1258,14 @@ def doc_arrivals_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the driver; tests assert exact output equality with the
     inline LSH variant (same algorithm, same parameters — the store
     is a materialization, not an approximation)."""
+    from ..caching import carry_cache_deps
+
     arrivals, _ = _split_arrivals(spark, sf_dir)
     store = dedup.load_minhash_store(spark, ensure_minhash_store(spark, sf_dir))
     pairs = dedup.minhash_near_dups_vs_store(
         arrivals, store, threshold=_INCR_THRESHOLD
     )
-    return _arrivals_decision(arrivals, pairs)
+    return carry_cache_deps(_arrivals_decision(arrivals, pairs), pairs)
 
 
 def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2164,11 +2176,14 @@ def doc_split_leakage_audit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the S-curve), so the audit never goes O(n²). Rows-only for the
     driver; per-cell count<=exact and recall are asserted in tests
     against the exact twin."""
+    from ..caching import carry_cache_deps
+
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_near_dups(
-        docs, threshold=_LEAKAGE_THRESHOLD
-    ).select("id_a", "id_b")
-    return _leakage_cells(docs, pairs)
+    verified = dedup.minhash_near_dups(docs, threshold=_LEAKAGE_THRESHOLD)
+    pairs = verified.select("id_a", "id_b")
+    # lazy composition — keep the token-set/member caches alive until
+    # the caller's action (ADVICE r9 pattern)
+    return carry_cache_deps(_leakage_cells(docs, pairs), verified)
 
 
 def doc_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

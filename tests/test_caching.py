@@ -100,6 +100,75 @@ def test_operator_persists_do_not_outlive_results(spark):
     assert _n_cached(spark) <= n0
 
 
+def test_carry_cache_deps_transfers_ownership(spark):
+    """ADVICE r9: a lazy composition (`weights.select(...)`) drops the
+    operator's returned frame, whose finalizer would unpersist the
+    cache before the caller's action. carry_cache_deps re-ties the
+    SAME cache to the composed frame's lifetime."""
+    from etl_with_s3__dynamodb_and_glue_spark.caching import carry_cache_deps
+
+    base = spark.range(1000).withColumn("v", F.col("id") * 2).persist()
+    intermediate = unpersist_on_release(base.filter("v % 4 = 0"), base)
+    final = carry_cache_deps(intermediate.groupBy().count(), intermediate)
+    del intermediate
+    gc.collect()
+    # the cache survived the intermediate's death...
+    assert base.storageLevel != _NONE
+    assert final.collect()[0][0] == 500
+    del final
+    gc.collect()
+    # ...and is released with the composed frame
+    assert base.storageLevel == _NONE
+
+
+def test_carry_cache_deps_passthrough_without_deps(spark):
+    from etl_with_s3__dynamodb_and_glue_spark.caching import carry_cache_deps
+
+    plain = spark.range(10)
+    out = carry_cache_deps(plain.groupBy().count(), plain)
+    assert not hasattr(out, "_graft_finalizer")
+    assert out.collect()[0][0] == 10
+
+
+def test_unpersist_on_release_reregistration_merges_deps(spark):
+    """Layered registration (minhash_near_dups_incremental wraps the
+    vs_store result again) must MERGE dep sets under one detachable
+    finalizer, so a later carry transfers everything."""
+    from etl_with_s3__dynamodb_and_glue_spark.caching import carry_cache_deps
+
+    c1 = spark.range(100).persist()
+    c2 = spark.range(200).persist()
+    frame = spark.range(50).groupBy().count()
+    frame = unpersist_on_release(frame, c1)
+    frame = unpersist_on_release(frame, c2)
+    assert set(frame._graft_cache_deps) == {c1, c2}
+    final = carry_cache_deps(frame.select("count"), frame)
+    del frame
+    gc.collect()
+    assert c1.storageLevel != _NONE and c2.storageLevel != _NONE
+    del final
+    gc.collect()
+    assert c1.storageLevel == _NONE and c2.storageLevel == _NONE
+
+
+def test_dsir_queries_keep_profile_cached_until_action(spark):
+    """The registered DSIR queries must reach the caller with the
+    per_doc persist still alive (ADVICE r9: it was finalized during
+    composition, making the measured 35% win pure overhead)."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans import curation
+    from tests.conftest import SF_SMOKE
+
+    for name in ("doc_dsir_weights", "doc_dsir_sample"):
+        out = curation.QUERIES[name](spark, SF_SMOKE)
+        gc.collect()
+        deps = getattr(out, "_graft_cache_deps", ())
+        assert deps, f"{name}: composition lost its cache deps"
+        assert all(d.storageLevel != _NONE for d in deps), name
+        assert out.count() > 0
+        del out
+        gc.collect()
+
+
 def test_unpersist_on_release_all_waits_for_both_halves(spark):
     from etl_with_s3__dynamodb_and_glue_spark.caching import (
         unpersist_on_release_all,

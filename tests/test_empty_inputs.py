@@ -117,3 +117,17 @@ def test_scrub_query_survives_empty_tables(spark, empty_sf_dir):
     )
 
     assert doc_scrub_duplicate_spans(spark, empty_sf_dir).collect() == []
+
+
+def test_token_dup_share_empty_corpus_matches_oracle_edge(spark, empty_sf_dir):
+    """ADVICE r9: Spark's SUM over zero rows is NULL while the oracle
+    COALESCEs the duplicated-token count to 0 — both engines must
+    agree on the empty edge. The single KPI row must carry a real 0,
+    not NULL, in n_tokens_duplicated."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.llm_ops import (
+        doc_token_dup_share,
+    )
+
+    [row] = doc_token_dup_share(spark, empty_sf_dir).collect()
+    assert row["n_docs"] == 0
+    assert row["n_tokens_duplicated"] == 0
