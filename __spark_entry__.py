@@ -87,12 +87,12 @@ _MODULES = [
 # band-key perf pass touches doc_arrivals_dedup_lsh,
 # doc_arrivals_dedup_store, doc_split_leakage_audit_lsh; the DSIR
 # persist-finalizer fix touches doc_dsir_weights, doc_dsir_sample;
-# the empty-corpus COALESCE fix touches doc_token_dup_share), plus
-# 38 of the 49-query r7-checked block (stale at r11 otherwise —
-# the 11 deferred to the r11 window are listed at the head of
+# the empty-corpus COALESCE fix touches doc_token_dup_share), plus the
+# round-10 registration doc_dsir_admissions (rule 1), plus 37 of the
+# 49-query r7-checked block (stale at r11 otherwise — the 12 deferred to the r11 window are listed at the head of
 # _CHECK_LAST). Exactly 50.
 #
-# ROUND-11 QUEUE (precomputed): mandatory returns are the 11 r7
+# ROUND-11 QUEUE (precomputed): mandatory returns are the 12 r7
 # deferrals at the head of _CHECK_LAST (at r11 the last-three
 # artifacts are r8/r9/r10 and they sit only in r7) plus
 # user_sessions; the 49-query r8-checked block goes stale at r12, so
@@ -116,6 +116,7 @@ _TOUCHED_THIS_ROUND = [
     "doc_dsir_weights",            # DSIR persist-finalizer fix (ADVICE r9)
     "doc_dsir_sample",             # DSIR persist-finalizer fix (ADVICE r9)
     "doc_token_dup_share",         # empty-corpus COALESCE fix (ADVICE r9)
+    "doc_dsir_admissions",         # new registration (rule 1): gate landing
 ]
 
 _CHECK_FIRST = [
@@ -158,7 +159,6 @@ _CHECK_FIRST = [
     "embedding_lsh_topk",
     "embedding_ivf_topk",
     "segment_event_value_salted",
-    "order_price_percentiles",
     "order_rank_flavors",
     "pricing_summary",
     "shipping_priority",
@@ -175,10 +175,14 @@ _CHECK_FIRST = [
     "asset_near_dups",
     "doc_duplicate_spans",
     "rolling_7d_distinct_exact",
+    # --- new this round (rule 1): the DSIR admission gate's landed
+    # decision table (VERDICT r9 item 3) ---
+    "doc_dsir_admissions",
 ]
 _CHECK_LAST = [
     # checked r7, deferred to the r11 window under the
     # as-of-construction ≤3 bound — MANDATORY in the r11 window
+    "order_price_percentiles",
     "order_approx_stats",
     "asset_content_hashes",
     "weekly_user_sketch_rollup",

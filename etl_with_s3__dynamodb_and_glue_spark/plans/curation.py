@@ -888,6 +888,145 @@ LIMIT {DSIR_SAMPLE_K}"""
 )
 
 
+# --- DSIR streaming admission gate (landed decision table) ----------------
+
+# admit iff log_weight >= 0: "looks more like the target than like the
+# raw corpus" — the natural zero of a log-likelihood ratio.
+DSIR_GATE_THRESHOLD = 0.0
+_GATE_BATCH_SALT = "dsirbatch"
+
+
+def _ensure_dsir_decisions(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once accessor for a deterministic DSIR gate EPISODE
+    (VERDICT r9 item 3 — the admissions surface faces the driver like
+    the MinHash store does): the ratio store is estimated over the
+    80% corpus split (``llm_ops._split_arrivals`` — same split as the
+    arrivals-dedup family), then the 20% arrival slice lands through
+    ``streaming/dsir_gate.score_batch`` as TWO deterministic batches
+    (md5-parity of doc_id), exercising the same landing + replay-marker
+    code path ``foreachBatch`` drives (score_batch is documented to
+    run identically under both)."""
+    import os
+
+    from ..operators import importance
+    from ..operators.sampling import hash_bucket, hex_threshold
+    from ..sources.dataset import ensure_derived_dataset
+    from ..streaming import dsir_gate
+    from .llm_ops import _split_arrivals
+
+    def build(path: str) -> None:
+        store = os.path.join(path, "store")
+        decisions = os.path.join(path, "decisions")
+        arrivals, corpus = _split_arrivals(spark, sf_dir)
+        importance.build_dsir_store(corpus, F.col("lang") == "en", store)
+        parity = hash_bucket("doc_id", _GATE_BATCH_SALT) < F.lit(
+            hex_threshold(0.5)
+        )
+        for batch_id, batch in enumerate(
+            (arrivals.filter(parity), arrivals.filter(~parity))
+        ):
+            dsir_gate.score_batch(
+                batch,
+                batch_id,
+                store,
+                decisions,
+                log_weight_min=DSIR_GATE_THRESHOLD,
+                run_id="dsir-admissions-episode",
+            )
+
+    return ensure_derived_dataset(
+        "dsir_decisions", [f"{sf_dir}/documents.parquet"], build
+    )
+
+
+def doc_dsir_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR admission gate's LANDED decision table — the
+    user-facing artifact of streaming data selection (the per-doc
+    admit/reject record a 100 TB ingest keeps for lineage audits):
+    one row per arriving doc with its store-scored importance weight,
+    the admit verdict, and the batch that landed it.
+
+    Unlike ``doc_dsir_weights`` (inline, corpus-self-estimated), the
+    gate scores against ratios PINNED to the reference-corpus split —
+    the store contract that keeps micro-batch scores from drifting
+    with batch composition. The oracle replays the whole episode:
+    split, corpus-side dense smoothed histograms, arrival
+    featurization, threshold, and batch parity."""
+    from ..streaming import dsir_gate
+
+    decisions_dir = _ensure_dsir_decisions(spark, sf_dir) + "/decisions"
+    return (
+        dsir_gate.read_decisions(spark, decisions_dir)
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round("log_weight", 6).alias("log_weight"),
+            "admitted",
+            F.col("batch_id").cast("int").alias("batch_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_admissions_sql() -> str:
+    from .llm_ops import _ARRIVALS_HEX, _ARRIVALS_SALT
+
+    bucket = _hex4_sql("md5('dsir|' || gram)") + " % 1024"
+    half = "80000000"  # hex_threshold(0.5)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(COALESCE(text, ''))), '\\s+') AS toks,
+         substr(md5('{_ARRIVALS_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 8)
+             AS bkt
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, bkt, unnest(toks) AS gram FROM t
+  UNION ALL
+  SELECT doc_id, lang, bkt,
+         array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+  FROM t, UNNEST(range(1, GREATEST(len(toks) - 1, 0) + 1)) AS u(i)
+),
+fb AS (
+  SELECT doc_id, lang, bkt, {bucket} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM feats GROUP BY 1, 2, 3, 4
+),
+hist AS (
+  SELECT bucket, SUM(cnt) AS raw_cnt,
+         SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS tgt_cnt
+  FROM fb WHERE bkt >= '{_ARRIVALS_HEX}' GROUP BY 1
+),
+tot AS (
+  SELECT COALESCE(SUM(raw_cnt), 0) AS raw_tot,
+         COALESCE(SUM(tgt_cnt), 0) AS tgt_tot
+  FROM hist
+),
+ratio AS (
+  SELECT b.bucket,
+         LN((COALESCE(h.tgt_cnt, 0) + 1.0) / (tot.tgt_tot + 1024.0))
+           - LN((COALESCE(h.raw_cnt, 0) + 1.0) / (tot.raw_tot + 1024.0))
+             AS log_ratio
+  FROM (SELECT unnest(range(0, 1024)) AS bucket) b
+  LEFT JOIN hist h USING (bucket) CROSS JOIN tot
+),
+w AS (
+  SELECT f.doc_id, CAST(SUM(f.cnt) AS BIGINT) AS n_feats,
+         SUM(f.cnt * r.log_ratio) AS lw
+  FROM fb f JOIN ratio r USING (bucket)
+  WHERE f.bkt < '{_ARRIVALS_HEX}'
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_feats, ROUND(lw, 6) AS log_weight,
+       lw >= {DSIR_GATE_THRESHOLD} AS admitted,
+       CASE WHEN substr(md5('{_GATE_BATCH_SALT}|' || CAST(doc_id AS VARCHAR)),
+                        1, 8) < '{half}'
+            THEN 0 ELSE 1 END AS batch_id
+FROM w ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_quality_classifier": doc_quality_classifier,
     "doc_boilerplate_fraction": doc_boilerplate_fraction,
@@ -903,6 +1042,7 @@ QUERIES = {
     "doc_dsir_weights": doc_dsir_weights,
     "doc_dsir_sample": doc_dsir_sample,
     "doc_source_quality_buckets": doc_source_quality_buckets,
+    "doc_dsir_admissions": doc_dsir_admissions,
 }
 
 ORACLE = {
@@ -919,4 +1059,5 @@ ORACLE = {
     "doc_dsir_weights": DOC_DSIR_WEIGHTS_SQL,
     "doc_dsir_sample": DOC_DSIR_SAMPLE_SQL,
     "doc_source_quality_buckets": DOC_SOURCE_QUALITY_BUCKETS_SQL,
+    "doc_dsir_admissions": _dsir_admissions_sql(),
 }

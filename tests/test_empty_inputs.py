@@ -84,6 +84,9 @@ SUBSET = [
     "doc_source_quality_buckets",
     "doc_token_dup_share",
     "doc_source_token_budget",
+    # round-10 session addition: DSIR gate episode (empty corpus →
+    # pure-smoothing store, empty arrival batches, empty landing)
+    "doc_dsir_admissions",
 ]
 
 

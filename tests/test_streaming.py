@@ -840,3 +840,62 @@ def test_dsir_gate_stream_matches_store_scoring(spark, tmp_path):
         score_batch(
             arr1, 0, store, decisions_dir, run_id="/other/ckpt"
         )
+
+
+def test_doc_dsir_admissions_episode_matches_serving_scores(spark, tmp_path):
+    """The registered gate query (doc_dsir_admissions) lands its
+    two-batch episode with exactly the store-serving scores: every
+    arrival decided once, weights equal to dsir_score_with_store
+    against a store built from the same corpus split, the admit cut
+    applied at the declared threshold, and the md5-parity batch
+    assignment it documents."""
+    import math
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators import importance
+    from etl_with_s3__dynamodb_and_glue_spark.operators.sampling import (
+        hash_bucket,
+        hex_threshold,
+    )
+    from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
+        DSIR_GATE_THRESHOLD,
+        _GATE_BATCH_SALT,
+        doc_dsir_admissions,
+    )
+    from etl_with_s3__dynamodb_and_glue_spark.plans.llm_ops import (
+        _split_arrivals,
+    )
+
+    got = {r.doc_id: r for r in doc_dsir_admissions(spark, SF_SMOKE).collect()}
+
+    arrivals, corpus = _split_arrivals(spark, SF_SMOKE)
+    store = str(tmp_path / "ratio_store")
+    importance.build_dsir_store(corpus, F.col("lang") == "en", store)
+    want = {
+        r.doc_id: r
+        for r in importance.dsir_score_with_store(arrivals, store).collect()
+    }
+    parity = {
+        r.doc_id: r.b
+        for r in arrivals.select(
+            "doc_id",
+            (
+                hash_bucket("doc_id", _GATE_BATCH_SALT)
+                < F.lit(hex_threshold(0.5))
+            ).alias("b"),
+        ).collect()
+    }
+
+    assert set(got) == set(want)  # every arrival decided exactly once
+    for d, row in got.items():
+        assert row.n_feats == want[d].n_feats
+        assert math.isclose(
+            row.log_weight,
+            round(want[d].log_weight, 6),
+            rel_tol=0,
+            abs_tol=5e-7,
+        )
+        assert row.admitted == (want[d].log_weight >= DSIR_GATE_THRESHOLD)
+        assert row.batch_id == (0 if parity[d] else 1)
+    assert {r.batch_id for r in got.values()} == {0, 1}
+    assert any(r.admitted for r in got.values())
+    assert not all(r.admitted for r in got.values())
