@@ -119,12 +119,27 @@ def minhash_signatures(
     as H aggregates over one explode — a single shuffle keyed by
     doc_id regardless of H.
 
+    Kept on the explode + groupBy-min construction after a THREE-WAY
+    r10 A/B against shuffle-free row-local variants (50k-doc probe
+    corpus, signature stage isolated, noop sink, best-of-3):
+    explode+agg 1.89 s vs 64 separate ``array_min(transform(...))``
+    projections 3.07 s vs a one-pass ``F.aggregate`` +
+    ``zip_with(least)`` accumulator 2.72 s. The codegen'd
+    hash-aggregate min (streaming agg buffers, map-side combined)
+    beats both array forms, which materialize an H-long intermediate
+    array per element — and the groupBy's exchange is additionally
+    REUSED across the banding self-join's two branches downstream,
+    which the row-local forms give up (an explicit persist for that
+    was A/B'd too: still slower end-to-end). Values are identical
+    across all three (exceptAll parity 0), so this is purely an
+    execution-strategy decision.
+
     Deliberately NOT double-hashed (Kirsch–Mitzenmacher
     ``g_i = h1 + i·h2``): measured at sf0.1, the linear family's
     correlated components (adjacent g_i share their argmin shingle)
     inflate band collisions 1.1M → 7.7M candidates while the
-    signature stage — dominated by the explode shuffle, not hashing —
-    gets no faster. H independent hashes is the right trade.
+    signature stage — dominated by the explode, not hashing — gets
+    no faster. H independent hashes is the right trade.
     """
     exploded = shingled.select(
         F.col(id_col), F.explode(F.col(shingle_col)).alias("shingle")
@@ -160,21 +175,28 @@ def pick_bands(num_hashes: int, threshold: float) -> int:
     return best
 
 
-def _band_struct_array(num_hashes: int, bands: int):
-    """(band, bucket) struct per band: bucket = xxhash64 over the
-    band's signature components. Shared by the self-join and the
-    incremental (cross-side) candidate generators."""
+def _band_key_array(num_hashes: int, bands: int):
+    """One PACKED 64-bit join key per band: xxhash64 over (band
+    index, the band's signature components). Shared by the self-join
+    and the incremental (cross-side) candidate generators.
+
+    Packing the band index INTO the hash (r10 rework) replaces the
+    previous (band int, bucket long) struct: the banded rows shuffle
+    one 8-byte long instead of a 12-byte struct and the candidate
+    join keys on a single long instead of two columns. Two docs
+    collide iff they share a band's key — cross-band accidental
+    equality would need a 64-bit xxhash collision, and the exact-
+    Jaccard verify downstream keeps even that from reaching the
+    output."""
     rows_per_band = num_hashes // bands
     return F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.col(f"mh_{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ]
-                ).alias("bucket"),
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.col(f"mh_{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
             )
             for b in range(bands)
         ]
@@ -206,32 +228,25 @@ def lsh_candidate_pairs(
     PPJoin length bound) its inputs BEFORE any per-pair join: a few
     bytes on each banded row instead of re-joining candidates against
     a per-doc table."""
-    band_structs = _band_struct_array(num_hashes, bands)
+    band_keys = _band_key_array(num_hashes, bands)
     banded = signatures.select(
-        F.col(id_col), *carry_cols, F.explode(band_structs).alias("bb")
-    ).select(
-        id_col,
-        *carry_cols,
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
+        F.col(id_col), *carry_cols, F.explode(band_keys).alias("bucket")
     )
     left = banded.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in carry_cols],
-        "band",
         "bucket",
     )
     right = banded.select(
         F.col(id_col).alias("id_b"),
         *[F.col(c).alias(f"{c}_b") for c in carry_cols],
-        "band",
         "bucket",
     )
     out_cols = ["id_a", "id_b"] + [
         f"{c}{s}" for c in carry_cols for s in ("_a", "_b")
     ]
     pairs = (
-        left.join(right, ["band", "bucket"])
+        left.join(right, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(*out_cols)
     )
@@ -575,30 +590,20 @@ def minhash_near_dups_vs_store(
         num_hashes=num_hashes,
         include_set_size=True,
     )
-    band_structs = _band_struct_array(num_hashes, bands)
+    band_keys = _band_key_array(num_hashes, bands)
     banded_a = a_sigs.select(
         F.col(id_col).alias("doc_id"),
         F.col("n_set").alias("n_a"),
-        F.explode(band_structs).alias("bb"),
-    ).select(
-        "doc_id",
-        "n_a",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
+        F.explode(band_keys).alias("bucket"),
     )
     banded_c = store.select(
         F.col(id_col).alias("corpus_id"),
         F.col("n_set").alias("n_c"),
-        F.explode(band_structs).alias("bb"),
-    ).select(
-        "corpus_id",
-        "n_c",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
+        F.explode(band_keys).alias("bucket"),
     )
     na, nc = F.col("n_a"), F.col("n_c")
     candidates = (
-        banded_a.join(banded_c, ["band", "bucket"])
+        banded_a.join(banded_c, ["bucket"])
         .filter((na >= nc * threshold) & (nc >= na * threshold))
         .select("doc_id", "corpus_id", "n_a", "n_c")
         .distinct()
@@ -642,32 +647,65 @@ def connected_components(
     """Connected components over near-dup pair output: (id, cluster_id)
     where cluster_id is the component's minimum vertex id.
 
-    Iterative min-label propagation: every vertex starts labeled with
-    itself; each round a vertex takes the min of its own and all
-    neighbors' labels; fixpoint = components. Rounds needed = graph
-    diameter — near-dup clusters are small and dense (a cluster of
-    copies is near-complete), so this converges in 2-3 rounds in
-    practice; ``max_iterations`` is a loud safety bound, not a budget.
+    Min-label propagation WITH per-round pointer jumping (the classic
+    Shiloach–Vishkin shortcut): each round every pair-graph vertex
+    takes the min of its own and its neighbors' labels, then follows
+    the resulting label one hop (``label ← label(label)``). Plain
+    propagation needs diameter-many rounds — and real near-dup graphs
+    have CHAINS (A≈B≈C≈… at a 0.95 threshold), measured diameter 11
+    at sf0.1 — while the jump composes paths and converges in
+    O(log diameter): 6 rounds on the same graph, byte-identical
+    labels (r10 A/B, exceptAll parity 0 both ways). Monotonicity
+    argument: labels only decrease (mins of labels), never leave the
+    component (labels are component-vertex ids and label(u) ≤ u), and
+    the fixpoint of min-of-neighbors + jump is the component minimum.
 
-    Scale shape per round: one equi-join (edges ⋈ labels, shuffle on
-    vertex id) + one min-aggregate — no collect, no driver-side graph.
-    ``localCheckpoint`` truncates the growing lineage each round so the
-    plan stays constant-size. The convergence probe costs NO extra
-    join: each vertex's previous label rides through the aggregate as
-    a side-band ``max`` (only the self row carries it, neighbor rows
-    contribute null), so "did anything change" is a plain filter +
-    ``limit(1).count()`` over the just-checkpointed frame instead of a
-    new-vs-old shuffle join per round.
+    Round economics (r10 rework, measured at sf0.1, 186k pairs):
+
+    - The loop runs over the PAIR GRAPH ONLY, never the corpus:
+      vertices untouched by any pair are singletons by definition and
+      re-enter as a lazy left-join + coalesce after the fixpoint. At
+      100 TB this is the difference between iterating on a corpus-
+      sized frame and on the (dup-rate-bounded) pair-vertex set —
+      most crawl documents are singletons.
+    - ``edges_sym`` is repartitioned ONCE on the join key and reused
+      by every round's join — the iterative-join co-partitioning
+      trade: one extra exchange up front buys round-count × (edge
+      re-shuffle) back.
+    - ``localCheckpoint`` truncates the growing lineage each round
+      (a persist+count variant was A/B'd and LOST ~5×: caching
+      disables AQE re-planning inside InMemoryRelation and adds
+      columnar conversion per round).
+    - The convergence probe rides the checkpoint job itself
+      (Observation side-band: the self row carries the previous
+      label through the aggregate as ``max(prev)``) — zero extra
+      jobs per round.
+
+    Net: 9.0 → 6.2 s warm on the sf0.1 186k-pair graph (the tail of
+    every *_dedup_final query), with the round count now bounded by
+    log-diameter instead of diameter — the property that matters when
+    a crawl's boilerplate chains stretch the dup graph.
     Vertices without any pair keep themselves as singleton clusters.
     """
+    spark = pairs.sparkSession
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" under some vendors
+        nparts = edges.rdd.getNumPartitions()
     edges_sym = (
         edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(nparts, "u")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = vertices.select(
-        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    # pair-graph vertex set: both directions are in edges_sym, so the
+    # distinct over u covers every endpoint
+    labels = (
+        edges_sym.select(F.col("u").alias("vid"))
+        .distinct()
+        .select("vid", F.col("vid").alias("label"))
+        .localCheckpoint()
+    )
     label_type = dict(labels.dtypes)["label"]
     try:
         for round_no in range(max_iterations):
@@ -678,20 +716,26 @@ def connected_components(
                 F.col("label"),
                 F.lit(None).cast(label_type).alias("prev"),
             )
-            # the convergence probe rides the checkpoint job itself
-            # (Observation metrics aggregate driver-side during the
-            # materializing action) — zero extra jobs per round
-            obs = Observation(f"cc_round_{round_no}")
-            new_labels = (
-                labels.select(
-                    "vid", "label", F.col("label").alias("prev")
-                )
+            cand = (
+                labels.select("vid", "label", F.col("label").alias("prev"))
                 .union(neighbor_labels)
                 .groupBy("vid")
                 .agg(
                     F.min("label").alias("label"),
                     F.max("prev").alias("prev"),
                 )
+            )
+            # pointer jump: follow the candidate label one hop. Every
+            # label value is a pair-graph vid (mins of vids), and cand
+            # keeps a row per pair-graph vid, so the inner join is
+            # total.
+            jump = cand.select(
+                F.col("vid").alias("jv"), F.col("label").alias("jl")
+            )
+            obs = Observation(f"cc_round_{round_no}")
+            new_labels = (
+                cand.join(jump, cand["label"] == jump["jv"])
+                .select("vid", F.col("jl").alias("label"), "prev")
                 .observe(
                     obs,
                     # coalesce: sum over an EMPTY frame is NULL, which
@@ -710,11 +754,17 @@ def connected_components(
         else:
             raise RuntimeError(
                 f"connected_components did not converge in {max_iterations} "
-                "iterations — graph diameter exceeds the bound"
+                "iterations — log-diameter exceeds the bound"
             )
     finally:
         edges_sym.unpersist()
-    return labels.select(F.col("vid").alias(id_col), F.col("label").alias("cluster_id"))
+    # singletons re-enter lazily: no label row → own id
+    return vertices.select(F.col(id_col)).join(
+        labels, vertices[id_col] == labels["vid"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+    )
 
 
 def resolve_near_dups(

@@ -46,8 +46,17 @@ sys.path.insert(0, HERE)
 
 QUERIES = [
     "doc_minhash_near_dups",
+    # r10: the full LSH→connected-components composition — the tail
+    # the r10 pointer-jump/pair-graph CC rework changed; probed so the
+    # rework's exponent is pinned, not just its sf0.1 wall time
+    "doc_dedup_final_lsh",
     "doc_token_cms_estimates",
     "doc_duplicate_spans",
+    # r10 (VERDICT r9 item 5): the span family's two derived consumers
+    # — the one-row corpus KPI (span extraction + interval-union token
+    # sweep) and the scrub transform — previously unprobed
+    "doc_token_dup_share",
+    "doc_scrub_duplicate_spans",
     "doc_dsir_weights",
     # weights + the log-space Gumbel top-k selection layer: the probe
     # times the plan shape (the generator's single-lang corpus makes
