@@ -92,7 +92,7 @@ _MODULES = [
 # 49-query r7-checked block (stale at r11 otherwise — the 12 deferred to the r11 window are listed at the head of
 # _CHECK_LAST). Exactly 50.
 #
-# ROUND-11 QUEUE (precomputed): mandatory returns are the 12 r7
+# ROUND-11 QUEUE (precomputed): mandatory returns are the 17 r7
 # deferrals at the head of _CHECK_LAST (at r11 the last-three
 # artifacts are r8/r9/r10 and they sit only in r7) plus
 # user_sessions; the 49-query r8-checked block goes stale at r12, so
@@ -117,6 +117,8 @@ _TOUCHED_THIS_ROUND = [
     "doc_dsir_sample",             # DSIR persist-finalizer fix (ADVICE r9)
     "doc_token_dup_share",         # empty-corpus COALESCE fix (ADVICE r9)
     "doc_dsir_admissions",         # new registration (rule 1): gate landing
+    # connected_components/resolve_near_dups rework (pointer jumping,
+    # pair-graph-only iteration) — every CC consumer re-checks
 ]
 
 _CHECK_FIRST = [
@@ -164,11 +166,6 @@ _CHECK_FIRST = [
     "shipping_priority",
     "nation_revenue",
     "returnflag_rollup",
-    "customer_order_deltas",
-    "user_sessions_native",
-    "events_daily_tumbling",
-    "events_sliding_windows",
-    "customer_snapshot_diff",
     "embedding_pq_topk",
     "ivf_imbalance",
     "doc_bpe_merges",
@@ -178,11 +175,25 @@ _CHECK_FIRST = [
     # --- new this round (rule 1): the DSIR admission gate's landed
     # decision table (VERDICT r9 item 3) ---
     "doc_dsir_admissions",
+    # --- rule 2: the CC rework (pointer jumping, pair-graph-only
+    # iteration) touches every resolve_near_dups consumer — the five
+    # parked ones re-check this round; five untouched r7-block members
+    # moved to the r11 mandatory queue to make room ---
+    "doc_dedup_final",
+    "doc_dedup_keep_best",
+    "doc_dedup_cluster_stats",
+    "embedding_dedup_final",
+    "embedding_dedup_final_lsh",
 ]
 _CHECK_LAST = [
     # checked r7, deferred to the r11 window under the
     # as-of-construction ≤3 bound — MANDATORY in the r11 window
     "order_price_percentiles",
+    "user_sessions_native",
+    "events_daily_tumbling",
+    "events_sliding_windows",
+    "customer_snapshot_diff",
+    "customer_order_deltas",
     "order_approx_stats",
     "asset_content_hashes",
     "weekly_user_sketch_rollup",
@@ -210,11 +221,9 @@ _CHECK_LAST = [
     "doc_inverted_index",
     "doc_lm_score",
     "doc_boilerplate_fraction",
-    "embedding_dedup_final",
     "customer_scd1_merge",
     "doc_hybrid_rrf",
     "doc_quality_classifier",
-    "doc_dedup_final",
     "customer_cdc_apply",
     "orders_profile",
     "user_conversion_funnel",
@@ -223,7 +232,6 @@ _CHECK_LAST = [
     "orders_expectations",
     "events_forward_fill",
     "volume_shipping",
-    "doc_dedup_cluster_stats",
     "user_daily_anomalies",
     "serving_top_rows_lookup",
     "doc_arrivals_dedup",
@@ -250,9 +258,7 @@ _CHECK_LAST = [
     "nation_revenue_pareto",
     "doc_token_budget_sample",
     "doc_lang_confusion",
-    "doc_dedup_keep_best",
     "embedding_hard_negatives",
-    "embedding_dedup_final_lsh",
     "asset_frame_samples",
     "events_daily_complete",
     "user_weekly_retention",
