@@ -95,12 +95,19 @@ _MODULES = [
 # ROUND-11 QUEUE (precomputed): mandatory returns are the 17 r7
 # deferrals at the head of _CHECK_LAST (at r11 the last-three
 # artifacts are r8/r9/r10 and they sit only in r7) plus
-# user_sessions; the 49-query r8-checked block goes stale at r12, so
-# r11 should rotate ~35 of it proactively (fits alongside the
-# mandatory 12), deferring ~14 to r12 — and r12 in turn carries
-# those 14 plus the 43-query r9-parked block (stale at r13). The
-# pipeline stays ~full; rule-1 registrations cost one r7/r8-block
-# deferral each, so keep new registrations ≤ handful per round.
+# user_sessions. SCHEDULE THROUGH r13 (computed from the post-r10
+# last-checked map: 17 r7 / 46 r8 / 41 r9 / 50 r10): r11 = 17 + 32 of
+# the r8 block + user_sessions (EXACTLY 50, zero slack); r12 = the
+# remaining 14 r8 + 35 of the r9 block + user_sessions (50, zero
+# slack); r13 = the remaining 6 r9 + 43 r10-checked + user_sessions
+# (50). Feasible with NO retirements — but r11 and r12 have ZERO
+# slack for rule-1 registrations or broad rule-2 touches, so in those
+# rounds every new registration (or module-wide perf pass) must be
+# paid for by retiring a redundant variant per the decision rule
+# above (first candidates: the four rolling/weekly-distinct flavors —
+# rolling_7d_distinct_users/_exact, weekly_user_distinct_exact,
+# weekly_user_sketch_rollup — and the three near-identical asof
+# variants).
 
 _WINDOW_ROUND = 10
 
