@@ -1,0 +1,94 @@
+"""Property tests for the r10 connected-components rework (pair-graph
+iteration + pointer jumping): labels must equal a reference union-find
+on arbitrary graphs — including the chain topologies that motivated the
+jump (plain min-propagation needs diameter rounds; the jump must stay
+correct while converging in O(log diameter))."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_with_s3__dynamodb_and_glue_spark.operators.dedup import (
+    connected_components,
+)
+
+
+def _union_find(n_vertices: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_vertices))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min member id
+    comp_min: dict[int, int] = {}
+    for v in range(n_vertices):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {v: comp_min[find(v)] for v in range(n_vertices)}
+
+
+def _spark_cc(spark, n_vertices: int, edges: list[tuple[int, int]]):
+    vertices = spark.range(n_vertices).select(F.col("id").alias("doc_id"))
+    if edges:
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+    else:
+        pairs = vertices.select(
+            F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+        ).limit(0)
+    out = connected_components(pairs, vertices)
+    return {r.doc_id: r.cluster_id for r in out.collect()}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.data(),
+)
+def test_cc_matches_union_find_on_random_graphs(spark, n, data):
+    edges = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, n - 1), st.integers(0, n - 1)
+            ).filter(lambda e: e[0] != e[1]),
+            max_size=60,
+        )
+    )
+    edges = [(min(a, b), max(a, b)) for a, b in edges]
+    assert _spark_cc(spark, n, edges) == _union_find(n, edges)
+
+
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    """A 33-vertex path (diameter 32) is the adversarial shape for
+    min-propagation; pointer jumping must still produce min-labels
+    (and do so inside the 50-round bound with lots of margin — plain
+    propagation would need 32 rounds, the jump needs ~6)."""
+    n = 33
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = _spark_cc(spark, n, edges)
+    assert got == {v: 0 for v in range(n)}
+
+
+def test_cc_singletons_only(spark):
+    got = _spark_cc(spark, 7, [])
+    assert got == {v: v for v in range(7)}
+
+
+def test_cc_two_cliques_and_isolates(spark):
+    edges = [(0, 1), (1, 2), (0, 2), (4, 5)]
+    got = _spark_cc(spark, 7, edges)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
