@@ -100,7 +100,12 @@ _MODULES = [
 # the r8 block + user_sessions (EXACTLY 50, zero slack); r12 = the
 # remaining 14 r8 + 35 of the r9 block + user_sessions (50, zero
 # slack); r13 = the remaining 6 r9 + 43 r10-checked + user_sessions
-# (50). Feasible with NO retirements — but r11 and r12 have ZERO
+# (50). KNOWN DEFERRED FIX riding the r11 rotation:
+# events_value_running_total (r8-parked) drops its running_sum frame
+# in a lazy .select(), defeating operators/prefix.py's staged persist
+# (the ADVICE-r9 finalizer class; perf-only, answers unaffected) —
+# apply carry_cache_deps when it rotates into the r11 window.
+# Feasible with NO retirements — but r11 and r12 have ZERO
 # slack for rule-1 registrations or broad rule-2 touches, so in those
 # rounds every new registration (or module-wide perf pass) must be
 # paid for by retiring a redundant variant per the decision rule
@@ -126,6 +131,12 @@ _TOUCHED_THIS_ROUND = [
     "doc_dsir_admissions",         # new registration (rule 1): gate landing
     # connected_components/resolve_near_dups rework (pointer jumping,
     # pair-graph-only iteration) — every CC consumer re-checks
+    "doc_dedup_final",
+    "doc_dedup_keep_best",
+    "doc_dedup_cluster_stats",
+    "embedding_dedup_final",
+    "embedding_dedup_final_lsh",
+    "asset_near_dups",             # carry_cache_deps fix (defeated persist)
 ]
 
 _CHECK_FIRST = [

@@ -1621,6 +1621,8 @@ def asset_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the invariance suites in ``tests/test_llm_ops.py`` (re-encode,
     resolution, gain) pin the hash semantics and the planted pair
     structure is asserted in ``tests/test_llm_ops.py``."""
+    from ..caching import carry_cache_deps
+
     assets = multimodal.make_media_asset_table(_docs(spark, sf_dir))
     img = multimodal.image_near_dups(
         assets.filter(F.col("modality") == "image"), max_hamming=4
@@ -1628,7 +1630,7 @@ def asset_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     aud = multimodal.audio_near_dups(
         assets.filter(F.col("modality") == "audio"), max_hamming=4
     )
-    return (
+    out = (
         img.select(F.lit("image").alias("modality"), "id_a", "id_b", "hamming")
         .unionByName(
             aud.select(
@@ -1637,6 +1639,9 @@ def asset_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality", "id_a", "id_b")
     )
+    # both modalities' fingerprint persists must survive the lazy
+    # union — same defeated-finalizer class as ADVICE r9's DSIR case
+    return carry_cache_deps(out, img, aud)
 
 
 # --- multimodal ----------------------------------------------------------
