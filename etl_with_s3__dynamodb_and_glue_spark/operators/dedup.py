@@ -699,7 +699,10 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # pair-graph vertex set: both directions are in edges_sym, so the
-    # distinct over u covers every endpoint
+    # distinct over u covers every endpoint. (A variant that also
+    # sized the loop's shuffle-partition conf to the edge count was
+    # A/B'd and showed NO win — the per-round floor is job latency,
+    # not task width — so the session conf stays untouched.)
     labels = (
         edges_sym.select(F.col("u").alias("vid"))
         .distinct()
