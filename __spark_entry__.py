@@ -92,20 +92,15 @@ _MODULES = [
 # 49-query r7-checked block (stale at r11 otherwise — the 12 deferred to the r11 window are listed at the head of
 # _CHECK_LAST). Exactly 50.
 #
-# ROUND-11 QUEUE (precomputed): mandatory returns are the 17 r7
+# ROUND-11 QUEUE (precomputed): mandatory returns are the 19 r7
 # deferrals at the head of _CHECK_LAST (at r11 the last-three
 # artifacts are r8/r9/r10 and they sit only in r7) plus
 # user_sessions. SCHEDULE THROUGH r13 (computed from the post-r10
-# last-checked map: 17 r7 / 46 r8 / 41 r9 / 50 r10): r11 = 17 + 32 of
+# last-checked map: 19 r7 / 42 r8 / 41 r9 / 50 r10): r11 = 19 + 30 of
 # the r8 block + user_sessions (EXACTLY 50, zero slack); r12 = the
-# remaining 14 r8 + 35 of the r9 block + user_sessions (50, zero
-# slack); r13 = the remaining 6 r9 + 43 r10-checked + user_sessions
-# (50). KNOWN DEFERRED FIX riding the r11 rotation:
-# events_value_running_total (r8-parked) drops its running_sum frame
-# in a lazy .select(), defeating operators/prefix.py's staged persist
-# (the ADVICE-r9 finalizer class; perf-only, answers unaffected) —
-# apply carry_cache_deps when it rotates into the r11 window.
-# Feasible with NO retirements — but r11 and r12 have ZERO
+# remaining 12 r8 + 37 of the r9 block + user_sessions (50, zero
+# slack); r13 = the remaining 4 r9 + 45 r10-checked + user_sessions
+# (50). Feasible with NO retirements — but r11 and r12 have ZERO
 # slack for rule-1 registrations or broad rule-2 touches, so in those
 # rounds every new registration (or module-wide perf pass) must be
 # paid for by retiring a redundant variant per the decision rule
@@ -137,6 +132,11 @@ _TOUCHED_THIS_ROUND = [
     "embedding_dedup_final",
     "embedding_dedup_final_lsh",
     "asset_near_dups",             # carry_cache_deps fix (defeated persist)
+    # running_sum's pid-stamp persist is a CORRECTNESS guard; the two
+    # consumers composed it lazily and fired the finalizer early
+    # (code-review finding) — fixed with carry_cache_deps, re-check
+    "events_value_running_total",
+    "events_activity_concurrency",
 ]
 
 _CHECK_FIRST = [
@@ -172,10 +172,8 @@ _CHECK_FIRST = [
     "embedding_topk_bruteforce",
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_lsh",
-    "asset_features",
     "doc_repetition_signals",
     "doc_pii_scrub",
-    "doc_source_mix",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
     "segment_event_value_salted",
@@ -202,11 +200,17 @@ _CHECK_FIRST = [
     "doc_dedup_cluster_stats",
     "embedding_dedup_final",
     "embedding_dedup_final_lsh",
+    # --- rule 2: running_sum persist-finalizer fixes (correctness
+    # guard per prefix.py) ---
+    "events_value_running_total",
+    "events_activity_concurrency",
 ]
 _CHECK_LAST = [
     # checked r7, deferred to the r11 window under the
     # as-of-construction ≤3 bound — MANDATORY in the r11 window
     "order_price_percentiles",
+    "doc_source_mix",
+    "asset_features",
     "user_sessions_native",
     "events_daily_tumbling",
     "events_sliding_windows",
@@ -265,8 +269,6 @@ _CHECK_LAST = [
     "orders_price_drift",
     "doc_token_cms_estimates",
     "doc_weighted_sample",
-    "events_value_running_total",
-    "events_activity_concurrency",
     "weekly_user_distinct_exact",
     "embedding_ivfpq_topk",
     "doc_eval_span_overlap",

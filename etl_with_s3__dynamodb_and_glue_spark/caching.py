@@ -80,6 +80,12 @@ def carry_cache_deps(result: DataFrame, *sources: DataFrame) -> DataFrame:
             continue
         fin.detach()
         deps.extend(getattr(s, "_graft_cache_deps", ()))
+        # clear the source's registration so a SECOND transfer (or a
+        # later re-registration reading the stale dep tuple) cannot
+        # double-own the caches — two independent finalizers would
+        # recreate the early-unpersist class this helper exists to fix
+        del s._graft_finalizer
+        s._graft_cache_deps = ()
     return unpersist_on_release(result, *deps) if deps else result
 
 

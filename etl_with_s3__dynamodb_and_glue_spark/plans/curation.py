@@ -969,10 +969,11 @@ def doc_dsir_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dsir_admissions_sql() -> str:
+    from ..operators.sampling import hex_threshold
     from .llm_ops import _ARRIVALS_HEX, _ARRIVALS_SALT
 
     bucket = _hex4_sql("md5('dsir|' || gram)") + " % 1024"
-    half = "80000000"  # hex_threshold(0.5)
+    half = hex_threshold(0.5)  # one definition for both engines
     return f"""
 WITH t AS (
   SELECT doc_id, lang,
@@ -1019,7 +1020,7 @@ w AS (
   GROUP BY f.doc_id
 )
 SELECT doc_id, n_feats, ROUND(lw, 6) AS log_weight,
-       lw >= {DSIR_GATE_THRESHOLD} AS admitted,
+       ROUND(lw, 6) >= {DSIR_GATE_THRESHOLD} AS admitted,
        CASE WHEN substr(md5('{_GATE_BATCH_SALT}|' || CAST(doc_id AS VARCHAR)),
                         1, 8) < '{half}'
             THEN 0 ELSE 1 END AS batch_id

@@ -397,6 +397,7 @@ def events_value_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact under any partition-wise summation grouping — a running
     DOUBLE sum would drift from the oracle's sequential order at the
     6th decimal over enough rows."""
+    from ..caching import carry_cache_deps
     from ..operators.prefix import running_sum
 
     ev = read_events(spark, sf_dir).select(
@@ -404,9 +405,15 @@ def events_value_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
     )
-    return running_sum(
+    summed = running_sum(
         ev, "value_cents", ["ts", "event_id"], out_col="running_cents"
-    ).select("event_id", "value_cents", "running_cents")
+    )
+    out = summed.select("event_id", "value_cents", "running_cents")
+    # the pid-stamped persist inside running_sum is a CORRECTNESS
+    # guard (prefix.py: re-evaluating the range exchange could stamp
+    # a row with different pids across subtrees) — the lazy select
+    # must not fire its finalizer before the caller's action
+    return carry_cache_deps(out, summed)
 
 
 EVENTS_VALUE_RUNNING_TOTAL_SQL = """
@@ -432,11 +439,17 @@ def events_activity_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals = ev.withColumn(
         "ts_end", F.col("ts") + F.expr("INTERVAL 5 MINUTES")
     )
+    from ..caching import carry_cache_deps
+
     swept = sweep_concurrency(intervals, "ts", "ts_end", ["event_id"])
-    return (
+    out = (
         swept.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(F.max("n_concurrent").cast("long").alias("peak_concurrent"))
     )
+    # same correctness-guard transfer as events_value_running_total:
+    # the pid-stamped persist inside the sweep's running_sum must
+    # survive until the caller's action
+    return carry_cache_deps(out, swept)
 
 
 EVENTS_ACTIVITY_CONCURRENCY_SQL = """

@@ -54,7 +54,14 @@ def score_batch(
     under foreachBatch and as a batch backfill. Every doc lands a
     decision — the store is dense and NULL text coalesces to '' in
     featurization, so the left join below is belt-and-braces, not a
-    correctness dependence."""
+    correctness dependence.
+
+    The landed log_weight is ROUNDED to 6 dp and the admit cut
+    compares the rounded value — the same discipline as
+    ``doc_dsir_sample``'s sort key: a doc whose raw weight sits within
+    float-summation-order noise of the threshold must get the same
+    verdict from every engine/replay that recomputes the sum in a
+    different order (the DuckDB oracle twin replays this exactly)."""
     if is_replay(
         decisions_dir,
         run_id,
@@ -72,9 +79,9 @@ def score_batch(
         .select(
             "doc_id",
             F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
-            "log_weight",
+            F.round("log_weight", 6).alias("log_weight"),
             F.coalesce(
-                F.col("log_weight") >= log_weight_min, F.lit(False)
+                F.round("log_weight", 6) >= log_weight_min, F.lit(False)
             ).alias("admitted"),
         )
     )

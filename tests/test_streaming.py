@@ -816,7 +816,9 @@ def test_dsir_gate_stream_matches_store_scoring(spark, tmp_path):
     assert set(got) == set(want)  # every arriving doc decided
     for d, (nf, lw, adm) in got.items():
         assert nf == want[d][0]
-        assert math.isclose(lw, want[d][1], rel_tol=1e-9, abs_tol=1e-9)
+        # the gate lands the 6-dp-ROUNDED weight and cuts on it (so
+        # engines/replays can't flip a boundary doc)
+        assert lw == round(want[d][1], 6)
         assert adm == (lw >= threshold)
     assert any(a for _, _, a in got.values())
     assert not all(a for _, _, a in got.values())
@@ -888,13 +890,10 @@ def test_doc_dsir_admissions_episode_matches_serving_scores(spark, tmp_path):
     assert set(got) == set(want)  # every arrival decided exactly once
     for d, row in got.items():
         assert row.n_feats == want[d].n_feats
-        assert math.isclose(
-            row.log_weight,
-            round(want[d].log_weight, 6),
-            rel_tol=0,
-            abs_tol=5e-7,
+        assert row.log_weight == round(want[d].log_weight, 6)
+        assert row.admitted == (
+            round(want[d].log_weight, 6) >= DSIR_GATE_THRESHOLD
         )
-        assert row.admitted == (want[d].log_weight >= DSIR_GATE_THRESHOLD)
         assert row.batch_id == (0 if parity[d] else 1)
     assert {r.batch_id for r in got.values()} == {0, 1}
     assert any(r.admitted for r in got.values())
