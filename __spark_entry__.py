@@ -82,24 +82,25 @@ _MODULES = [
 #
 # ROUND-10 WINDOW: the five r6 deferrals (mandatory — at r10 the
 # last-three artifacts are r7/r8/r9 and they are in none), plus
-# user_sessions (rule 3), plus the six r9-checked queries this
-# round's diff touches (rule 2: the MinHash signature-fusion /
-# band-key perf pass touches doc_arrivals_dedup_lsh,
-# doc_arrivals_dedup_store, doc_split_leakage_audit_lsh; the DSIR
-# persist-finalizer fix touches doc_dsir_weights, doc_dsir_sample;
-# the empty-corpus COALESCE fix touches doc_token_dup_share), plus the
-# round-10 registration doc_dsir_admissions (rule 1), plus 37 of the
-# 49-query r7-checked block (stale at r11 otherwise — the 12 deferred to the r11 window are listed at the head of
-# _CHECK_LAST). Exactly 50.
+# user_sessions (rule 3), plus the rule-2 touched set (the dedup-core
+# perf pass — packed band keys + the pointer-jump/pair-graph CC
+# rework — touches the LSH pair queries AND every resolve_near_dups
+# consumer; the DSIR persist-finalizer and COALESCE fixes touch the
+# DSIR/token-dup queries; the running_sum persist-guard fixes touch
+# the two event prefix-sum queries; see _TOUCHED_THIS_ROUND), plus
+# the round-10 registration doc_dsir_admissions (rule 1), plus 30 of
+# the 49-query r7-checked block (stale at r11 otherwise — the 19
+# deferred to the r11 window are listed at the head of _CHECK_LAST).
+# Exactly 50.
 #
 # ROUND-11 QUEUE (precomputed): mandatory returns are the 19 r7
 # deferrals at the head of _CHECK_LAST (at r11 the last-three
 # artifacts are r8/r9/r10 and they sit only in r7) plus
 # user_sessions. SCHEDULE THROUGH r13 (computed from the post-r10
-# last-checked map: 19 r7 / 42 r8 / 41 r9 / 50 r10): r11 = 19 + 30 of
+# last-checked map: 19 r7 / 44 r8 / 41 r9 / 50 r10): r11 = 19 + 30 of
 # the r8 block + user_sessions (EXACTLY 50, zero slack); r12 = the
-# remaining 12 r8 + 37 of the r9 block + user_sessions (50, zero
-# slack); r13 = the remaining 4 r9 + 45 r10-checked + user_sessions
+# remaining 14 r8 + 35 of the r9 block + user_sessions (50, zero
+# slack); r13 = the remaining 6 r9 + 43 r10-checked + user_sessions
 # (50). Feasible with NO retirements — but r11 and r12 have ZERO
 # slack for rule-1 registrations or broad rule-2 touches, so in those
 # rounds every new registration (or module-wide perf pass) must be
