@@ -108,7 +108,11 @@ _MODULES = [
 # above (first candidates: the four rolling/weekly-distinct flavors —
 # rolling_7d_distinct_users/_exact, weekly_user_distinct_exact,
 # weekly_user_sketch_rollup — and the three near-identical asof
-# variants).
+# variants). PERF TARGET THAT BECOMES FREE AT r11: doc_bpe_merges
+# (13.3 s — the slowest registry query after the r10 dedup-core
+# rework) shares operators/bpe.py with the r8-parked
+# doc_bpe_token_counts; at r11 the r8 block rotates in anyway, so a
+# BPE perf pass then forces no extra window churn.
 
 _WINDOW_ROUND = 10
 
