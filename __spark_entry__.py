@@ -108,11 +108,11 @@ _MODULES = [
 # above (first candidates: the four rolling/weekly-distinct flavors —
 # rolling_7d_distinct_users/_exact, weekly_user_distinct_exact,
 # weekly_user_sketch_rollup — and the three near-identical asof
-# variants). PERF TARGET THAT BECOMES FREE AT r11: doc_bpe_merges
-# (13.3 s — the slowest registry query after the r10 dedup-core
-# rework) shares operators/bpe.py with the r8-parked
-# doc_bpe_token_counts; at r11 the r8 block rotates in anyway, so a
-# BPE perf pass then forces no extra window churn.
+# variants). The BPE perf pass originally queued for r11 landed in
+# r10 after all: the "shares operators/bpe.py with the r8-parked
+# doc_bpe_token_counts" premise was wrong — token_counts consumes
+# text.bpe_ish_token_count, not bpe.py, so the trainer rework touches
+# only the in-window doc_bpe_merges (see _TOUCHED_THIS_ROUND).
 
 _WINDOW_ROUND = 10
 
@@ -142,6 +142,11 @@ _TOUCHED_THIS_ROUND = [
     # (code-review finding) — fixed with carry_cache_deps, re-check
     "events_value_running_total",
     "events_activity_concurrency",
+    # BPE trainer rework (distributed word-count pass + single-task
+    # incremental merge loop): doc_bpe_merges is the ONLY registered
+    # consumer of bpe.py (doc_bpe_token_counts uses
+    # text.bpe_ish_token_count) and sits in the r7-return block above
+    "doc_bpe_merges",
 ]
 
 _CHECK_FIRST = [

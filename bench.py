@@ -99,6 +99,10 @@ EXTRAS = [
     "doc_source_quality_buckets",
     "doc_token_dup_share",
     "doc_source_token_budget",
+    # round-10 session surface: the gate-landing registration and the
+    # reworked single-task BPE trainer (13.3 s → ~2 s; BENCH_NOTES_r10)
+    "doc_dsir_admissions",
+    "doc_bpe_merges",
 ]
 
 

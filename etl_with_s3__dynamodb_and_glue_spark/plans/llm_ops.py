@@ -1596,11 +1596,13 @@ def ivf_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DISTRIBUTED BPE trainer's artifact as a queryable table:
     the ordered merge list learned from the corpus (rank, left symbol,
-    right symbol, merged token). Rows-only — the merge loop is
-    iterative (argmax per step) and has no SQL twin; correctness is
-    pinned by the property test in ``tests/test_bpe.py`` that proves
-    exact-twin equality against a sequential reference tokenizer on
-    random corpora, plus determinism/early-stop/round-trip tests."""
+    right symbol, merged token). One distributed corpus pass feeds a
+    vocabulary-bounded single-task merge loop (operators/bpe.py, r10
+    rework). Rows-only — the merge loop is iterative (argmax per
+    step) and has no SQL twin; correctness is pinned by the property
+    test in ``tests/test_bpe.py`` that proves exact-twin equality
+    against a sequential reference tokenizer on random corpora, plus
+    determinism/early-stop/round-trip tests."""
     from ..operators.bpe import bpe_train
 
     merges = bpe_train(_docs(spark, sf_dir), n_merges=30)

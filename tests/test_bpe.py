@@ -82,6 +82,19 @@ def test_bpe_train_on_real_docs_matches_reference(spark):
     assert len(got) == 25  # real corpus has plenty of frequent pairs
 
 
+def test_bpe_train_code_point_symbols(spark):
+    # astral-plane characters (UTF-16 surrogate pairs on the JVM) are
+    # single symbols: the r10 single-task trainer builds symbol arrays
+    # with Python code-point slicing, matching the sequential
+    # reference exactly — pinned so a future Spark-side symbol split
+    # (which would slice JVM code UNITS) can't silently diverge
+    text = "\U0001F600x \U0001F600x \U0001F600y"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = bpe.bpe_train(df, n_merges=3, min_pair_count=2)
+    want = _reference_bpe(Counter(text.split()), 3, 2)
+    assert got == want == [("\U0001F600", "x" + bpe.EOW)]
+
+
 def test_bpe_train_is_deterministic(spark):
     a = bpe.bpe_train(_corpus_df(spark), n_merges=8)
     b = bpe.bpe_train(_corpus_df(spark), n_merges=8)

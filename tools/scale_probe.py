@@ -57,6 +57,11 @@ QUERIES = [
     # sweep) and the scrub transform — previously unprobed
     "doc_token_dup_share",
     "doc_scrub_duplicate_spans",
+    # r10 trainer rework: distributed word-count pass + one
+    # single-task incremental merge loop — the probe pins that the
+    # remaining cost is the corpus pass (near-linear stage over a
+    # fixed 30-merge loop whose table is vocab-bounded)
+    "doc_bpe_merges",
     "doc_dsir_weights",
     # weights + the log-space Gumbel top-k selection layer: the probe
     # times the plan shape (the generator's single-lang corpus makes
@@ -463,6 +468,36 @@ def probe_docs(spark, base: str) -> None:
     _time_queries(spark, QUERIES, SIZES, base, "n5k", "n50k")
 
 
+XL_QUERIES = [
+    # the flagship LSH→CC composition and its pair stage: the 10×
+    # probes pin exponents over 5k→50k; this mode adds the SECOND
+    # decade (50k→500k) for the queries a 100 TB deployment leans on
+    # hardest, so "the exponent holds" is measured, not extrapolated
+    "doc_minhash_near_dups",
+    "doc_dedup_final_lsh",
+    # r10 trainer rework: corpus pass should stay ~linear while the
+    # single-task merge loop stays vocab-bounded (flat)
+    "doc_bpe_merges",
+]
+XL_SIZES = {"n50k": 50_000, "n500k": 500_000}
+
+
+def probe_docs_xl(spark, base: str) -> None:
+    """Second-decade probe (50k→500k docs, same generator/layout as
+    probe_docs). Separate mode because generation + runs cost minutes;
+    exponents print with the same keys as the 10× lines."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
+
+    for name, n in XL_SIZES.items():
+        d = os.path.join(base, name)
+        if not os.path.isdir(os.path.join(d, "documents.parquet")):
+            gen_documents(n, d)
+    llm_ops.QUERIES["doc_token_stats"](
+        spark, os.path.join(base, "n50k")
+    ).collect()
+    _time_queries(spark, XL_QUERIES, XL_SIZES, base, "n50k", "n500k")
+
+
 def probe_embeddings(spark, base: str) -> None:
     from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
 
@@ -778,6 +813,9 @@ def main() -> None:
     spark = get_spark()
     if family in ("docs", "all"):
         probe_docs(spark, base)
+    # not in "all": minutes-long by design, run explicitly
+    if family == "docs-xl":
+        probe_docs_xl(spark, base)
     if family in ("embeddings", "all"):
         probe_embeddings(spark, base)
     if family in ("relational", "all"):
