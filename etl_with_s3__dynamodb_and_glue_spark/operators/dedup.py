@@ -638,11 +638,69 @@ def minhash_near_dups_vs_store(
 # --- cluster resolution --------------------------------------------------
 
 
+# One task comfortably owns a few-million-edge union-find (2M
+# symmetrized long pairs ≈ 64 MB + dict overhead; measured well under
+# a second) — far below one executor's memory yet far above any
+# sf-scale pair graph. Billions-of-pairs crawls exceed it and take the
+# distributed loop.
+CC_LOCAL_MAX_EDGES = 2_000_000
+
+
+def _local_components(edges_sym: DataFrame) -> DataFrame:
+    """Single-task union-find over the (persisted, symmetrized) edge
+    list: min-root union + path compression, so every root is its
+    component's minimum vertex id — byte-identical labels to the
+    distributed fixpoint (F.min on strings is binary UTF-8 order,
+    Python ``<`` is code-point order; identical for UTF-8). Returns
+    the same (vid, label) frame the distributed loop produces,
+    localCheckpoint-ed eagerly because the caller unpersists
+    ``edges_sym`` right after."""
+    u_type = edges_sym.schema["u"].dataType.simpleString()
+
+    def _uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+
+        if parent:
+            vids = list(parent)
+            yield pd.DataFrame(
+                {"vid": vids, "label": [find(v) for v in vids]}
+            )
+
+    return (
+        edges_sym.coalesce(1)
+        .mapInPandas(_uf, f"vid {u_type}, label {u_type}")
+        .localCheckpoint()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     vertices: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 50,
+    local_max_edges: int = CC_LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """Connected components over near-dup pair output: (id, cluster_id)
     where cluster_id is the component's minimum vertex id.
@@ -686,6 +744,24 @@ def connected_components(
     log-diameter instead of diameter — the property that matters when
     a crawl's boilerplate chains stretch the dup graph.
     Vertices without any pair keep themselves as singleton clusters.
+
+    ADAPTIVE PATH CHOICE (late-r10): below ``local_max_edges`` the
+    whole fixpoint runs as ONE single-task union-find
+    (:func:`_local_components`) instead of the iterative loop — the
+    same runtime-statistic-driven replanning AQE applies to joins,
+    applied to iteration strategy. The deciding statistic is free:
+    ``edges_sym`` must materialize for the loop anyway (it is the
+    persisted, pre-partitioned join input), so counting it adds one
+    cached-scan job, not a recompute of the pair pipeline. The
+    distributed loop's per-round floor is ~1 s of job latency
+    regardless of edge count — six rounds of scheduling to label a
+    186k-edge graph a single core handles in well under a second. The
+    threshold is sized to one task's comfortable working set (see
+    ``CC_LOCAL_MAX_EDGES``); a crawl-scale pair graph with billions of
+    edges exceeds it and iterates distributed, so the fast path never
+    trades away scale behavior — parity between both paths is
+    property-tested on random graphs (``tests/test_connected_components.py``
+    drives each path explicitly via ``local_max_edges``).
     """
     spark = pairs.sparkSession
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
@@ -698,6 +774,31 @@ def connected_components(
         .repartition(nparts, "u")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    try:
+        # the decision statistic rides the persist the loop needs
+        # anyway; both directions are present, so edges = n_sym / 2
+        n_sym = edges_sym.count()
+        if n_sym <= 2 * local_max_edges:
+            labels = _local_components(edges_sym)
+        else:
+            labels = _pointer_jump_components(edges_sym, max_iterations)
+    finally:
+        edges_sym.unpersist()
+    # singletons re-enter lazily: no label row → own id
+    return vertices.select(F.col(id_col)).join(
+        labels, vertices[id_col] == labels["vid"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+    )
+
+
+def _pointer_jump_components(
+    edges_sym: DataFrame, max_iterations: int
+) -> DataFrame:
+    """The distributed fixpoint (docstring economics in
+    :func:`connected_components`): min-label propagation with per-round
+    pointer jumping over the pair graph only."""
     # pair-graph vertex set: both directions are in edges_sym, so the
     # distinct over u covers every endpoint. (A variant that also
     # sized the loop's shuffle-partition conf to the edge count was
@@ -710,64 +811,55 @@ def connected_components(
         .localCheckpoint()
     )
     label_type = dict(labels.dtypes)["label"]
-    try:
-        for round_no in range(max_iterations):
-            neighbor_labels = edges_sym.join(
-                labels, edges_sym["u"] == labels["vid"]
-            ).select(
-                F.col("v").alias("vid"),
-                F.col("label"),
-                F.lit(None).cast(label_type).alias("prev"),
+    for round_no in range(max_iterations):
+        neighbor_labels = edges_sym.join(
+            labels, edges_sym["u"] == labels["vid"]
+        ).select(
+            F.col("v").alias("vid"),
+            F.col("label"),
+            F.lit(None).cast(label_type).alias("prev"),
+        )
+        cand = (
+            labels.select("vid", "label", F.col("label").alias("prev"))
+            .union(neighbor_labels)
+            .groupBy("vid")
+            .agg(
+                F.min("label").alias("label"),
+                F.max("prev").alias("prev"),
             )
-            cand = (
-                labels.select("vid", "label", F.col("label").alias("prev"))
-                .union(neighbor_labels)
-                .groupBy("vid")
-                .agg(
-                    F.min("label").alias("label"),
-                    F.max("prev").alias("prev"),
-                )
+        )
+        # pointer jump: follow the candidate label one hop. Every
+        # label value is a pair-graph vid (mins of vids), and cand
+        # keeps a row per pair-graph vid, so the inner join is
+        # total.
+        jump = cand.select(
+            F.col("vid").alias("jv"), F.col("label").alias("jl")
+        )
+        obs = Observation(f"cc_round_{round_no}")
+        new_labels = (
+            cand.join(jump, cand["label"] == jump["jv"])
+            .select("vid", F.col("jl").alias("label"), "prev")
+            .observe(
+                obs,
+                # coalesce: sum over an EMPTY frame is NULL, which
+                # would never equal 0 and spin the loop to the
+                # iteration bound on empty input
+                F.coalesce(
+                    F.sum((F.col("label") != F.col("prev")).cast("long")),
+                    F.lit(0),
+                ).alias("changed"),
             )
-            # pointer jump: follow the candidate label one hop. Every
-            # label value is a pair-graph vid (mins of vids), and cand
-            # keeps a row per pair-graph vid, so the inner join is
-            # total.
-            jump = cand.select(
-                F.col("vid").alias("jv"), F.col("label").alias("jl")
-            )
-            obs = Observation(f"cc_round_{round_no}")
-            new_labels = (
-                cand.join(jump, cand["label"] == jump["jv"])
-                .select("vid", F.col("jl").alias("label"), "prev")
-                .observe(
-                    obs,
-                    # coalesce: sum over an EMPTY frame is NULL, which
-                    # would never equal 0 and spin the loop to the
-                    # iteration bound on empty input
-                    F.coalesce(
-                        F.sum((F.col("label") != F.col("prev")).cast("long")),
-                        F.lit(0),
-                    ).alias("changed"),
-                )
-                .localCheckpoint()
-            )
-            labels = new_labels.select("vid", "label")
-            if obs.get["changed"] == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iterations} "
-                "iterations — log-diameter exceeds the bound"
-            )
-    finally:
-        edges_sym.unpersist()
-    # singletons re-enter lazily: no label row → own id
-    return vertices.select(F.col(id_col)).join(
-        labels, vertices[id_col] == labels["vid"], "left"
-    ).select(
-        F.col(id_col),
-        F.coalesce("label", F.col(id_col)).alias("cluster_id"),
-    )
+            .localCheckpoint()
+        )
+        labels = new_labels.select("vid", "label")
+        if obs.get["changed"] == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — log-diameter exceeds the bound"
+        )
+    return labels
 
 
 def resolve_near_dups(

@@ -36,7 +36,7 @@ def _union_find(n_vertices: int, edges: list[tuple[int, int]]) -> dict[int, int]
     return {v: comp_min[find(v)] for v in range(n_vertices)}
 
 
-def _spark_cc(spark, n_vertices: int, edges: list[tuple[int, int]]):
+def _spark_cc(spark, n_vertices: int, edges: list[tuple[int, int]], **kw):
     vertices = spark.range(n_vertices).select(F.col("id").alias("doc_id"))
     if edges:
         pairs = spark.createDataFrame(
@@ -46,7 +46,7 @@ def _spark_cc(spark, n_vertices: int, edges: list[tuple[int, int]]):
         pairs = vertices.select(
             F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
         ).limit(0)
-    out = connected_components(pairs, vertices)
+    out = connected_components(pairs, vertices, **kw)
     return {r.doc_id: r.cluster_id for r in out.collect()}
 
 
@@ -69,7 +69,12 @@ def test_cc_matches_union_find_on_random_graphs(spark, n, data):
         )
     )
     edges = [(min(a, b), max(a, b)) for a, b in edges]
-    assert _spark_cc(spark, n, edges) == _union_find(n, edges)
+    want = _union_find(n, edges)
+    # default: the adaptive choice takes the single-task union-find
+    # path at these sizes; local_max_edges=0 forces the distributed
+    # pointer-jump loop — BOTH must match the reference
+    assert _spark_cc(spark, n, edges) == want
+    assert _spark_cc(spark, n, edges, local_max_edges=0) == want
 
 
 def test_cc_long_chain_converges_in_log_rounds(spark):
@@ -79,16 +84,21 @@ def test_cc_long_chain_converges_in_log_rounds(spark):
     propagation would need 32 rounds, the jump needs ~6)."""
     n = 33
     edges = [(i, i + 1) for i in range(n - 1)]
-    got = _spark_cc(spark, n, edges)
+    # force the distributed loop: the log-round convergence claim is
+    # about the pointer jump, not the local fast path
+    got = _spark_cc(spark, n, edges, local_max_edges=0)
     assert got == {v: 0 for v in range(n)}
+    assert _spark_cc(spark, n, edges) == got
 
 
 def test_cc_singletons_only(spark):
-    got = _spark_cc(spark, 7, [])
-    assert got == {v: v for v in range(7)}
+    for kw in ({}, {"local_max_edges": 0}):
+        got = _spark_cc(spark, 7, [], **kw)
+        assert got == {v: v for v in range(7)}
 
 
 def test_cc_two_cliques_and_isolates(spark):
     edges = [(0, 1), (1, 2), (0, 2), (4, 5)]
-    got = _spark_cc(spark, 7, edges)
-    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
+    for kw in ({}, {"local_max_edges": 0}):
+        got = _spark_cc(spark, 7, edges, **kw)
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
