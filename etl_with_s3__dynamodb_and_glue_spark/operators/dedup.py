@@ -763,22 +763,21 @@ def connected_components(
     property-tested on random graphs (``tests/test_connected_components.py``
     drives each path explicitly via ``local_max_edges``).
     """
-    spark = pairs.sparkSession
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    # persisted UN-partitioned: the local path reads it straight into
+    # one task, and only the distributed loop pays the co-partitioning
+    # exchange (inside _pointer_jump_components) — the fast path must
+    # not fund a shuffle it never uses
+    edges_sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):  # e.g. "auto" under some vendors
-        nparts = edges.rdd.getNumPartitions()
-    edges_sym = (
-        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition(nparts, "u")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    try:
-        # the decision statistic rides the persist the loop needs
-        # anyway; both directions are present, so edges = n_sym / 2
+        # the decision statistic rides the persist the paths need
+        # anyway; both directions are present, so edges = n_sym / 2.
+        # local_max_edges=0 disables the local path even on empty
+        # input — the tests use it to force the distributed loop.
         n_sym = edges_sym.count()
-        if n_sym <= 2 * local_max_edges:
+        if local_max_edges > 0 and n_sym <= 2 * local_max_edges:
             labels = _local_components(edges_sym)
         else:
             labels = _pointer_jump_components(edges_sym, max_iterations)
@@ -794,11 +793,31 @@ def connected_components(
 
 
 def _pointer_jump_components(
-    edges_sym: DataFrame, max_iterations: int
+    edges_sym_src: DataFrame, max_iterations: int
 ) -> DataFrame:
     """The distributed fixpoint (docstring economics in
     :func:`connected_components`): min-label propagation with per-round
-    pointer jumping over the pair graph only."""
+    pointer jumping over the pair graph only. Takes the caller's
+    persisted symmetrized edges and co-partitions its OWN copy on the
+    join key (one cached-read exchange) — the iterative-join
+    co-partitioning trade belongs to this path alone."""
+    spark = edges_sym_src.sparkSession
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" under some vendors
+        nparts = edges_sym_src.rdd.getNumPartitions()
+    edges_sym = edges_sym_src.repartition(nparts, "u").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        return _pointer_jump_loop(edges_sym, max_iterations)
+    finally:
+        edges_sym.unpersist()
+
+
+def _pointer_jump_loop(
+    edges_sym: DataFrame, max_iterations: int
+) -> DataFrame:
     # pair-graph vertex set: both directions are in edges_sym, so the
     # distinct over u covers every endpoint. (A variant that also
     # sized the loop's shuffle-partition conf to the edge count was

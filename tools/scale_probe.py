@@ -26,10 +26,13 @@ instead of mixing two data distributions:
   lineages that had never been measured above sf0.1 (VERDICT r7
   missing #4).
 
-Usage: python tools/scale_probe.py [docs|embeddings|relational|retrieval|all]
-(default all; writes .scale_probe/ under the repo root, prints one
-JSON line per (query, size, repeat) and a scaling-exponent summary;
-quiet machine required — same discipline as bench.py).
+Usage: python tools/scale_probe.py
+[docs|embeddings|relational|retrieval|stores|docs-xl|emb-xl|all]
+(default all; the two -xl second-decade modes are NOT in "all" —
+minutes-long by design, run explicitly; writes .scale_probe/ under
+the repo root, prints one JSON line per (query, size, repeat) and a
+scaling-exponent summary; quiet machine required — same discipline
+as bench.py).
 """
 
 from __future__ import annotations
@@ -498,16 +501,18 @@ def probe_docs_xl(spark, base: str) -> None:
     _time_queries(spark, XL_QUERIES, XL_SIZES, base, "n50k", "n500k")
 
 
-def probe_embeddings(spark, base: str) -> None:
+def _prep_embedding_corpora(spark, base: str, sizes: dict[str, int]) -> None:
+    """Shared by both embedding probe modes: generate missing corpora,
+    then the untimed prebuild of every index artifact (offline
+    construction); also doubles as the JVM/codegen warm-up for the
+    serving paths."""
     from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
 
-    for name, n in EMB_SIZES.items():
+    for name, n in sizes.items():
         d = os.path.join(base, name)
         if not os.path.isdir(os.path.join(d, "embeddings.parquet")):
             gen_embeddings(n, d)
-    # untimed prebuild of every index artifact (offline construction);
-    # also doubles as the JVM/codegen warm-up for the serving paths
-    for s in EMB_SIZES:
+    for s in sizes:
         d = os.path.join(base, s)
         t0 = time.perf_counter()
         llm_ops.ensure_ivf_index(spark, d)
@@ -523,7 +528,24 @@ def probe_embeddings(spark, base: str) -> None:
                 }
             )
         )
+
+
+def probe_embeddings(spark, base: str) -> None:
+    _prep_embedding_corpora(spark, base, EMB_SIZES)
     _time_queries(spark, EMB_QUERIES, EMB_SIZES, base, "e10k", "e100k")
+
+
+EMB_XL_SIZES = {"e100k": 100_000, "e1m": 1_000_000}
+
+
+def probe_embeddings_xl(spark, base: str) -> None:
+    """Second decade for the ANN serving family (100k→1M vectors,
+    same 32-Gaussian generator). Separate mode like docs-xl: the 1M
+    index builds alone take minutes. Brute force stays in as the
+    unpruned yardstick — the indexed paths' exponents only mean
+    something against it."""
+    _prep_embedding_corpora(spark, base, EMB_XL_SIZES)
+    _time_queries(spark, EMB_QUERIES, EMB_XL_SIZES, base, "e100k", "e1m")
 
 
 def probe_retrieval(spark, base: str) -> None:
@@ -809,6 +831,12 @@ def main() -> None:
     from etl_with_s3__dynamodb_and_glue_spark import get_spark
 
     family = sys.argv[1] if len(sys.argv) > 1 else "all"
+    known = {
+        "docs", "embeddings", "relational", "retrieval", "stores",
+        "docs-xl", "emb-xl", "all",
+    }
+    if family not in known:
+        sys.exit(f"unknown probe family {family!r}; one of {sorted(known)}")
     base = os.path.join(HERE, ".scale_probe")
     spark = get_spark()
     if family in ("docs", "all"):
@@ -816,6 +844,8 @@ def main() -> None:
     # not in "all": minutes-long by design, run explicitly
     if family == "docs-xl":
         probe_docs_xl(spark, base)
+    if family == "emb-xl":
+        probe_embeddings_xl(spark, base)
     if family in ("embeddings", "all"):
         probe_embeddings(spark, base)
     if family in ("relational", "all"):
