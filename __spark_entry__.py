@@ -113,6 +113,10 @@ _MODULES = [
 # doc_bpe_token_counts" premise was wrong — token_counts consumes
 # text.bpe_ish_token_count, not bpe.py, so the trainer rework touches
 # only the in-window doc_bpe_merges (see _TOUCHED_THIS_ROUND).
+# FIRST r11 PERF CANDIDATE instead: doc_char_entropy (5.5 s in the
+# final r10 sweep, now the slowest query whose lineage is parked —
+# r8-checked, rotates into the r11 window anyway, so a pass there
+# forces no extra churn).
 
 _WINDOW_ROUND = 10
 
