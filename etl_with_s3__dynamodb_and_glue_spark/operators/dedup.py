@@ -646,6 +646,36 @@ def minhash_near_dups_vs_store(
 CC_LOCAL_MAX_EDGES = 2_000_000
 
 
+def union_find_labels(edge_iter) -> dict:
+    """Union-find over an iterable of (u, v) edges: min-root union +
+    path compression, so every root is its component's minimum vertex.
+    Returns {vertex: component-min-label} for every vertex that
+    appears in an edge. Pure Python (module-level so the property
+    suite can drive it without Spark); the single-task CC path wraps
+    it in a ``mapInPandas``."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_iter:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {v: find(v) for v in parent}
+
+
 def _local_components(edges_sym: DataFrame) -> DataFrame:
     """Single-task union-find over the (persisted, symmetrized) edge
     list: min-root union + path compression, so every root is its
@@ -660,32 +690,14 @@ def _local_components(edges_sym: DataFrame) -> DataFrame:
     def _uf(batches):
         import pandas as pd
 
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
-
-        for pdf in batches:
-            for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
-                if a not in parent:
-                    parent[a] = a
-                if b not in parent:
-                    parent[b] = b
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-
-        if parent:
-            vids = list(parent)
+        labels = union_find_labels(
+            (a, b)
+            for pdf in batches
+            for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist())
+        )
+        if labels:
             yield pd.DataFrame(
-                {"vid": vids, "label": [find(v) for v in vids]}
+                {"vid": list(labels), "label": list(labels.values())}
             )
 
     return (

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from etl_with_s3__dynamodb_and_glue_spark.operators import bpe
@@ -80,6 +82,33 @@ def test_bpe_train_on_real_docs_matches_reference(spark):
     want = _reference_bpe(words, 25, 2)
     assert got == want
     assert len(got) == 25  # real corpus has plenty of frequent pairs
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.sampled_from("abcdef😀"), min_size=1, max_size=6
+        ),
+        st.integers(min_value=1, max_value=9),
+        min_size=0,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=20),
+    st.integers(min_value=1, max_value=4),
+)
+def test_train_incremental_matches_reference(words, n_merges, min_count):
+    """Unit-level twin of the Spark property test: the incremental
+    pair-count/owner maintenance in _train_incremental must replay the
+    recount-everything reference EXACTLY — same argmax sequence, same
+    tie-breaks, same early stop — across hundreds of random word
+    tables (no Spark in the loop, so the example budget is cheap)."""
+    table = [
+        (list(w[:-1]) + [w[-1] + bpe.EOW], n) for w, n in words.items()
+    ]
+    got = bpe._train_incremental(table, n_merges, min_count)
+    want = _reference_bpe(Counter(words), n_merges, min_count)
+    assert got == want
 
 
 def test_bpe_train_code_point_symbols(spark):

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from etl_with_s3__dynamodb_and_glue_spark.operators.dedup import (
     connected_components,
+    union_find_labels,
 )
 
 
@@ -75,6 +76,33 @@ def test_cc_matches_union_find_on_random_graphs(spark, n, data):
     # pointer-jump loop — BOTH must match the reference
     assert _spark_cc(spark, n, edges) == want
     assert _spark_cc(spark, n, edges, local_max_edges=0) == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.data(),
+)
+def test_union_find_labels_matches_reference(n, data):
+    """Unit-level twin for the single-task fast path's core: the
+    min-root union-find must assign every edge-touched vertex its
+    component minimum, matching the index-based reference on random
+    graphs (cheap — no Spark in the loop). Edges are fed BOTH
+    directions, as _local_components receives them from edges_sym."""
+    edges = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, n - 1), st.integers(0, n - 1)
+            ).filter(lambda e: e[0] != e[1]),
+            max_size=80,
+        )
+    )
+    sym = edges + [(b, a) for a, b in edges]
+    got = union_find_labels(iter(sym))
+    ref = _union_find(n, edges)
+    touched = {v for e in edges for v in e}
+    assert set(got) == touched
+    assert all(got[v] == ref[v] for v in touched)
 
 
 def test_cc_long_chain_converges_in_log_rounds(spark):
