@@ -27,7 +27,7 @@ instead of mixing two data distributions:
   missing #4).
 
 Usage: python tools/scale_probe.py
-[docs|embeddings|relational|retrieval|stores|docs-xl|emb-xl|all]
+[docs|embeddings|relational|retrieval|stores|docs-xl|emb-xl|rel-xl|all]
 (default all; the two -xl second-decade modes are NOT in "all" —
 minutes-long by design, run explicitly; writes .scale_probe/ under
 the repo root, prints one JSON line per (query, size, repeat) and a
@@ -202,7 +202,13 @@ def _registry():
 
 
 def _time_queries(
-    spark, queries: list[str], sizes: dict[str, int], base: str, small: str, big: str
+    spark,
+    queries: list[str],
+    sizes: dict[str, int],
+    base: str,
+    small: str,
+    big: str,
+    reps: int = 2,
 ) -> None:
     import math
 
@@ -212,7 +218,7 @@ def _time_queries(
     }
     for q in queries:
         for s in sizes:
-            for rep in range(2):
+            for rep in range(reps):
                 spark.catalog.clearCache()
                 gc.collect()
                 spark._jvm.System.gc()
@@ -452,6 +458,29 @@ def probe_relational(spark, base: str) -> None:
     # warm-up: JVM + codegen on the small point
     qs["pricing_summary"](spark, os.path.join(base, "t1x")).collect()
     _time_queries(spark, REL_QUERIES, REL_SIZES, base, "t1x", "t10x")
+
+
+REL_XL_SIZES = {"t10x": 10, "t100x": 100}
+
+
+def probe_relational_xl(spark, base: str) -> None:
+    """Second decade for the TPC-H-shape family (10×→100× the sf0.1
+    row counts: 60M lineitem, 10M events at t100x). Separate mode
+    like the other -xl probes — generation alone writes several GB."""
+    qs = _registry()
+    for name, scale in REL_XL_SIZES.items():
+        d = os.path.join(base, name)
+        if not os.path.isdir(os.path.join(d, "lineitem.parquet")):
+            gen_relational(scale, d)
+    qs["pricing_summary"](spark, os.path.join(base, "t10x")).collect()
+    # 4 reps, not 2: the decimal-exact aggregates (sum over
+    # decimal(20,2) leaves Spark's compact-long Decimal path) need
+    # 2-3 runs of JIT warm-up at the 60M-row point — a best-of-2
+    # measured pricing_summary at 29 s where the best-of-4 steady
+    # state is 3.0 s (BENCH_NOTES_r10)
+    _time_queries(
+        spark, REL_QUERIES, REL_XL_SIZES, base, "t10x", "t100x", reps=4
+    )
 
 
 def probe_docs(spark, base: str) -> None:
@@ -833,7 +862,7 @@ def main() -> None:
     family = sys.argv[1] if len(sys.argv) > 1 else "all"
     known = {
         "docs", "embeddings", "relational", "retrieval", "stores",
-        "docs-xl", "emb-xl", "all",
+        "docs-xl", "emb-xl", "rel-xl", "all",
     }
     if family not in known:
         sys.exit(f"unknown probe family {family!r}; one of {sorted(known)}")
@@ -846,6 +875,8 @@ def main() -> None:
         probe_docs_xl(spark, base)
     if family == "emb-xl":
         probe_embeddings_xl(spark, base)
+    if family == "rel-xl":
+        probe_relational_xl(spark, base)
     if family in ("embeddings", "all"):
         probe_embeddings(spark, base)
     if family in ("relational", "all"):
