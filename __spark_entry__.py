@@ -113,10 +113,20 @@ _MODULES = [
 # doc_bpe_token_counts" premise was wrong — token_counts consumes
 # text.bpe_ish_token_count, not bpe.py, so the trainer rework touches
 # only the in-window doc_bpe_merges (see _TOUCHED_THIS_ROUND).
-# FIRST r11 PERF CANDIDATE instead: doc_char_entropy (5.5 s in the
-# final r10 sweep, now the slowest query whose lineage is parked —
-# r8-checked, rotates into the r11 window anyway, so a pass there
-# forces no extra churn).
+# r11 PERF QUEUE (both blocked by rule 2 this round, both measured
+# and ready):
+#   1. doc_lm_score — MEASURED SUPERLINEAR at the 500k probe point
+#      (BENCH_NOTES_r10 "ret-xl": broadcast→sort-merge phase change;
+#      the banked fix is two .hint("SHUFFLE_HASH") on the c2/c1 joins
+#      in retrieval.bigram_lm_scores, measured ~4× at 500k). Consumers
+#      doc_lm_score (r8-parked, in-window at r11 anyway) and
+#      doc_lm_outliers (r9-parked — +1 over the zero-slack r11 window,
+#      so pay for it by retiring one redundant rolling-distinct
+#      variant per the decision rule, or split: hint lands at r11,
+#      doc_lm_outliers re-checks at r12 when its block rotates in —
+#      NOT legal; rule 2 forces both at r11, so plan the retirement).
+#   2. doc_char_entropy (5.2 s in the final r10 sweep — slowest parked
+#      query; r8-checked, rotates in at r11, no extra churn).
 
 _WINDOW_ROUND = 10
 

@@ -27,7 +27,7 @@ instead of mixing two data distributions:
   missing #4).
 
 Usage: python tools/scale_probe.py
-[docs|embeddings|relational|retrieval|stores|docs-xl|emb-xl|rel-xl|all]
+[docs|embeddings|relational|retrieval|stores|docs-xl|emb-xl|rel-xl|ret-xl|all]
 (default all; the two -xl second-decade modes are NOT in "all" —
 minutes-long by design, run explicitly; writes .scale_probe/ under
 the repo root, prints one JSON line per (query, size, repeat) and a
@@ -598,6 +598,29 @@ def probe_retrieval(spark, base: str) -> None:
     _time_queries(spark, RET_QUERIES, SIZES, base, "n5k", "n50k")
 
 
+def probe_retrieval_xl(spark, base: str) -> None:
+    """Second decade for the retrieval lineage (50k→500k docs,
+    reusing the docs-xl corpora; matching-size embedding tables
+    generated for the hybrid fuser). Postings-list builds are the
+    interesting part: the inverted index and BM25 are one
+    explode+groupBy away from raw linear, so their exponents say
+    whether the postings shuffle stays the only cost."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans import retrieval as rq
+
+    for name, n in XL_SIZES.items():
+        d = os.path.join(base, name)
+        if not os.path.isdir(os.path.join(d, "documents.parquet")):
+            gen_documents(n, d)
+        if not os.path.isdir(os.path.join(d, "embeddings.parquet")):
+            gen_embeddings(n, d)
+    rq.QUERIES["doc_bm25_topk"](spark, os.path.join(base, "n50k")).collect()
+    # 4 reps for the same reason as rel-xl: the 500k point's join-heavy
+    # plans (25M-row gram streams) need warm-up before steady state
+    _time_queries(
+        spark, RET_QUERIES, XL_SIZES, base, "n50k", "n500k", reps=4
+    )
+
+
 def _probe_call(spark, label: str, fn, reps: int = 2, **tags) -> float:
     """Best-of-``reps`` timing of one call with the probe discipline
     (cache clear + both GCs before each rep); prints one JSON line per
@@ -862,7 +885,7 @@ def main() -> None:
     family = sys.argv[1] if len(sys.argv) > 1 else "all"
     known = {
         "docs", "embeddings", "relational", "retrieval", "stores",
-        "docs-xl", "emb-xl", "rel-xl", "all",
+        "docs-xl", "emb-xl", "rel-xl", "ret-xl", "all",
     }
     if family not in known:
         sys.exit(f"unknown probe family {family!r}; one of {sorted(known)}")
@@ -877,6 +900,8 @@ def main() -> None:
         probe_embeddings_xl(spark, base)
     if family == "rel-xl":
         probe_relational_xl(spark, base)
+    if family == "ret-xl":
+        probe_retrieval_xl(spark, base)
     if family in ("embeddings", "all"):
         probe_embeddings(spark, base)
     if family in ("relational", "all"):
