@@ -27,7 +27,7 @@ instead of mixing two data distributions:
   missing #4).
 
 Usage: python tools/scale_probe.py
-[docs|embeddings|relational|retrieval|stores|docs-xl|emb-xl|rel-xl|ret-xl|all]
+[docs|embeddings|relational|retrieval|stores|docs-xl|emb-xl|rel-xl|ret-xl|stores-xl|all]
 (default all; the two -xl second-decade modes are NOT in "all" —
 minutes-long by design, run explicitly; writes .scale_probe/ under
 the repo root, prints one JSON line per (query, size, repeat) and a
@@ -621,6 +621,122 @@ def probe_retrieval_xl(spark, base: str) -> None:
     )
 
 
+def probe_stores_xl(spark, base: str) -> None:
+    """Second decade of the STORE-SIZE axis (50k→500k-doc stores) for
+    the two serving paths a steady-state deployment leans on: the
+    MinHash signature store's arrivals-vs-store matcher and the
+    decontamination gate. Store builds are untimed (offline); the
+    claim under test is that SERVING stays flat as the store absorbs
+    10× more history — the decade-1 exponents were −0.13 / 0.06."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators import dedup
+    from etl_with_s3__dynamodb_and_glue_spark.streaming import decontam_gate
+
+    for name, n in XL_SIZES.items():
+        d = os.path.join(base, name)
+        if not os.path.isdir(os.path.join(d, "documents.parquet")):
+            gen_documents(n, d)
+    docs50 = spark.read.parquet(
+        os.path.join(base, "n50k", "documents.parquet")
+    )
+    docs500 = spark.read.parquet(
+        os.path.join(base, "n500k", "documents.parquet")
+    )
+    sdir = os.path.join(base, "stores_xl")
+    shutil.rmtree(sdir, ignore_errors=True)
+    os.makedirs(sdir)
+    _noop(dedup.exact_dedup(docs50.limit(200)))
+
+    mh = {}
+    for name, docs in (("s50k", docs50), ("s500k", docs500)):
+        p = os.path.join(sdir, f"minhash_{name}")
+        t0 = time.perf_counter()
+        dedup.build_minhash_store(docs, p)
+        print(
+            json.dumps(
+                {
+                    "build": f"minhash_store_{name}",
+                    "sec": round(time.perf_counter() - t0, 3),
+                    "timed": False,
+                }
+            )
+        )
+        mh[name] = p
+
+    def arrivals(n):
+        # shared generator seed: n50k is an exact prefix of n500k, so
+        # these re-keyed rows carry real dups against BOTH stores
+        return docs500.filter(F.col("doc_id") < n).withColumn(
+            "doc_id", F.col("doc_id") + 10_000_000
+        )
+
+    serve = {}
+    for name in ("s50k", "s500k"):
+        store = dedup.load_minhash_store(spark, mh[name])
+        serve[name] = _probe_call(
+            spark,
+            "minhash_store_serving",
+            lambda rep, s=store: _noop(
+                dedup.minhash_near_dups_vs_store(arrivals(500), s)
+            ),
+            store=name,
+            batch=500,
+        )
+    _exp_line(
+        "minhash_store_serving_vs_store_size_decade2",
+        serve["s50k"],
+        serve["s500k"],
+        batch=500,
+    )
+
+    anchor = {}
+    for name, docs in (("e5k", docs50), ("e50k", docs500)):
+        ev = docs.filter(F.col("doc_id") % 10 == 0)
+        p = os.path.join(sdir, f"anchors_{name}")
+        t0 = time.perf_counter()
+        dedup.build_anchor_store(ev, p, min_tokens=8)
+        print(
+            json.dumps(
+                {
+                    "build": f"anchor_store_{name}",
+                    "sec": round(time.perf_counter() - t0, 3),
+                    "timed": False,
+                }
+            )
+        )
+        anchor[name] = p
+    batch = docs50.filter(F.col("doc_id") < 5000)
+
+    def screen(rep, store, tag):
+        # fresh landing dirs + advancing batch_id per rep: the gate's
+        # replay marker rejects a repeated id by design
+        fdir = os.path.join(sdir, f"gate_f_{tag}_{rep}")
+        ddir = os.path.join(sdir, f"gate_d_{tag}_{rep}")
+        decontam_gate.screen_batch(
+            batch, rep, store, fdir, ddir, min_tokens=8,
+            run_id=f"probe_xl_{tag}",
+        )
+
+    gate_t = {}
+    for name in ("e5k", "e50k"):
+        gate_t[name] = _probe_call(
+            spark,
+            "decontam_gate_screen",
+            lambda rep, s=anchor[name], n=name: screen(rep, s, f"store_{n}"),
+            store=name,
+            batch=5000,
+        )
+    _exp_line(
+        "decontam_gate_vs_store_size_decade2",
+        gate_t["e5k"],
+        gate_t["e50k"],
+        batch=5000,
+    )
+
+
 def _probe_call(spark, label: str, fn, reps: int = 2, **tags) -> float:
     """Best-of-``reps`` timing of one call with the probe discipline
     (cache clear + both GCs before each rep); prints one JSON line per
@@ -885,7 +1001,7 @@ def main() -> None:
     family = sys.argv[1] if len(sys.argv) > 1 else "all"
     known = {
         "docs", "embeddings", "relational", "retrieval", "stores",
-        "docs-xl", "emb-xl", "rel-xl", "ret-xl", "all",
+        "docs-xl", "emb-xl", "rel-xl", "ret-xl", "stores-xl", "all",
     }
     if family not in known:
         sys.exit(f"unknown probe family {family!r}; one of {sorted(known)}")
@@ -902,6 +1018,8 @@ def main() -> None:
         probe_relational_xl(spark, base)
     if family == "ret-xl":
         probe_retrieval_xl(spark, base)
+    if family == "stores-xl":
+        probe_stores_xl(spark, base)
     if family in ("embeddings", "all"):
         probe_embeddings(spark, base)
     if family in ("relational", "all"):
