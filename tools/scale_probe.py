@@ -510,6 +510,9 @@ XL_QUERIES = [
     # r10 trainer rework: corpus pass should stay ~linear while the
     # single-task merge loop stays vocab-bounded (flat)
     "doc_bpe_merges",
+    # decade-2 completion for the SCALING.md table
+    "doc_duplicate_spans",
+    "doc_dsir_weights",
 ]
 XL_SIZES = {"n50k": 50_000, "n500k": 500_000}
 
