@@ -27,7 +27,7 @@ instead of mixing two data distributions:
   missing #4).
 
 Usage: python tools/scale_probe.py
-[docs|embeddings|relational|retrieval|stores|docs-xl|emb-xl|rel-xl|ret-xl|stores-xl|all]
+[docs|embeddings|relational|retrieval|stores|docs-xl|emb-xl|rel-xl|ret-xl|stores-xl|docs-xxl|all]
 (default all; the two -xl second-decade modes are NOT in "all" —
 minutes-long by design, run explicitly; writes .scale_probe/ under
 the repo root, prints one JSON line per (query, size, repeat) and a
@@ -533,6 +533,42 @@ def probe_docs_xl(spark, base: str) -> None:
     _time_queries(spark, XL_QUERIES, XL_SIZES, base, "n50k", "n500k")
 
 
+XXL_SIZES = {"n500k": 500_000, "n5m": 5_000_000}
+
+
+def probe_docs_xxl(spark, base: str) -> None:
+    """THIRD decade for the flagship dedup composition (500k→5M docs
+    — ~1.5 GB of text, generation alone runs ~20 min). Two queries
+    only; the interesting physics at this point: the pair graph
+    (~1M edges at 5M docs) approaches CC_LOCAL_MAX_EDGES, so this is
+    the last decade the local union-find path serves before the
+    distributed loop takes over.
+
+    HYGIENE (measured, BENCH_NOTES_r10): at this size, back-to-back
+    reps in ONE session thrash the multi-GB persisted token-set
+    caches left by earlier reps (same-session 235 s vs fresh-session
+    65 s for the pair stage). Treat this mode's output as a smoke
+    record; quote FRESH-session steady state for the dossier."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
+
+    for name, n in XXL_SIZES.items():
+        d = os.path.join(base, name)
+        if not os.path.isdir(os.path.join(d, "documents.parquet")):
+            gen_documents(n, d)
+    llm_ops.QUERIES["doc_token_stats"](
+        spark, os.path.join(base, "n500k")
+    ).collect()
+    _time_queries(
+        spark,
+        ["doc_minhash_near_dups", "doc_dedup_final_lsh"],
+        XXL_SIZES,
+        base,
+        "n500k",
+        "n5m",
+        reps=2,
+    )
+
+
 def _prep_embedding_corpora(spark, base: str, sizes: dict[str, int]) -> None:
     """Shared by both embedding probe modes: generate missing corpora,
     then the untimed prebuild of every index artifact (offline
@@ -1004,7 +1040,8 @@ def main() -> None:
     family = sys.argv[1] if len(sys.argv) > 1 else "all"
     known = {
         "docs", "embeddings", "relational", "retrieval", "stores",
-        "docs-xl", "emb-xl", "rel-xl", "ret-xl", "stores-xl", "all",
+        "docs-xl", "emb-xl", "rel-xl", "ret-xl", "stores-xl",
+        "docs-xxl", "all",
     }
     if family not in known:
         sys.exit(f"unknown probe family {family!r}; one of {sorted(known)}")
@@ -1023,6 +1060,8 @@ def main() -> None:
         probe_retrieval_xl(spark, base)
     if family == "stores-xl":
         probe_stores_xl(spark, base)
+    if family == "docs-xxl":
+        probe_docs_xxl(spark, base)
     if family in ("embeddings", "all"):
         probe_embeddings(spark, base)
     if family in ("relational", "all"):
