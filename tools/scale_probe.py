@@ -483,21 +483,28 @@ def probe_relational_xl(spark, base: str) -> None:
     )
 
 
-def probe_docs(spark, base: str) -> None:
+def _probe_doc_family(
+    spark, base: str, queries, sizes, small: str, big: str, reps: int = 2
+) -> None:
+    """Shared by the three docs probe decades: generate missing
+    corpora (isdir, not exists: a stale pre-change SINGLE-FILE corpus
+    must regenerate, or the probe silently times the 1-2-split
+    serial-read layout the multi-file fix eliminated), warm up
+    JVM/codegen on the small point, time the family."""
     from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
 
-    for name, n in SIZES.items():
+    for name, n in sizes.items():
         d = os.path.join(base, name)
-        # isdir, not exists: a stale pre-change SINGLE-FILE corpus
-        # must regenerate, or the probe silently times the 1-2-split
-        # serial-read layout the multi-file fix eliminated
         if not os.path.isdir(os.path.join(d, "documents.parquet")):
             gen_documents(n, d)
-    # warm-up: JVM + codegen
     llm_ops.QUERIES["doc_token_stats"](
-        spark, os.path.join(base, "n5k")
+        spark, os.path.join(base, small)
     ).collect()
-    _time_queries(spark, QUERIES, SIZES, base, "n5k", "n50k")
+    _time_queries(spark, queries, sizes, base, small, big, reps=reps)
+
+
+def probe_docs(spark, base: str) -> None:
+    _probe_doc_family(spark, base, QUERIES, SIZES, "n5k", "n50k")
 
 
 XL_QUERIES = [
@@ -521,16 +528,9 @@ def probe_docs_xl(spark, base: str) -> None:
     """Second-decade probe (50k→500k docs, same generator/layout as
     probe_docs). Separate mode because generation + runs cost minutes;
     exponents print with the same keys as the 10× lines."""
-    from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
-
-    for name, n in XL_SIZES.items():
-        d = os.path.join(base, name)
-        if not os.path.isdir(os.path.join(d, "documents.parquet")):
-            gen_documents(n, d)
-    llm_ops.QUERIES["doc_token_stats"](
-        spark, os.path.join(base, "n50k")
-    ).collect()
-    _time_queries(spark, XL_QUERIES, XL_SIZES, base, "n50k", "n500k")
+    _probe_doc_family(
+        spark, base, XL_QUERIES, XL_SIZES, "n50k", "n500k", reps=4
+    )
 
 
 XXL_SIZES = {"n500k": 500_000, "n5m": 5_000_000}
@@ -549,23 +549,13 @@ def probe_docs_xxl(spark, base: str) -> None:
     caches left by earlier reps (same-session 235 s vs fresh-session
     65 s for the pair stage). Treat this mode's output as a smoke
     record; quote FRESH-session steady state for the dossier."""
-    from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
-
-    for name, n in XXL_SIZES.items():
-        d = os.path.join(base, name)
-        if not os.path.isdir(os.path.join(d, "documents.parquet")):
-            gen_documents(n, d)
-    llm_ops.QUERIES["doc_token_stats"](
-        spark, os.path.join(base, "n500k")
-    ).collect()
-    _time_queries(
+    _probe_doc_family(
         spark,
+        base,
         ["doc_minhash_near_dups", "doc_dedup_final_lsh"],
         XXL_SIZES,
-        base,
         "n500k",
         "n5m",
-        reps=2,
     )
 
 
