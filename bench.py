@@ -91,7 +91,7 @@ EXTRAS = [
     # encoded layout)
     "embedding_ivfpq_topk",
     "doc_eval_span_overlap",
-    "weekly_user_distinct_exact",
+    # weekly_user_distinct_exact: retired from the registry r11
     "doc_scrub_duplicate_spans",
     "doc_dsir_weights",
     # round-9 session surface

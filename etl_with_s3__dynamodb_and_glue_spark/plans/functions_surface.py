@@ -582,7 +582,18 @@ def weekly_user_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics live only in pytest's error-envelope test).
 
     Staged in round 7 (window at capacity; rotation rule 1),
-    registered round 8 as planned.
+    registered round 8 as planned. RETIRED from the driver registry in
+    round 11 (hash-green at its last driver check, r8): the zero-slack
+    r11 window had to absorb doc_lm_outliers (rule 2, the banked
+    bigram-LM SHUFFLE_HASH fix) and the window decision rule prefers
+    retiring the most redundant variant — this one's mechanism
+    (date_trunc + exact countDistinct) is pinned by several other
+    hash-green queries, while the trickier calendar-RANGE twin
+    rolling_7d_distinct_exact stays registered. Remains a PYTEST-ONLY
+    twin: test_skew_and_approx (sketch error envelope),
+    test_timezone_probe (still oracle-compared locally via
+    WEEKLY_USER_DISTINCT_EXACT_SQL), test_empty_inputs,
+    test_plan_shapes.
 
     One countDistinct per week — exact distinct is holistic, which is
     WHY the sketch variant exists; this twin is the audit query you
@@ -1779,7 +1790,8 @@ QUERIES = {
     "activity_union_by_name": activity_union_by_name,
     "order_approx_stats": order_approx_stats,
     "weekly_user_sketch_rollup": weekly_user_sketch_rollup,
-    "weekly_user_distinct_exact": weekly_user_distinct_exact,
+    # weekly_user_distinct_exact: retired r11 (pytest-only twin now —
+    # see its docstring)
     "order_price_percentiles": order_price_percentiles,
     "order_rank_flavors": order_rank_flavors,
     "customer_rolling_spend": customer_rolling_spend,
@@ -1819,8 +1831,9 @@ ORACLE = {
     "segment_event_value_salted": SEGMENT_EVENT_VALUE_SALTED_SQL,
     "activity_union_by_name": ACTIVITY_UNION_BY_NAME_SQL,
     # order_approx_stats, weekly_user_sketch_rollup: sketch-based →
-    # rows-only (accuracy vs exact asserted in tests)
-    "weekly_user_distinct_exact": WEEKLY_USER_DISTINCT_EXACT_SQL,
+    # rows-only (accuracy vs exact asserted in tests);
+    # weekly_user_distinct_exact retired r11 (its SQL twin is still
+    # compared locally by test_timezone_probe)
     "order_price_percentiles": ORDER_PRICE_PERCENTILES_SQL,
     "order_rank_flavors": ORDER_RANK_FLAVORS_SQL,
     "customer_rolling_spend": CUSTOMER_ROLLING_SPEND_SQL,

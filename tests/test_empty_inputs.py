@@ -72,9 +72,9 @@ SUBSET = [
     "rolling_7d_distinct_exact",
     "asset_near_dups",
     "doc_bpe_merges",
-    # round-8 session additions: weekly exact rollup, span-level
-    # decontamination (empty corpus AND empty eval side), scrub
-    "weekly_user_distinct_exact",
+    # round-8 session additions: span-level decontamination (empty
+    # corpus AND empty eval side), scrub; weekly_user_distinct_exact
+    # (retired from the registry r11) is covered directly below
     "doc_eval_span_overlap",
     # round-9 session additions: DSIR weighting + resampling (empty
     # corpus → empty histogram, empty sample), per-source quality
@@ -111,6 +111,16 @@ def test_query_survives_empty_tables(spark, empty_sf_dir, name):
     fn = entry_mod.queries()[name]
     rows = fn(spark, empty_sf_dir).collect()
     assert rows == [] or all(r is not None for r in rows)
+
+
+def test_weekly_exact_twin_survives_empty_tables(spark, empty_sf_dir):
+    """weekly_user_distinct_exact (retired from the driver registry
+    r11, kept as a pytest-only twin) on empty tables."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.functions_surface import (
+        weekly_user_distinct_exact,
+    )
+
+    assert weekly_user_distinct_exact(spark, empty_sf_dir).collect() == []
 
 
 def test_scrub_query_survives_empty_tables(spark, empty_sf_dir):

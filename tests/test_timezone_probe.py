@@ -20,22 +20,38 @@ PROBED = [
     "events_json_extract",    # ts rendering alongside json
     "events_wow_change",      # epoch-week arithmetic
     "rolling_7d_distinct_exact",  # to_date + epoch-day fan-out (r7)
-    "weekly_user_distinct_exact",  # date_trunc week + to_date (r8)
 ]
+
+
+def _probe(spark, name, fn, sql):
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        res = compare(spark, SF_SMOKE, name, fn, sql)
+        assert res.get("values_match"), res
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
 
 
 @pytest.mark.parametrize("name", PROBED)
 def test_query_survives_hostile_session_timezone(spark, name):
-    prev = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-    try:
-        res = compare(
-            spark,
-            SF_SMOKE,
-            name,
-            entry_mod.queries()[name],
-            entry_mod.oracle_sql()[name],
-        )
-        assert res.get("values_match"), res
-    finally:
-        spark.conf.set("spark.sql.session.timeZone", prev)
+    _probe(
+        spark, name, entry_mod.queries()[name], entry_mod.oracle_sql()[name]
+    )
+
+
+def test_weekly_exact_twin_survives_hostile_session_timezone(spark):
+    """weekly_user_distinct_exact (date_trunc week + to_date; retired
+    from the driver registry r11) keeps its oracle comparison HERE so
+    the week-truncation timezone pin stays executable."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.functions_surface import (
+        WEEKLY_USER_DISTINCT_EXACT_SQL,
+        weekly_user_distinct_exact,
+    )
+
+    _probe(
+        spark,
+        "weekly_user_distinct_exact",
+        weekly_user_distinct_exact,
+        WEEKLY_USER_DISTINCT_EXACT_SQL,
+    )
