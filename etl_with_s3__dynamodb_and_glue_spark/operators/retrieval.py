@@ -196,6 +196,25 @@ def bigram_lm_scores(
     corpus) joined back on the bigram key. Per-doc score is then a
     plain avg. Output: (doc_id, n_bigrams, avg_logprob) rounded to 6.
     Documents with fewer than 2 tokens score NULL with n_bigrams = 0.
+
+    JOIN STRATEGY (r10-measured phase change, BENCH_NOTES_r10
+    "ret-xl"): below ~100k docs the count tables broadcast; past the
+    broadcast threshold Spark's default fallback is sort-merge, which
+    SORTS the full gram stream twice (once per join) — measured ~40 s
+    steady at 500k docs, exponent ~1.2 across the decade. The two
+    SHUFFLE_HASH hints below pin the fallback to a shuffled hash join
+    instead: the gram stream is hashed, never sorted, and the BUILD
+    side is the count table, whose per-partition slice is vocabulary-
+    bounded (n-gram type counts grow ~Heaps-law sublinearly, and each
+    partition holds 1/P of them) — so the build side fits in executor
+    memory at any corpus scale where the vocabulary does. Measured
+    10.5–13 s at 500k (~4×), and the decade exponent drops back to
+    join-bound linear. AQE still upgrades to broadcast when the side
+    is small, so the sf0.01 driver plan is unchanged. Two rejected
+    alternatives (both measured, BENCH_NOTES_r10): per-(doc,bigram)
+    pre-aggregation ran 104 s (bigrams are near-distinct per doc, the
+    groupBy barely combines), and persisting the gram stream added
+    nothing (AQE already reuses the exchange).
     """
     grams = (
         docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk"))
@@ -212,8 +231,8 @@ def bigram_lm_scores(
     )
 
     scored = (
-        grams.join(c2, "bigram")
-        .join(c1, "w1")
+        grams.join(c2.hint("SHUFFLE_HASH"), "bigram")
+        .join(c1.hint("SHUFFLE_HASH"), "w1")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "logprob", F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
