@@ -10,7 +10,7 @@ no shuffle, no skew concern; the only knob is input partition size.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword profiles for the heuristic classifier.
@@ -163,32 +163,45 @@ def avg_token_len(toks: Column) -> Column:
     return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
 
 
-def char_entropy(col: Column | str) -> Column:
-    """Shannon entropy (bits/char) of the normalized text's character
-    distribution — the compression-ratio-proxy quality signal: near 0
-    for degenerate repetition ("aaaa…"), ~4.1 for typical English
-    prose, and high (>5) for random/encoded junk. Filters on BOTH
-    tails are standard in corpus curation.
+def _char_run_ends(chars: Column) -> Column:
+    """1-based positions of the LAST element of each equal-run in a
+    SORTED array. Every lambda touches only its own lambda variables —
+    see the HOF-LAMBDA RULE in :func:`char_entropy`."""
+    m = F.size(chars)
+    nexts = F.concat(
+        F.slice(chars, 2, F.greatest(m - 1, F.lit(0))),
+        F.array(F.lit(None).cast("string")),
+    )
+    # true at the LAST position of each run (next char differs / none)
+    flags = F.zip_with(chars, nexts, lambda a, b: b.isNull() | (a != b))
+    return F.array_compact(
+        F.zip_with(F.sequence(F.lit(1), m), flags, lambda i, fl: F.when(fl, i))
+    )
 
-    Pure in-row higher-order functions (distinct chars → counts →
-    Σ −p·log₂p), no shuffle, whole-stage codegen. O(|distinct chars| ×
-    |text|) per row — distinct chars is alphabet-bounded (~dozens), so
-    effectively linear. The ``+ 0.0`` canonicalizes IEEE −0.0 (a
-    single-repeated-char doc negates an exact 0) so engines hash
-    identically.
-    """
-    s = normalize(col)
-    chars = F.split(s, "")
-    n = F.length(s)
-    # sorted counts => identical FP summation order in every engine
-    # (the DuckDB oracle list_sorts the same counts), so the entropy
-    # is bit-reproducible, not just close
-    counts = F.array_sort(
-        F.transform(
-            F.array_distinct(chars),
-            lambda ch: F.size(F.filter(chars, lambda x: x == ch)),
+
+def _counts_from_ends(ends: Column) -> Column:
+    """Ascending run lengths from run-end positions (end minus the
+    previous run's end)."""
+    return F.array_sort(
+        F.zip_with(
+            ends,
+            F.concat(
+                F.array(F.lit(0)),
+                F.slice(ends, 1, F.greatest(F.size(ends) - 1, F.lit(0))),
+            ),
+            lambda e, p: e - p,
         )
     )
+
+
+def _entropy_from_counts(counts: Column, n: Column) -> Column:
+    """Σ −p·log₂p over ascending counts; the fixed ascending order
+    makes the FP summation order — and therefore the entropy,
+    bit-for-bit — engine-independent (the DuckDB oracle list_sorts the
+    same counts). The ``+ 0.0`` canonicalizes IEEE −0.0 (a
+    single-repeated-char doc negates an exact 0) so engines hash
+    identically. ``n`` is referenced inside a lambda, so callers must
+    pass a CHEAP expression (an attribute or size-of-attribute)."""
     ent = -F.aggregate(
         F.transform(
             counts,
@@ -198,6 +211,71 @@ def char_entropy(col: Column | str) -> Column:
         lambda acc, x: acc + x,
     )
     return F.when(n > 0, ent + F.lit(0.0)).otherwise(F.lit(0.0))
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the normalized text's character
+    distribution — the compression-ratio-proxy quality signal: near 0
+    for degenerate repetition ("aaaa…"), ~4.1 for typical English
+    prose, and high (>5) for random/encoded junk. Filters on BOTH
+    tails are standard in corpus curation.
+
+    HOF-LAMBDA RULE (learned the hard way in the r11 perf pass): a
+    captured subtree inside a higher-order-function lambda is
+    RE-EVALUATED PER ELEMENT — HOFs are interpreted, with no common-
+    subexpression elimination inside the lambda body — so no lambda in
+    this lineage references an array subtree, only its own lambda
+    variables (neighbor access = zip the array against its own shift;
+    positions = zip against sequence(1, m)). That bounds this
+    single-Column form at O(|text| log |text|) per row times a
+    constant ~12 re-evaluations of the sorted-char array through the
+    CHAINED references (ends → chars ×4, counts → ends ×3): fine for
+    expression composition and tests, but the corpus-scale path is
+    :func:`with_char_entropy`, which stages the array and the run-end
+    positions as REAL COLUMNS so each evaluates exactly once per row
+    (CollapseProject does not inline a non-cheap alias referenced more
+    than once). Both forms produce the identical counts multiset in
+    the identical ascending order, so the entropy is bit-identical —
+    pinned by tests/test_llm_ops.py's expression-vs-staged parity
+    test.
+    """
+    s = normalize(col)
+    n = F.length(s)
+    chars = F.array_sort(F.split(s, ""))
+    counts = _counts_from_ends(_char_run_ends(chars))
+    return _entropy_from_counts(counts, n)
+
+
+def with_char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "char_entropy",
+    n_out: str | None = None,
+) -> DataFrame:
+    """Corpus-scale char-entropy: appends ``out`` (entropy, bits/char)
+    and optionally ``n_out`` (normalized char count) to ``df``.
+
+    Same arithmetic as :func:`char_entropy`, but the sorted char array
+    and the run-end positions are materialized as real columns between
+    projections, so each is computed ONCE per row instead of ~12 times
+    through chained expression references (r11 A/B at sf0.1: 5.2 s for
+    the nested-filter r3 form, 8.6 s for the naively-chained zip_with
+    form, ~1 s staged). Still zero shuffle — embarrassingly parallel
+    over whatever partitioning the input already has, which is the
+    shape you want for a 100 TB quality-scoring pass."""
+    chars_c, ends_c = "_ce_chars", "_ce_ends"
+    staged = (
+        df.withColumn(
+            chars_c, F.array_sort(F.split(normalize(text_col), ""))
+        )
+        .withColumn(ends_c, _char_run_ends(F.col(chars_c)))
+    )
+    n = F.size(F.col(chars_c))
+    ent = _entropy_from_counts(_counts_from_ends(F.col(ends_c)), n)
+    staged = staged.withColumn(out, ent)
+    if n_out is not None:
+        staged = staged.withColumn(n_out, n)
+    return staged.drop(chars_c, ends_c)
 
 
 def quality_score(

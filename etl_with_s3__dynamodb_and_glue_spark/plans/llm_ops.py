@@ -18,7 +18,7 @@ from ..operators.text import (
     LANG_PROFILES,
     avg_token_len,
     bpe_ish_token_count,
-    char_entropy,
+    with_char_entropy,
     fingerprint,
     lang_id,
     normalize,
@@ -777,15 +777,19 @@ ORDER BY source
 
 def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-entropy quality signal
-    (operators/text.py::char_entropy): bits/char of the normalized
-    text — the compression-ratio proxy that catches degenerate
-    repetition (→0) and random/encoded junk (→high) that token-level
-    signals miss. Pure in-row HOFs, no shuffle."""
+    (operators/text.py::with_char_entropy): bits/char of the
+    normalized text — the compression-ratio proxy that catches
+    degenerate repetition (→0) and random/encoded junk (→high) that
+    token-level signals miss. The staged form materializes the sorted
+    char array once per row between projections (r11 perf pass — see
+    the HOF-LAMBDA RULE in operators/text.py); still zero shuffle."""
     docs = _docs(spark, sf_dir)
-    return docs.select(
+    return with_char_entropy(
+        docs.select("doc_id", "text"), "text", out="_ent", n_out="n_chars"
+    ).select(
         "doc_id",
-        F.length(normalize("text")).alias("n_chars"),
-        F.round(char_entropy("text"), 6).alias("char_entropy"),
+        F.col("n_chars"),
+        F.round("_ent", 6).alias("char_entropy"),
     )
 
 

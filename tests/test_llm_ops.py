@@ -1314,6 +1314,39 @@ def test_char_entropy_known_values(spark):
     assert out[4] == 0.0       # empty text guard
 
 
+def test_char_entropy_expression_and_staged_forms_agree(spark):
+    """The single-Column expression form and the staged corpus-scale
+    form (with_char_entropy, the r11 perf path behind
+    doc_char_entropy) must be BIT-identical — same sorted counts
+    multiset, same FP summation order — on real corpus text including
+    the empty/whitespace edges."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.text import (
+        char_entropy,
+        with_char_entropy,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edges = spark.createDataFrame(
+        [(-1, ""), (-2, "   "), (-3, "aaaa"), (-4, "ab" * 8), (-5, "héllo wörld")],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edges)
+    expr = {
+        r.doc_id: r.e
+        for r in both.select("doc_id", char_entropy("text").alias("e")).collect()
+    }
+    staged = {
+        r.doc_id: r.e
+        for r in with_char_entropy(both, "text", out="e").select(
+            "doc_id", "e"
+        ).collect()
+    }
+    assert expr == staged  # exact ==, not approx: bit-identical
+
+
 def test_psi_drift_zero_for_identical_and_positive_for_shift(spark):
     from etl_with_s3__dynamodb_and_glue_spark.operators.profile import psi_drift
 
