@@ -642,7 +642,15 @@ def minhash_near_dups_vs_store(
 # symmetrized long pairs ≈ 64 MB + dict overhead; measured well under
 # a second) — far below one executor's memory yet far above any
 # sf-scale pair graph. Billions-of-pairs crawls exceed it and take the
-# distributed loop.
+# distributed loop. STRING-ID CAVEAT (ADVICE r10): the 64 MB estimate
+# assumes 8-byte long ids; with long string doc_ids the Python dict of
+# up to 4M symmetrized string entries can be ~an order of magnitude
+# larger (each Python str carries ~50 B object overhead plus the
+# bytes), concentrating memory pressure on the one executor task that
+# runs the local path. Still bounded — ~0.6 GB worst case at 2M edges
+# × 64-char ids against a multi-GB executor — but deployments keying
+# on long URLs/paths should lower ``local_max_edges`` at the call
+# site (every resolve path exposes it) or pre-hash ids to longs.
 CC_LOCAL_MAX_EDGES = 2_000_000
 
 
