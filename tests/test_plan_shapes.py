@@ -513,3 +513,44 @@ def test_dsir_ratio_table_is_broadcast_and_corpus_scans_twice(spark):
         if re.search(r"Scan\s+parquet|FileScan", ln)
     ]
     assert 1 <= len(scans) <= 2, tree
+
+
+def test_bigram_lm_gram_joins_never_sort_merge(spark):
+    """r11 regression pin for the r10-measured scale-killer: past the
+    broadcast threshold the two full-gram-stream joins in
+    bigram_lm_scores must fall back to SHUFFLED HASH, never sort-merge
+    (sort-merge sorts the gram stream twice; measured ~40 s / exponent
+    ~1.2 at 500k docs vs ~12 s / ~0.76 hinted). Simulate the
+    past-threshold regime by disabling auto-broadcast. The one
+    tolerated SortMergeJoin is the final all_docs ⋈ per_doc LEFT join:
+    both of its sides are n_docs-row (never gram-stream-sized), and a
+    third hint there measured inside session noise at 500k (rejected,
+    BENCH_NOTES_r11)."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.retrieval import (
+        doc_lm_score,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_str(doc_lm_score(spark, SF_SMOKE), "simple")
+        assert plan.count("ShuffledHashJoin") >= 2, plan
+        assert plan.count("SortMergeJoin") <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_char_entropy_staged_form_sorts_the_char_array_once(spark):
+    """r11 regression pin for the HOF-LAMBDA RULE rework: the staged
+    with_char_entropy path must keep the sorted-char-array projection
+    as a REAL column — if a future optimizer change (or a refactor
+    back to chained expressions) inlines it into its consumers, the
+    sort is re-evaluated many times per row (measured 8.6 s vs 1.37 s
+    at sf0.1). The optimized plan must contain the array_sort(split
+    expression exactly once."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.llm_ops import (
+        doc_char_entropy,
+    )
+
+    plan = plan_str(doc_char_entropy(spark, SF_SMOKE), "formatted")
+    assert plan.count("array_sort(split") == 1, plan
