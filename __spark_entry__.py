@@ -137,7 +137,21 @@ _TOUCHED_THIS_ROUND = [
     # char_entropy rework (operators/text.py): O(distinct×len) per-row
     # scan → sort + run-length; doc_char_entropy is its only consumer
     "doc_char_entropy",
+    # the same sort-merge phase-change class found-and-fixed in
+    # curation.boilerplate_fraction (A/B at 500k: 33.6 → 12.0 s);
+    # doc_boilerplate_fraction is its only registered consumer
+    "doc_boilerplate_fraction",
 ]
+
+# r12 PERF QUEUE (banked this round, blocked by rule 2 — lineages
+# parked until their blocks rotate in):
+#   1. doc_novelty_fraction (r9-parked, rotates in at r12): carries
+#      its own inline copy of the boilerplate_fraction two-shuffle
+#      skeleton — same measured sort-merge phase-change class, same
+#      one-line SHUFFLE_HASH fix on the first_seen join-back.
+#   2. While landing it, audit the remaining aggregate-join-back
+#      patterns in then-in-window lineages for the same class (the
+#      r11 fixes: bigram_lm_scores, boilerplate_fraction).
 
 _CHECK_FIRST = [
     # --- checked r7, in none of r8/r9/r10: mandatory this round ---

@@ -554,3 +554,23 @@ def test_char_entropy_staged_form_sorts_the_char_array_once(spark):
 
     plan = plan_str(doc_char_entropy(spark, SF_SMOKE), "formatted")
     assert plan.count("array_sort(split") == 1, plan
+
+
+def test_boilerplate_gram_join_never_sort_merge(spark):
+    """Same regression class as the bigram-LM pin: past the broadcast
+    threshold the gram-stream ⋈ (gram, df) join in
+    boilerplate_fraction must be shuffled-hash, never sort-merge
+    (A/B at 500k docs: 33.6 s sort-merge vs 12.0 s hinted). The one
+    tolerated SortMergeJoin is the final n_docs-row left join."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
+        doc_boilerplate_fraction,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_str(doc_boilerplate_fraction(spark, SF_SMOKE), "simple")
+        assert plan.count("ShuffledHashJoin") >= 1, plan
+        assert plan.count("SortMergeJoin") <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
