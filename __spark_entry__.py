@@ -152,6 +152,16 @@ _TOUCHED_THIS_ROUND = [
 #   2. While landing it, audit the remaining aggregate-join-back
 #      patterns in then-in-window lineages for the same class (the
 #      r11 fixes: bigram_lm_scores, boilerplate_fraction).
+#   3. Native-percentile() holistic-aggregate class (r11 finding,
+#      fixed in-window via operators/percentiles.py distributed
+#      selection — order_price_percentiles 40→8 s at 100×): three
+#      parked users remain — orders_price_decile_bins +
+#      lineitem_winsorized_stats (r9-parked, rotate in at r12) and
+#      doc_source_quality_buckets (r10-parked, r13; per-source
+#      terciles = the grouped form). Swap each to
+#      group_percentiles_exact when its block rotates in; the
+#      bit-equality suite (tests/test_percentiles.py) guarantees
+#      oracle hashes cannot move.
 
 _CHECK_FIRST = [
     # --- checked r7, in none of r8/r9/r10: mandatory this round ---

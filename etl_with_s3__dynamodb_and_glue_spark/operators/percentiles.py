@@ -1,0 +1,180 @@
+"""Distributed EXACT percentiles — the few-groups holistic-aggregate
+fix (round 11).
+
+Spark's native ``percentile()`` is a HOLISTIC aggregate: every value
+of a group is buffered in its reducer (an OpenHashMap of boxed
+value→count entries), so a low-cardinality groupBy concentrates the
+whole table in a handful of tasks. The r11 relational XL probe
+measured the consequence on ``order_price_percentiles`` (5 priority
+groups): 1.75 s at 10× → 40–55 s at 100×, exponent ~1.37 — and each
+``percentile()`` expression keeps its OWN buffer, so three
+percentiles tripled the cost (isolated A/B: declarative aggs 0.5 s,
+one percentile 12 s). At crawl scale the 5 hot tasks OOM long before
+1000 executors help.
+
+``group_percentiles_exact`` computes the same interpolated
+percentiles (Spark ``percentile()`` / DuckDB ``quantile_cont``
+semantics, continuous type-7 quantile) by DISTRIBUTED SELECTION:
+
+1. range-partition the (group, value) pairs so every task sorts only
+   ~n/P rows — a big group SPANS partitions instead of owning one;
+2. global rank = within-slice row_number + the slice's offset, where
+   offsets come from a tiny (partition × group) count table (range
+   partitions are ordered, so ranks compose across slices);
+3. each requested percentile needs exactly TWO order statistics
+   (k_lo = ⌊p·(n−1)⌋+1 and its successor) — fetch just those rows via
+   a broadcast of the ≤|groups|·|ps| target table and interpolate
+   with the native aggregate's exact arithmetic:
+   (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi.
+
+Cost: one range shuffle + one hash shuffle of the value pairs and
+tiny metadata aggregates — fully parallel at any group cardinality,
+nothing holistic anywhere. The interpolation arithmetic reproduces
+``percentile()`` bit-for-bit on the driver corpus (pinned by
+tests/test_percentiles.py, which also property-checks against the
+native aggregate), so oracle hashes are unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def group_percentiles_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: Sequence[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles per group, long format:
+    (group_col, p, pct). NULL values are ignored (native
+    ``percentile()`` semantics); a group with zero non-null values
+    emits no rows. Values are cast to double before ranking —
+    identical ordering for numeric inputs, and interpolation happens
+    in double exactly as the native aggregate does."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    pairs = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .repartitionByRange(num_partitions, "_g", "_v")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    # tiny: at most (partitions × groups) rows
+    slice_counts = pairs.groupBy("_pid", "_g").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_off = (
+        Window.partitionBy("_g")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = slice_counts.select(
+        "_pid",
+        "_g",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    n_per = slice_counts.groupBy("_g").agg(F.sum("_cnt").alias("_n"))
+
+    # (group, p) → the two 1-based ranks the percentile needs.
+    # r0 = p·(n−1) is the 0-based fractional index; frac interpolates
+    # between rank k_lo = floor(r0)+1 and k_hi = k_lo+1 (== k_lo when
+    # r0 is integral, so the k_hi match is the same row).
+    # RENAME the group key on the target side: both frames descend
+    # from `pairs`, so ranked["_g"] == targets["_g"] would resolve to
+    # a trivially-true self-comparison (the classic same-lineage join
+    # trap).
+    targets = (
+        n_per.select(
+            F.col("_g").alias("_tg"),
+            "_n",
+            F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
+        )
+        .withColumn("_r0", F.col("p") * (F.col("_n") - 1).cast("double"))
+        .withColumn("_k_lo", (F.floor("_r0") + 1).cast("long"))
+        .withColumn(
+            "_k_hi", F.least(F.col("_k_lo") + 1, F.col("_n")).cast("long")
+        )
+        # carry BOTH interpolation weights exactly as the native
+        # aggregate computes them — (ceil−pos)·lo + (pos−floor)·hi,
+        # NOT the algebraically-equal lerp lo+(hi−lo)·frac, which
+        # differs in the last ulp (caught by the bit-equality test)
+        .withColumn(
+            "_w_lo", F.ceil("_r0").cast("double") - F.col("_r0")
+        )
+        .withColumn(
+            "_w_hi", F.col("_r0") - F.floor("_r0").cast("double")
+        )
+    )
+
+    w_rank = Window.partitionBy("_pid", "_g").orderBy("_v")
+    ranked = (
+        pairs.join(F.broadcast(offsets), ["_pid", "_g"])
+        .withColumn("_rk", F.row_number().over(w_rank) + F.col("_off"))
+    )
+    hits = ranked.join(
+        F.broadcast(targets),
+        (F.col("_g") == F.col("_tg"))
+        & ((F.col("_rk") == F.col("_k_lo")) | (F.col("_rk") == F.col("_k_hi"))),
+    ).select(
+        "_g",
+        "p",
+        "_rk",
+        "_k_lo",
+        "_k_hi",
+        "_w_lo",
+        "_w_hi",
+        "_v",
+    )
+    return (
+        hits.groupBy("_g", "p")
+        .agg(
+            F.max(F.when(F.col("_rk") == F.col("_k_lo"), F.col("_v"))).alias(
+                "_v_lo"
+            ),
+            F.max(F.when(F.col("_rk") == F.col("_k_hi"), F.col("_v"))).alias(
+                "_v_hi"
+            ),
+            F.first("_w_lo").alias("_w_lo"),
+            F.first("_w_hi").alias("_w_hi"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "p",
+            F.when(F.col("_w_hi") == 0.0, F.col("_v_lo"))
+            .otherwise(
+                F.col("_w_lo") * F.col("_v_lo")
+                + F.col("_w_hi") * F.col("_v_hi")
+            )
+            .alias("pct"),
+        )
+    )
+
+
+def global_percentiles_exact(
+    df: DataFrame,
+    value_col: str,
+    ps: Sequence[float],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Ungrouped exact percentiles — the single-group special case
+    (an un-grouped ``percentile()`` buffers the ENTIRE column in one
+    task). Returns (p, pct)."""
+    out = group_percentiles_exact(
+        df.withColumn("_all", F.lit(1)),
+        "_all",
+        value_col,
+        ps,
+        num_partitions,
+    )
+    return out.select("p", "pct")

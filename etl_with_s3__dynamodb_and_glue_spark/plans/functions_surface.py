@@ -22,17 +22,43 @@ def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _orders(spark, sf_dir)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
-            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
-            F.round(F.min("o_totalprice"), 6).alias("min_price"),
-            F.round(F.max("o_totalprice"), 6).alias("max_price"),
-            F.round(F.stddev("o_totalprice"), 6).alias("sd_price"),
-        )
+    """Exact per-priority price percentiles + declarative stats.
+
+    r11 rework: the native ``percentile()`` holistic aggregate
+    concentrated the whole table in 5 reducer tasks (one per priority
+    group) — measured superlinear in the relational XL probe (1.75 s
+    at 10× → ~40 s at 100×, exponent ~1.37, one buffer per percentile
+    expression). Percentiles now come from
+    operators/percentiles.py::group_percentiles_exact (distributed
+    selection, same interpolation arithmetic — oracle hash unchanged),
+    pivoted long→wide and joined to the cheap declarative aggregate
+    (A/B at 100×: 40 s → ~4 s)."""
+    from ..operators.percentiles import group_percentiles_exact
+
+    orders = _orders(spark, sf_dir)
+    pct = group_percentiles_exact(
+        orders, "o_orderpriority", "o_totalprice", [0.5, 0.9, 0.99]
+    )
+    wide = pct.groupBy("o_orderpriority").agg(
+        F.round(F.max(F.when(F.col("p") == 0.5, F.col("pct"))), 6).alias("p50"),
+        F.round(F.max(F.when(F.col("p") == 0.9, F.col("pct"))), 6).alias("p90"),
+        F.round(F.max(F.when(F.col("p") == 0.99, F.col("pct"))), 6).alias(
+            "p99"
+        ),
+    )
+    decl = orders.groupBy("o_orderpriority").agg(
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        F.round(F.stddev("o_totalprice"), 6).alias("sd_price"),
+    )
+    return wide.join(decl, "o_orderpriority").select(
+        "o_orderpriority",
+        "p50",
+        "p90",
+        "p99",
+        "min_price",
+        "max_price",
+        "sd_price",
     )
 
 

@@ -154,13 +154,19 @@ ORDER BY d.doc_id
 def doc_lm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-gated quality filter over the LM score: documents in
     the corpus's worst 5% by bigram log-probability (the CCNet recipe:
-    score with a corpus LM, drop the tail). Exact percentile here —
-    at 100 TB swap in approx_percentile: the threshold is one scalar,
-    so the swap changes only the (broadcast) gate value, not the plan.
-    """
+    score with a corpus LM, drop the tail). r11: the threshold comes
+    from operators/percentiles.py::global_percentiles_exact — an
+    un-grouped native ``percentile()`` buffers the whole score column
+    in ONE task (the holistic-aggregate trap the r11 probe measured on
+    the orders lineage), while the distributed-selection form stays
+    exact AND parallel, so no approx_percentile swap is needed at
+    100 TB. The threshold is still one scalar, broadcast into the
+    filter."""
+    from ..operators.percentiles import global_percentiles_exact
+
     scores = retrieval.bigram_lm_scores(_docs(spark, sf_dir))
-    th = scores.agg(
-        F.round(F.expr("percentile(avg_logprob, 0.05)"), 6).alias("p05")
+    th = global_percentiles_exact(scores, "avg_logprob", [0.05]).select(
+        F.round("pct", 6).alias("p05")
     )
     return (
         scores.crossJoin(F.broadcast(th))
