@@ -141,6 +141,11 @@ _TOUCHED_THIS_ROUND = [
     # curation.boilerplate_fraction (A/B at 500k: 33.6 → 12.0 s);
     # doc_boilerplate_fraction is its only registered consumer
     "doc_boilerplate_fraction",
+    # native-percentile holistic-aggregate fix (r11 probe finding):
+    # swapped to operators/percentiles.py distributed selection —
+    # bit-equal to percentile() by test; doc_lm_outliers (already
+    # listed above for the LM hints) got the ungrouped form
+    "order_price_percentiles",
 ]
 
 # r12 PERF QUEUE (banked this round, blocked by rule 2 — lineages
