@@ -146,6 +146,10 @@ _TOUCHED_THIS_ROUND = [
     # bit-equal to percentile() by test; doc_lm_outliers (already
     # listed above for the LM hints) got the ungrouped form
     "order_price_percentiles",
+    # TF ⋈ DF SHUFFLE_HASH (same join-fallback class, shipped on
+    # structural grounds — local wash, see BENCH_NOTES_r11 §5);
+    # doc_tfidf_top_terms is terms.tfidf_top_terms' only consumer
+    "doc_tfidf_top_terms",
 ]
 
 # r12 PERF QUEUE (banked this round, blocked by rule 2 — lineages

@@ -63,8 +63,16 @@ def tfidf_top_terms(
     tf = term_frequencies(docs, text_col, id_col).persist()
     df_tbl = document_frequencies(tf, id_col)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # SHUFFLE_HASH (r11): past the broadcast threshold the TF ⋈ DF
+    # fallback is sort-merge — sorting the full (doc, term, tf) table
+    # plus the vocabulary table. Same class as the bigram-LM /
+    # boilerplate fixes; locally a wash at 500k (~13% median, inside
+    # the single-session band — the sorted stream here is the already-
+    # aggregated TF table, not raw grams) but strictly more stable
+    # across reps, and structurally no full-table sort survives at any
+    # scale. Build side = (term, df), vocabulary-bounded per partition.
     scored = (
-        tf.join(df_tbl, "term")
+        tf.join(df_tbl.hint("SHUFFLE_HASH"), "term")
         .join(F.broadcast(n_docs))
         .select(
             F.col(id_col),
