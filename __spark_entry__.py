@@ -155,12 +155,22 @@ _TOUCHED_THIS_ROUND = [
 # r12 PERF QUEUE (banked this round, blocked by rule 2 — lineages
 # parked until their blocks rotate in):
 #   1. doc_novelty_fraction (r9-parked, rotates in at r12): carries
-#      its own inline copy of the boilerplate_fraction two-shuffle
-#      skeleton — same measured sort-merge phase-change class, same
-#      one-line SHUFFLE_HASH fix on the first_seen join-back.
+#      an inline copy of boilerplate_fraction's OLD two-shuffle
+#      join-back skeleton. Do NOT just hint it — the r11 saga
+#      (BENCH_NOTES_r11 §3) showed the 5-gram build side is unbounded
+#      (SHUFFLE_HASH OOMed at 5M docs). The right fix is the
+#      join-free owner rework that shipped in boilerplate_fraction,
+#      and for novelty it is EXACT with no min_docs restriction:
+#      novelty_frac(doc) = |grams with min(doc_id) == doc| /
+#      n_distinct(doc) — the same single gram-key aggregate carrying
+#      min(doc_id), a tiny owner groupBy, and a doc-keyed join.
+#      Remember tokenize-staging + hashed gram keys + the base
+#      persist (each independently measured load-bearing in r11).
 #   2. While landing it, audit the remaining aggregate-join-back
-#      patterns in then-in-window lineages for the same class (the
-#      r11 fixes: bigram_lm_scores, boilerplate_fraction).
+#      patterns in then-in-window lineages — but classify build
+#      sides first: vocabulary-bounded (hint-safe: bigram_lm_scores,
+#      tfidf) vs corpus-proportional (hint = OOM at scale: n-gram
+#      tables; restructure instead).
 #   3. Native-percentile() holistic-aggregate class (r11 finding,
 #      fixed in-window via operators/percentiles.py distributed
 #      selection — order_price_percentiles 40→8 s at 100×): three

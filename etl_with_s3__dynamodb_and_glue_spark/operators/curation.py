@@ -189,43 +189,112 @@ def boilerplate_fraction(
     the complement of ``repetition_signals``, which only sees
     within-document repetition.
 
-    Plan shape: per-doc gram dedup happens in-row (``array_distinct``
-    before the explode), so the exploded stream carries one row per
-    (doc, distinct gram). Corpus-wide document frequency is then a
-    plain count per gram — no countDistinct needed — and one join back
-    on the gram key attaches it. Two shuffles on the gram key, one on
-    doc_id; map-side combine absorbs hot grams on the aggregate side,
-    and the join's build side is (gram, df) — already aggregated,
-    orders of magnitude smaller than the corpus. The join carries a
-    SHUFFLE_HASH hint (r11): past the broadcast threshold Spark's
-    default fallback is sort-merge, which SORTS the full gram stream —
-    the same measured phase-change class as ``bigram_lm_scores``
-    (A/B at 500k docs: 33.6 s sort-merge → 12.0 s hinted, ~2.7×); the
-    build side stays the aggregated (gram, df) slice, distinct-gram-
-    bounded per partition. AQE still upgrades to broadcast when small.
+    Plan shape (r11, second rework): per-doc gram dedup happens
+    in-row (``array_distinct`` before the explode), and the per-doc
+    distinct-gram COUNT is taken in-row too (``size``, zero shuffle).
+    For the default ``min_docs=2`` the gram-key JOIN-BACK is
+    eliminated entirely: a gram with df == 1 belongs to exactly ONE
+    document, so carrying ``min(doc_id)`` through the df aggregate
+    (still map-side combinable) recovers that owner, and
+    ``boilerplate_frac = (n_distinct − n_unique) / n_distinct`` needs
+    only a doc-keyed join of two n_docs-row tables. One gram-key
+    shuffle total, nothing joins the gram stream against anything.
+    The arithmetic is bit-identical to the old avg-of-indicators form
+    (the indicator sum IS n_distinct − n_unique; both divide the same
+    exact-integer doubles).
 
-    Grams travel as STRINGS here because the DuckDB oracle replays the
-    exact computation; the drop-in scale variant swaps
-    ``word_ngrams`` for ``word_ngram_hashes`` (8-byte keys, no gram
-    string construction) with identical semantics modulo hash
-    collisions (~n²/2⁶⁴).
+    r11 history, for the record: the first rework hinted the
+    join-back to SHUFFLE_HASH (33.6 → 12.0 s at 500k), but the
+    third-decade probe OOMed it at 5M docs — distinct 5-grams grow
+    ~linearly with the corpus (unlike the vocabulary-bounded build
+    sides in bigram_lm_scores / tfidf_top_terms), so the hash-join
+    build side is unbounded and sort-merge was the SAFE fallback.
+    The join-free form is faster than both and cannot OOM. For
+    ``min_docs > 2`` the general agg + join-back path remains, hint-
+    LESS (sort-merge is correct there: the build side scales with the
+    corpus).
+
+    Grams travel as 64-BIT HASHES (``word_ngram_hashes``, no gram
+    string construction) — the same design as ``duplicate_spans`` /
+    ``ngram_containment``, whose DuckDB oracles also replay with
+    strings: only AGGREGATE OUTPUTS are compared, and equal windows
+    collide under either construction, so results differ only on an
+    xxhash64 collision (~n²/2⁶⁴; ~1e-10 at the driver's sf0.01).
+    The string form was the r3–r11a implementation and is what made
+    every variant above struggle: string gram arrays are ~6× the
+    bytes, so the persist thrashed (420 s at 5M) and the join build
+    side OOMed; with longs the persisted arrays are ~8 B/gram.
 
     Output: (doc_id, n_distinct_grams, boilerplate_frac) — frac NULL
     when the doc is shorter than ``n`` tokens.
     """
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk")
-    ).select(
+    from pyspark.storagelevel import StorageLevel
+
+    from ..caching import unpersist_on_release
+
+    # PERSIST the per-doc gram arrays: both consumers below (the
+    # exploded df aggregate and the in-row distinct counts) need them,
+    # they share no exchange (counts never shuffles), and the gram
+    # STRING construction is the dominant cost — unpersisted, the
+    # tokenize+ngram pass ran twice and measured SLOWER than the join
+    # form it replaces (52–75 s vs 33.6 s at 500k; persisted:
+    # 17.5–19.5 s, 1.9× under the join form and OOM-proof).
+    # tokenize STAGED in its own projection (the ngram_containment
+    # lesson): word_ngram_hashes slices the token array inside a
+    # transform lambda, and an inline tokens() subtree there is
+    # re-evaluated per window (measured 40–46 s at 500k inline vs
+    # ~10 s staged)
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk"))
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngram_hashes(F.col("tk"), n)).alias("gs"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    grams = base.select("doc_id", F.explode("gs").alias("gram"))
+    # coalesce: size(NULL array) is NULL, but a NULL-text doc counted
+    # 0 grams on the old exploded path — keep that contract
+    counts = base.select(
         "doc_id",
-        F.explode(F.array_distinct(word_ngrams(F.col("tk"), n))).alias(
-            "gram"
+        F.coalesce(F.size("gs"), F.lit(0)).cast("long").alias(
+            "n_distinct_grams"
         ),
     )
+
+    if min_docs == 2:
+        gram_stats = grams.groupBy("gram").agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.min("doc_id").alias("owner"),
+        )
+        uniq = (
+            gram_stats.filter(F.col("df") == 1)
+            .groupBy("owner")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
+            .withColumnRenamed("owner", "doc_id")
+        )
+        per_doc = counts.join(uniq, "doc_id", "left").select(
+            "doc_id",
+            "n_distinct_grams",
+            F.when(
+                F.col("n_distinct_grams") > 0,
+                F.round(
+                    (
+                        F.col("n_distinct_grams")
+                        - F.coalesce(F.col("n_unique"), F.lit(0))
+                    ).cast("double")
+                    / F.col("n_distinct_grams").cast("double"),
+                    6,
+                ),
+            ).alias("boilerplate_frac"),
+        )
+        return unpersist_on_release(per_doc, base)
+
     gram_df = grams.groupBy("gram").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
     per_doc = (
-        grams.join(gram_df.hint("SHUFFLE_HASH"), "gram")
+        grams.join(gram_df, "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
@@ -234,7 +303,7 @@ def boilerplate_fraction(
             ).alias("boilerplate_frac"),
         )
     )
-    return (
+    result = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(per_doc, "doc_id", "left")
         .select(
@@ -245,3 +314,4 @@ def boilerplate_fraction(
             "boilerplate_frac",
         )
     )
+    return unpersist_on_release(result, base)

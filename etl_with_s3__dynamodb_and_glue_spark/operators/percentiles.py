@@ -60,9 +60,14 @@ def group_percentiles_exact(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # STRUCT-WRAP the group key: a NULL group is a real group to the
+    # native aggregate, but bare-column equality (both the USING join
+    # on offsets and the target join) silently drops null keys —
+    # struct equality compares null FIELDS as values, making every
+    # join/groupBy below null-safe without eqNullSafe special cases.
     pairs = (
         df.select(
-            F.col(group_col).alias("_g"),
+            F.struct(F.col(group_col).alias("k")).alias("_g"),
             F.col(value_col).cast("double").alias("_v"),
         )
         .filter(F.col("_v").isNotNull())
@@ -149,7 +154,7 @@ def group_percentiles_exact(
             F.first("_w_hi").alias("_w_hi"),
         )
         .select(
-            F.col("_g").alias(group_col),
+            F.col("_g.k").alias(group_col),
             "p",
             F.when(F.col("_w_hi") == 0.0, F.col("_v_lo"))
             .otherwise(

@@ -133,6 +133,41 @@ def test_boilerplate_fraction_short_and_shared(spark):
     assert rows[2].n_distinct_grams == 3
 
 
+def test_boilerplate_general_min_docs_path_agrees_with_fast_path(spark):
+    """The r11 join-free owner rework only serves min_docs=2; the
+    general agg+join path must agree with it at the shared setting
+    (min_docs=2 forced through the general path would be ideal, but
+    the dispatch is on the value — so pin the general path at
+    min_docs=3 against hand-computed truth AND pin that both paths
+    see the same gram universe via n_distinct_grams)."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.curation import (
+        boilerplate_fraction,
+    )
+
+    # the 5-gram "a b c d e" appears in docs 1, 2 and 4 (df=3);
+    # every other gram is unique
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e unique1 tail"),
+            (2, "a b c d e other2 end"),
+            (3, "too short"),
+            (4, "a b c d e"),
+        ],
+        ["doc_id", "text"],
+    )
+    fast = {r.doc_id: r for r in boilerplate_fraction(docs, n=5).collect()}
+    gen = {
+        r.doc_id: r for r in boilerplate_fraction(docs, n=5, min_docs=3).collect()
+    }
+    # same gram universe on both paths
+    for d in (1, 2, 3, 4):
+        assert fast[d].n_distinct_grams == gen[d].n_distinct_grams
+    # df=3 gram still counts at min_docs=3 → same fracs here
+    assert abs(gen[1].boilerplate_frac - round(1 / 3, 6)) < 1e-9
+    assert gen[4].boilerplate_frac == 1.0
+    assert gen[3].boilerplate_frac is None
+
+
 def test_classifier_broadcasts_model_and_handles_empty(spark):
     from etl_with_s3__dynamodb_and_glue_spark.operators.classifier import (
         classifier_scores,

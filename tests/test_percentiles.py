@@ -75,6 +75,20 @@ def test_nulls_ignored_like_native(spark):
     assert ours == {("a", 0.5): 2.0}
 
 
+def test_null_group_key_is_a_real_group(spark):
+    """Native percentile() emits a row for the NULL group; the
+    distributed form must too (eqNullSafe on the target join, null-
+    tolerant grouping everywhere else)."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0), ("a", 10.0)], "g string, v double"
+    )
+    ours = {
+        (r["g"], r["p"]): r["pct"]
+        for r in group_percentiles_exact(df, "g", "v", [0.5]).collect()
+    }
+    assert ours == {(None, 0.5): 2.0, ("a", 0.5): 10.0}
+
+
 def test_global_form_is_single_group(spark):
     df = spark.range(0, 1001).select(F.col("id").cast("double").alias("v"))
     [row] = global_percentiles_exact(df, "v", [0.9]).collect()

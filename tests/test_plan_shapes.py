@@ -556,12 +556,16 @@ def test_char_entropy_staged_form_sorts_the_char_array_once(spark):
     assert plan.count("array_sort(split") == 1, plan
 
 
-def test_boilerplate_gram_join_never_sort_merge(spark):
-    """Same regression class as the bigram-LM pin: past the broadcast
-    threshold the gram-stream ⋈ (gram, df) join in
-    boilerplate_fraction must be shuffled-hash, never sort-merge
-    (A/B at 500k docs: 33.6 s sort-merge vs 12.0 s hinted). The one
-    tolerated SortMergeJoin is the final n_docs-row left join."""
+def test_boilerplate_min_docs_2_path_never_joins_the_gram_stream(spark):
+    """r11 regression pin, second edition. The first r11 rework hinted
+    the gram-stream ⋈ (gram, df) join to SHUFFLE_HASH (2.7× at 500k) —
+    and the third-decade probe OOMed it at 5M docs: distinct 5-grams
+    grow ~linearly with the corpus, so the hash build side is
+    UNBOUNDED (unlike the vocabulary-bounded LM/TF-IDF build sides).
+    The shipped min_docs=2 path eliminates the gram join entirely
+    (df==1 owner recovery via min(doc_id)); the ONLY join in the plan
+    is the doc-keyed counts ⋈ uniques — so with broadcast disabled the
+    plan carries at most ONE join of any kind."""
     from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
         doc_boilerplate_fraction,
     )
@@ -570,7 +574,13 @@ def test_boilerplate_gram_join_never_sort_merge(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = plan_str(doc_boilerplate_fraction(spark, SF_SMOKE), "simple")
-        assert plan.count("ShuffledHashJoin") >= 1, plan
-        assert plan.count("SortMergeJoin") <= 1, plan
+        n_joins = (
+            plan.count("SortMergeJoin")
+            + plan.count("ShuffledHashJoin")
+            + plan.count("BroadcastHashJoin")
+            + plan.count("BroadcastNestedLoopJoin")
+            + plan.count("CartesianProduct")
+        )
+        assert n_joins <= 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
