@@ -37,7 +37,7 @@ _MODULES = [
 
 # The driver's correctness harness checks the FIRST 50 registry entries
 # per round; the registry is larger than that, so ordering is coverage
-# policy (round 11 edition). Rotation rules (tested by
+# policy (round 12 edition). Rotation rules (tested by
 # tests/test_registry_rotation.py):
 #   1. every query never seen in ANY CORRECTNESS_r*.json artifact must
 #      be in the current window (first 50) — nothing ships a round
@@ -80,30 +80,41 @@ _MODULES = [
 # would outlive the local suite's regression horizon, while redundant
 # variants are exactly the coverage a full window can't afford.
 #
-# ROUND-11 WINDOW (the precomputed zero-slack round): the 19 r7
-# deferrals from the head of the r10 _CHECK_LAST (mandatory — at r11
-# the last-three artifacts are r8/r9/r10 and they sit only in r7),
-# plus user_sessions (rule 3), plus doc_lm_outliers (rule 2: the
-# banked SHUFFLE_HASH fix in retrieval.bigram_lm_scores lands this
-# round and touches both consumers), plus 29 of the r8-checked block
-# (including the rule-2-touched doc_lm_score and doc_char_entropy —
-# the round's two queued perf passes). doc_lm_outliers' +1 over the
-# zero-slack window is PAID FOR by retiring weekly_user_distinct_exact
-# per the decision rule above (the most redundant of the four
-# rolling/weekly-distinct flavors: its mechanism — date_trunc +
-# countDistinct — is pinned by several other hash-green queries, and
-# the trickier calendar-RANGE semantics twin rolling_7d_distinct_exact
-# stays; the function remains in functions_surface.py as a
-# pytest-only twin for the sketch-error-envelope / timezone / empty
-# suites). Registry 154 → 153. Exactly 50.
+# ROUND-12 WINDOW: the 14 r8 deferrals from the head of the r11
+# _CHECK_LAST (mandatory — the last-three artifacts as of
+# construction are r9/r10/r11 and these sit only in r8), plus
+# user_sessions (rule 3), plus doc_char_entropy (rule 2: the ADVICE
+# r11 medium fix — with_char_entropy's n_chars must come from
+# length(normalized), not size(split(s,'')), which is 1 on empty
+# text — touches its only consumer), plus 34 of the 40-query
+# r9-checked block. doc_char_entropy's +1 over the precomputed
+# zero-slack window is PAID FOR by deferring a sixth r9 query to
+# r13's slack slot (published_segment_kpis…embedding_hard_negatives,
+# the six at the head of _CHECK_LAST — none on any r12/r13 queued
+# lineage). Exactly 50.
 #
-# SCHEDULE THROUGH r13 (recomputed post-retirement from the
-# last-checked map: 19 r7 / 43 r8 / 41 r9 / 50 r10, doc_lm_outliers
-# re-checking at r11): r11 = 19 r7 + user_sessions + doc_lm_outliers
-# + 29 r8 (EXACTLY 50, zero slack); r12 = the remaining 14 r8
-# (head of _CHECK_LAST) + 35 of the 40-query r9 block + user_sessions
-# (50, zero slack); r13 = the remaining 5 r9 + 43 r10-checked +
-# user_sessions (49 — ONE slack slot).
+# CORRECTNESS_r11.json provenance: the round-11 driver committed
+# VERDICT/ADVICE/BENCH but wrote no correctness artifact (VERDICT r11
+# "What's wrong" preamble); the judge's own full-registry run was
+# 153/153 green. The artifact on disk was backfilled at r12's first
+# commit by tools/backfill_correctness_r11.py — the SAME
+# driver-equivalent gate (tests/oracle_harness.compare, sf0.01) over
+# the r11 window on the UNMODIFIED r11 end-of-round tree (git clean),
+# 50/50 OK; it carries a _provenance key saying so. Without it the
+# staleness arithmetic would misread the 19 r7-checked queries
+# re-verified at r11 as never-re-checked and force a 69-wide window.
+#
+# SCHEDULE THROUGH r15 (from the last-checked map: 14 r8 / 40 r9 /
+# 49 r10 / 50 r11): r12 = 14 r8 + user_sessions + doc_char_entropy +
+# 34 r9 (EXACTLY 50, zero slack); r13 = the remaining 6 r9 + 43 of
+# the 49 r10-checked + user_sessions (50, zero slack — the sixth-r9
+# deferral consumed the slack slot; the 43 MUST include every
+# resolve_near_dups consumer for the queued CC fix, all r10-checked);
+# r14 = the remaining 6 r10 + 43 r11-checked + user_sessions (50;
+# include order_price_percentiles + doc_lm_outliers for the queued
+# percentiles.py hardening); r15 = the remaining 7 r11 + 42
+# r12-checked + user_sessions. Capacity test ceiling 197 ≥ 153 holds
+# throughout.
 #
 # r13 PERF/FIX QUEUE (banked, blocked by rule 2 this round):
 #   1. ADVICE r10 item 1 (dedup.py:823): on the distributed CC path
@@ -117,135 +128,47 @@ _MODULES = [
 #      doc_dedup_keep_best, doc_dedup_cluster_stats,
 #      embedding_dedup_final, embedding_dedup_final_lsh,
 #      doc_dedup_final_lsh, asset_near_dups ...) — ALL r10-checked,
-#      all naturally in the r13 window; landing it at r11/r12 would
-#      blow the zero-slack windows for a dormant-path cache nit.
-#      (ADVICE r10 item 2 — the string-id caveat on
-#      CC_LOCAL_MAX_EDGES — is comment-only, landed at r11: no
-#      behavior change, so no rule-2 entry.)
+#      all naturally in the r13 window.
+#
+# r14 QUEUE (ADVICE r11 lows on operators/percentiles.py — blocked
+# by rule 2 until order_price_percentiles + doc_lm_outliers rotate
+# back in): (a) persist `pairs` or keep relying on the documented
+# exchange-reuse invariant (docstring note landed r12, comment-only);
+# (b) wrap int(spark.conf.get('spark.sql.shuffle.partitions')) in
+# try/except for non-numeric deployments ('auto'). Both are
+# plan-identical here (exchangeReuse defaults on; the conf is always
+# numeric in this harness) — landing them early would burn two
+# zero-slack window slots on no-op-here hardening.
 
-_WINDOW_ROUND = 11
+_WINDOW_ROUND = 12
 
 # Rule-2 ledger: queries whose code or oracle this round's diff
 # touched (directly or through a plan-lineage function they consume).
 # The rotation test enforces these sit inside the window.
 _TOUCHED_THIS_ROUND = [
-    # the banked SHUFFLE_HASH hints in retrieval.bigram_lm_scores
-    # (the r10-measured broadcast→sort-merge phase change at 500k
-    # docs) — both consumers re-check
-    "doc_lm_score",
-    "doc_lm_outliers",
-    # char_entropy rework (operators/text.py): O(distinct×len) per-row
-    # scan → sort + run-length; doc_char_entropy is its only consumer
+    # holistic-percentile class, final three users swapped to
+    # operators/percentiles.py distributed selection (banked r11;
+    # bit-equality suite pins the interpolation arithmetic):
+    # ungrouped percentile(array(9)) buffered the WHOLE price column
+    # in one task
+    "orders_price_decile_bins",
+    # grouped p05/p95 per returnflag (few-groups holistic trap)
+    "lineitem_winsorized_stats",
+    # grouped p33/p67 per source (pulled forward from the r13 queue —
+    # it rotates in naturally this round, so rule 2 is free and the
+    # class closes a round early)
+    "doc_source_quality_buckets",
+    # join-free owner rework (banked r11 — NOT a hint; the 5-gram
+    # build side is corpus-proportional and SHUFFLE_HASH OOMed at 5M)
+    "doc_novelty_fraction",
+    # ADVICE r11 medium: n_chars from length(normalized) — empty /
+    # whitespace-only text read 1 under size(split(s,'')), diverging
+    # from the oracle's strlen (latent: no blank docs in fixtures)
     "doc_char_entropy",
-    # the same sort-merge phase-change class found-and-fixed in
-    # curation.boilerplate_fraction (A/B at 500k: 33.6 → 12.0 s);
-    # doc_boilerplate_fraction is its only registered consumer
-    "doc_boilerplate_fraction",
-    # native-percentile holistic-aggregate fix (r11 probe finding):
-    # swapped to operators/percentiles.py distributed selection —
-    # bit-equal to percentile() by test; doc_lm_outliers (already
-    # listed above for the LM hints) got the ungrouped form
-    "order_price_percentiles",
-    # TF ⋈ DF SHUFFLE_HASH (same join-fallback class, shipped on
-    # structural grounds — local wash, see BENCH_NOTES_r11 §5);
-    # doc_tfidf_top_terms is terms.tfidf_top_terms' only consumer
-    "doc_tfidf_top_terms",
 ]
-
-# r12 PERF QUEUE (banked this round, blocked by rule 2 — lineages
-# parked until their blocks rotate in):
-#   1. doc_novelty_fraction (r9-parked, rotates in at r12): carries
-#      an inline copy of boilerplate_fraction's OLD two-shuffle
-#      join-back skeleton. Do NOT just hint it — the r11 saga
-#      (BENCH_NOTES_r11 §3) showed the 5-gram build side is unbounded
-#      (SHUFFLE_HASH OOMed at 5M docs). The right fix is the
-#      join-free owner rework that shipped in boilerplate_fraction,
-#      and for novelty it is EXACT with no min_docs restriction:
-#      novelty_frac(doc) = |grams with min(doc_id) == doc| /
-#      n_distinct(doc) — the same single gram-key aggregate carrying
-#      min(doc_id), a tiny owner groupBy, and a doc-keyed join.
-#      Remember tokenize-staging + hashed gram keys + the base
-#      persist (each independently measured load-bearing in r11).
-#   2. While landing it, audit the remaining aggregate-join-back
-#      patterns in then-in-window lineages — but classify build
-#      sides first: vocabulary-bounded (hint-safe: bigram_lm_scores,
-#      tfidf) vs corpus-proportional (hint = OOM at scale: n-gram
-#      tables; restructure instead).
-#   3. Native-percentile() holistic-aggregate class (r11 finding,
-#      fixed in-window via operators/percentiles.py distributed
-#      selection — order_price_percentiles 40→8 s at 100×): three
-#      parked users remain — orders_price_decile_bins +
-#      lineitem_winsorized_stats (r9-parked, rotate in at r12) and
-#      doc_source_quality_buckets (r10-parked, r13; per-source
-#      terciles = the grouped form). Swap each to
-#      group_percentiles_exact when its block rotates in; the
-#      bit-equality suite (tests/test_percentiles.py) guarantees
-#      oracle hashes cannot move.
 
 _CHECK_FIRST = [
-    # --- checked r7, in none of r8/r9/r10: mandatory this round ---
-    "order_price_percentiles",
-    "doc_source_mix",
-    "asset_features",
-    "user_sessions_native",
-    "events_daily_tumbling",
-    "events_sliding_windows",
-    "customer_snapshot_diff",
-    "customer_order_deltas",
-    "order_approx_stats",
-    "asset_content_hashes",
-    "weekly_user_sketch_rollup",
-    "customer_rolling_spend",
-    "part_text_features",
-    "csv_quarantine_counts",
-    "clicks_asof_prior_view",
-    "error_followup_counts",
-    "priority_returns_exists",
-    "small_qty_part_revenue",
-    "activity_union_by_name",
-    # --- incident-prone events.ts lineage, in-window every round ---
-    "user_sessions",
-    # --- rule 2: the banked SHUFFLE_HASH fix in bigram_lm_scores
-    # touches both consumers; doc_lm_outliers (r9-checked) is the +1
-    # paid for by the weekly_user_distinct_exact retirement ---
-    "doc_lm_outliers",
-    # --- r8-checked block rotating back in (stale at r12 otherwise);
-    # includes the rule-2-touched doc_lm_score and doc_char_entropy
-    # (this round's two queued perf passes); the 14 deferred to the
-    # r12 window are listed at the head of _CHECK_LAST ---
-    "doc_lm_score",
-    "doc_char_entropy",
-    "orders_price_histogram",
-    "doc_chunks",
-    "segment_kpis_intended",
-    "top_segments_per_day_intended",
-    "part_scalar_showcase",
-    "active_user_ids_union",
-    "customers_with_events_semi",
-    "events_json_extract",
-    "priority_status_grouping_sets",
-    "doc_chunk_packs",
-    "doc_bm25_topk",
-    "doc_inverted_index",
-    "doc_boilerplate_fraction",
-    "doc_hybrid_rrf",
-    "doc_quality_classifier",
-    "doc_tfidf_top_terms",
-    "doc_top_tokens",
-    "doc_decontamination",
-    "segment_distinct_stats",
-    "doc_bpe_token_counts",
-    "doc_ngram_containment",
-    "doc_temperature_mix",
-    "orders_price_drift",
-    "doc_token_cms_estimates",
-    "doc_weighted_sample",
-    "embedding_ivfpq_topk",
-    "doc_eval_span_overlap",
-]
-_CHECK_LAST = [
-    # checked r8, deferred to the r12 window under the
-    # as-of-construction ≤3 bound — MANDATORY in the r12 window
+    # --- checked r8, in none of r9/r10/r11: mandatory this round ---
     "customer_scd1_merge",
     "customer_cdc_apply",
     "orders_profile",
@@ -260,14 +183,15 @@ _CHECK_LAST = [
     "doc_arrivals_dedup",
     "doc_training_order",
     "doc_curation_funnel",
-    # checked r9, parked (35 rotate in at r12, the last 5 at r13;
-    # doc_lm_outliers moved to this round's window under rule 2)
-    "published_segment_kpis",
-    "top_return_customers",
-    "nation_revenue_pareto",
-    "doc_token_budget_sample",
-    "doc_lang_confusion",
-    "embedding_hard_negatives",
+    # --- incident-prone events.ts lineage, in-window every round ---
+    "user_sessions",
+    # --- rule 2: ADVICE r11 medium n_chars fix (with_char_entropy) —
+    # the +1 paid by the sixth r9 deferral ---
+    "doc_char_entropy",
+    # --- r9-checked block rotating back in (stale at r13 otherwise);
+    # includes the four rule-2-touched queries (three percentile
+    # swaps + the novelty rework); the 6 deferred to the r13 window
+    # are listed at the head of _CHECK_LAST ---
     "asset_frame_samples",
     "events_daily_complete",
     "user_weekly_retention",
@@ -302,7 +226,18 @@ _CHECK_LAST = [
     "doc_scrub_duplicate_spans",
     "doc_source_quality_buckets",
     "doc_source_token_budget",
-    # checked r10, parked (rotates in at r13)
+]
+_CHECK_LAST = [
+    # checked r9, deferred to the r13 window (the sixth —
+    # embedding_hard_negatives — pays for doc_char_entropy's rule-2
+    # slot; r13's slack slot absorbs it) — MANDATORY in the r13 window
+    "published_segment_kpis",
+    "top_return_customers",
+    "nation_revenue_pareto",
+    "doc_token_budget_sample",
+    "doc_lang_confusion",
+    "embedding_hard_negatives",
+    # checked r10, parked (43 rotate in at r13, the last 6 at r14)
     "returnflag_cube",
     "order_date_parts",
     "buyer_eventer_intersect",
@@ -352,6 +287,58 @@ _CHECK_LAST = [
     "embedding_dedup_final_lsh",
     "events_value_running_total",
     "events_activity_concurrency",
+    # checked r11 (CORRECTNESS_r11.json, backfilled — see provenance
+    # note above), parked: 43 rotate in at r14 (must include
+    # order_price_percentiles + doc_lm_outliers for the queued
+    # percentiles.py hardening), the last 7 at r15
+    "order_price_percentiles",
+    "doc_source_mix",
+    "asset_features",
+    "user_sessions_native",
+    "events_daily_tumbling",
+    "events_sliding_windows",
+    "customer_snapshot_diff",
+    "customer_order_deltas",
+    "order_approx_stats",
+    "asset_content_hashes",
+    "weekly_user_sketch_rollup",
+    "customer_rolling_spend",
+    "part_text_features",
+    "csv_quarantine_counts",
+    "clicks_asof_prior_view",
+    "error_followup_counts",
+    "priority_returns_exists",
+    "small_qty_part_revenue",
+    "activity_union_by_name",
+    "doc_lm_outliers",
+    "doc_lm_score",
+    "orders_price_histogram",
+    "doc_chunks",
+    "segment_kpis_intended",
+    "top_segments_per_day_intended",
+    "part_scalar_showcase",
+    "active_user_ids_union",
+    "customers_with_events_semi",
+    "events_json_extract",
+    "priority_status_grouping_sets",
+    "doc_chunk_packs",
+    "doc_bm25_topk",
+    "doc_inverted_index",
+    "doc_boilerplate_fraction",
+    "doc_hybrid_rrf",
+    "doc_quality_classifier",
+    "doc_tfidf_top_terms",
+    "doc_top_tokens",
+    "doc_decontamination",
+    "segment_distinct_stats",
+    "doc_bpe_token_counts",
+    "doc_ngram_containment",
+    "doc_temperature_mix",
+    "orders_price_drift",
+    "doc_token_cms_estimates",
+    "doc_weighted_sample",
+    "embedding_ivfpq_topk",
+    "doc_eval_span_overlap",
 ]
 
 
