@@ -55,7 +55,27 @@ def group_percentiles_exact(
     ``percentile()`` semantics); a group with zero non-null values
     emits no rows. Values are cast to double before ranking —
     identical ordering for numeric inputs, and interpolation happens
-    in double exactly as the native aggregate does."""
+    in double exactly as the native aggregate does.
+
+    INVARIANTS a deployment must not break (ADVICE r11):
+
+    * ``spark.sql.exchangeReuse.enabled`` must stay on (the default).
+      Both consumers of ``pairs`` — the slice-count offsets and the
+      ranked window — must observe IDENTICAL range boundaries and
+      ``spark_partition_id`` stamps; exchange reuse guarantees the
+      range shuffle materializes once. With reuse disabled the two
+      RangePartitioner samplings can differ and silently corrupt
+      global ranks — if you must disable reuse, ``persist()`` the
+      ``pairs`` frame instead (queued hardening, r14).
+    * The ``offsets`` broadcast is (partitions × groups) rows and the
+      ``targets`` broadcast (groups × |ps|): fine for few-to-moderate
+      group cardinality (the holistic-trap fix this operator exists
+      for), but do NOT migrate a high-cardinality groupBy onto it
+      without sizing that product — at ~10M+ rows the broadcast
+      becomes the bottleneck, and the native percentile() trap this
+      fixes doesn't apply there anyway (many groups already
+      parallelize the holistic aggregate).
+    """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))

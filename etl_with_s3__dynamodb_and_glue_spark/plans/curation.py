@@ -760,10 +760,12 @@ def doc_source_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one corpus scan computes the (already oracle-pinned)
     composite quality; the per-source tercile table is a ≤|sources|-row
-    exact-percentile aggregate broadcast back onto the scan — no
-    second corpus pass, no window over data-sized frames. Thresholds
-    and scores are rounded to 6 dp in BOTH engines before the bucket
-    comparison, so interpolation noise can't flip a boundary doc."""
+    exact-percentile table (distributed selection) broadcast back onto
+    the scan — no holistic aggregate, no window over data-sized
+    frames. Thresholds and scores are rounded to 6 dp in BOTH engines
+    before the bucket comparison, so interpolation noise can't flip a
+    boundary doc."""
+    from ..operators.percentiles import group_percentiles_exact
     from ..operators.text import quality_score, tokens
 
     docs = _docs(spark, sf_dir)
@@ -774,9 +776,17 @@ def doc_source_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality"
         ),
     )
-    th = q.groupBy("source").agg(
-        F.round(F.expr("percentile(quality, 0.33)"), 6).alias("p33"),
-        F.round(F.expr("percentile(quality, 0.67)"), 6).alias("p67"),
+    # r12 rework (pulled forward from the r13 queue): the tercile
+    # table was a native grouped percentile() — the few-groups
+    # holistic trap (|sources| reducers buffer the whole corpus'
+    # quality column; the class measured exponent 1.37 at 100×).
+    # Distributed selection computes the same interpolated values
+    # bit-for-bit (tests/test_percentiles.py), so the 6-dp rounded
+    # thresholds and the oracle hash cannot move.
+    pe = group_percentiles_exact(q, "source", "quality", [0.33, 0.67])
+    th = pe.groupBy("source").agg(
+        F.round(F.max(F.when(F.col("p") == 0.33, F.col("pct"))), 6).alias("p33"),
+        F.round(F.max(F.when(F.col("p") == 0.67, F.col("pct"))), 6).alias("p67"),
     )
     return q.join(F.broadcast(th), "source").select(
         "doc_id",

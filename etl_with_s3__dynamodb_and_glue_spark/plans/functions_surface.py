@@ -1316,14 +1316,31 @@ LINEITEM_CORR_MATRIX_SQL = _corr_sql()
 def orders_price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global decile binning done scale-safe: `ntile(10) OVER ()` is
     the single-task trap (an un-partitioned window), so the boundaries
-    come from ONE percentile aggregate, broadcast, and each row bins
+    come from ONE percentile pass, broadcast, and each row bins
     itself by counting boundaries <= value — per-row array math, no
-    global sort. Output: per-decile row count and realized [lo, hi]."""
+    global sort. Output: per-decile row count and realized [lo, hi].
+
+    r12 rework (banked r11): the boundary pass was an UN-grouped
+    native ``percentile(array(9))`` — the worst instance of the
+    holistic-aggregate class, since the single group buffers the
+    ENTIRE price column in ONE reducer task (the grouped form of the
+    same trap measured exponent 1.37 at 100× before the r11
+    order_price_percentiles fix). Boundaries now come from
+    operators/percentiles.py::global_percentiles_exact (distributed
+    selection, bit-identical interpolation — oracle hash unchanged),
+    re-assembled into the p-ordered bounds array the binning
+    expression always consumed."""
+    from ..operators.percentiles import global_percentiles_exact
+
     orders = _orders(spark, sf_dir)
-    qs = orders.agg(
-        F.expr(
-            "percentile(o_totalprice, "
-            "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+    qs = global_percentiles_exact(
+        orders,
+        "o_totalprice",
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9],
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "pct"))),
+            lambda s: s["pct"],
         ).alias("bounds")
     )
     binned = orders.crossJoin(F.broadcast(qs)).select(

@@ -617,11 +617,24 @@ def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     winsorized sum exact under the decimal-sum contract and makes the
     cross-engine threshold comparison robust to interpolation ULPs.
     Scale: percentile table is |groups| rows (broadcast); the fact
-    table shuffles once for each aggregate, never sorts globally."""
+    table shuffles once for each aggregate, never sorts globally.
+
+    r12 rework (banked r11): the threshold pass was a native grouped
+    ``percentile()`` — the few-groups holistic trap (3 returnflag
+    reducers buffer the whole fact table; the class measured exponent
+    1.37 at 100× on order_price_percentiles). Thresholds now come
+    from operators/percentiles.py::group_percentiles_exact
+    (distributed selection, bit-identical interpolation, then the
+    same cents rounding — oracle hash unchanged), pivoted long→wide."""
+    from ..operators.percentiles import group_percentiles_exact
+
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    pct = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.05), 2).alias("p05"),
-        F.round(F.percentile("l_extendedprice", 0.95), 2).alias("p95"),
+    pe = group_percentiles_exact(
+        li, "l_returnflag", "l_extendedprice", [0.05, 0.95]
+    )
+    pct = pe.groupBy("l_returnflag").agg(
+        F.round(F.max(F.when(F.col("p") == 0.05, F.col("pct"))), 2).alias("p05"),
+        F.round(F.max(F.when(F.col("p") == 0.95, F.col("pct"))), 2).alias("p95"),
     )
     clamped = F.least(
         F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")

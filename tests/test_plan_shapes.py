@@ -353,6 +353,34 @@ def test_winsorized_stats_percentile_table_is_broadcast(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_no_native_percentile_in_swapped_plans(spark):
+    """The r12 percentile swaps (banked r11): none of the three
+    remaining holistic-percentile users may re-acquire a native
+    ``percentile()`` aggregate — the few-groups form buffers the
+    whole column in a handful of reducers (measured exponent 1.37 at
+    100×, and the un-grouped decile-bins form buffered EVERYTHING in
+    one task). The physical plan shows holistic aggregates as
+    ObjectHashAggregate with a `percentile(` expression; distributed
+    selection uses only HashAggregate / window nodes."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
+        doc_source_quality_buckets,
+    )
+    from etl_with_s3__dynamodb_and_glue_spark.plans.functions_surface import (
+        orders_price_decile_bins,
+    )
+    from etl_with_s3__dynamodb_and_glue_spark.plans.tpch_like import (
+        lineitem_winsorized_stats,
+    )
+
+    for fn in (
+        orders_price_decile_bins,
+        lineitem_winsorized_stats,
+        doc_source_quality_buckets,
+    ):
+        plan = plan_str(fn(spark, SF_SMOKE))
+        assert "percentile(" not in plan, (fn.__name__, plan)
+
+
 def test_split_assignment_prunes_text_column(spark):
     """The split is a pure function of doc_id; the parquet scan must
     read only (doc_id, source) — dragging the text column through a
