@@ -315,3 +315,93 @@ def boilerplate_fraction(
         )
     )
     return unpersist_on_release(result, base)
+
+
+def novelty_fraction(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty: treating ``id_col`` as arrival order, the
+    fraction of each document's distinct word ``n``-grams whose FIRST
+    corpus occurrence is this document — how much genuinely new
+    content the doc contributes (1.0 all new, 0.0 everything seen
+    before). The dual of :func:`boilerplate_fraction` (which asks how
+    much is SHARED); dedup keeps one copy of repeated content, novelty
+    ranks what remains for training order.
+
+    Plan shape (r12 rework, banked in the r11 brief): the r3–r11 form
+    was the OLD boilerplate skeleton — string grams exploded, a
+    first-seen aggregate, then the GRAM STREAM joined back against
+    the corpus-proportional first-seen table. The r11 saga measured
+    that exact shape slow (33.6 s at 500k docs) and un-hintable (a
+    SHUFFLE_HASH build side that grows with the corpus OOMed at 5M).
+    Here the join-back is eliminated — and unlike boilerplate, the
+    owner trick is EXACT for every parameter, no ``min_docs``
+    restriction: a gram's first owner IS ``min(doc_id)``, so
+
+        novelty_frac(doc) = |grams with min(doc_id) == doc| /
+                            n_distinct_grams(doc)
+
+    needs only (a) the in-row distinct-gram COUNT (``size``, zero
+    shuffle), (b) ONE gram-key aggregate carrying ``min(doc_id)``
+    (map-side combinable), (c) a tiny owner groupBy, and (d) one
+    doc-keyed join of two ≤n_docs-row frames. One gram-key shuffle
+    total; nothing joins the gram stream against anything. The r11
+    triad of independently-measured ingredients all apply: tokenize
+    STAGED in its own projection (an inline tokens() under the
+    n-gram transform lambda re-evaluates per window — HOF-LAMBDA
+    RULE, operators/text.py), grams as 64-BIT HASHES
+    (``word_ngram_hashes``; string arrays are ~6× the bytes), and the
+    per-doc gram arrays PERSISTED (two consumers share no exchange).
+
+    The division is bit-identical to the old avg-of-indicators form:
+    the indicator sum over a doc's grams IS the owner count, and both
+    divide the same exact-integer doubles. The DuckDB oracle replays
+    with gram STRINGS — same groupings unless an xxhash64 collision
+    (~n²/2⁶⁴), the established contract of boilerplate_fraction /
+    duplicate_spans / ngram_containment.
+
+    Output: (doc_id, n_distinct_grams, novelty_frac) — frac NULL when
+    the doc is shorter than ``n`` tokens.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..caching import unpersist_on_release
+
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk"))
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngram_hashes(F.col("tk"), n)).alias("gs"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = base.select(
+        "doc_id",
+        F.coalesce(F.size("gs"), F.lit(0)).cast("long").alias(
+            "n_distinct_grams"
+        ),
+    )
+    owners = (
+        base.select("doc_id", F.explode("gs").alias("gram"))
+        .groupBy("gram")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+        .withColumnRenamed("first_doc", "doc_id")
+    )
+    per_doc = counts.join(owners, "doc_id", "left").select(
+        "doc_id",
+        "n_distinct_grams",
+        F.when(
+            F.col("n_distinct_grams") > 0,
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_distinct_grams").cast("double"),
+                6,
+            ),
+        ).alias("novelty_frac"),
+    )
+    return unpersist_on_release(per_doc, base)

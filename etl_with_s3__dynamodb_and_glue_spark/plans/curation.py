@@ -596,41 +596,18 @@ def doc_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     much is SHARED); dedup keeps one copy of repeated content, novelty
     ranks what remains for training order.
 
-    Plan shape: in-row gram dedup before the explode, first-seen =
-    one min-aggregate keyed by gram, one join back — the exact
-    two-shuffle skeleton of boilerplate_fraction, sharing its skew
-    discipline."""
-    from ..operators.text import tokens, word_ngrams
+    Plan shape (r12): operators/curation.py::novelty_fraction — the
+    join-free owner rework banked in the r11 brief. The old form here
+    was the verbatim OLD boilerplate skeleton (string grams, gram
+    stream joined back against a corpus-proportional first-seen
+    table) that the r11 saga measured slow at 500k and OOM-prone at
+    5M; the owner trick (carry min(doc_id) through the single
+    gram-key aggregate) is EXACT for novelty — see the operator
+    docstring for the arithmetic-equality argument."""
+    from ..operators.curation import novelty_fraction
 
     docs = _docs(spark, sf_dir)
-    grams = docs.select(
-        "doc_id", tokens("text").alias("tk")
-    ).select(
-        "doc_id",
-        F.explode(F.array_distinct(word_ngrams(F.col("tk"), 5))).alias("gram"),
-    )
-    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        grams.join(first_seen, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
-            F.round(
-                F.avg((F.col("first_doc") == F.col("doc_id")).cast("double")), 6
-            ).alias("novelty_frac"),
-        )
-    )
-    return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_distinct_grams", F.lit(0).cast("long")).alias(
-                "n_distinct_grams"
-            ),
-            "novelty_frac",
-        )
-    )
+    return novelty_fraction(docs, n=5)
 
 
 DOC_NOVELTY_FRACTION_SQL = """

@@ -168,6 +168,34 @@ def test_boilerplate_general_min_docs_path_agrees_with_fast_path(spark):
     assert gen[3].boilerplate_frac is None
 
 
+def test_novelty_fraction_first_owner_semantics(spark):
+    """r12 join-free rework (operators/curation.py::novelty_fraction):
+    doc_id is arrival order, so the EARLIEST doc containing a gram
+    owns it. Doc 1 owns all 3 of its grams (1.0); doc 2 shares
+    "a b c d e" with doc 1 (owner = 1) but owns its other 2 grams
+    (2/3); a too-short doc gets 0 grams / NULL frac; a verbatim later
+    copy of doc 1 owns nothing (0.0)."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.curation import (
+        novelty_fraction,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e unique1 tail"),
+            (2, "a b c d e other2 end"),
+            (3, "too short"),
+            (4, "a b c d e unique1 tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in novelty_fraction(docs, n=5).collect()}
+    assert rows[1].n_distinct_grams == 3 and rows[1].novelty_frac == 1.0
+    assert rows[2].n_distinct_grams == 3
+    assert abs(rows[2].novelty_frac - round(2 / 3, 6)) < 1e-9
+    assert rows[3].n_distinct_grams == 0 and rows[3].novelty_frac is None
+    assert rows[4].n_distinct_grams == 3 and rows[4].novelty_frac == 0.0
+
+
 def test_classifier_broadcasts_model_and_handles_empty(spark):
     from etl_with_s3__dynamodb_and_glue_spark.operators.classifier import (
         classifier_scores,

@@ -612,3 +612,31 @@ def test_boilerplate_min_docs_2_path_never_joins_the_gram_stream(spark):
         assert n_joins <= 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_novelty_fraction_never_joins_the_gram_stream(spark):
+    """r12 regression pin — same class as the boilerplate pin above.
+    The old doc_novelty_fraction carried the verbatim OLD boilerplate
+    skeleton (gram stream joined back against the corpus-proportional
+    first-seen table — slow at 500k, un-hintable, OOM at 5M). The
+    rework's only join is the doc-keyed counts ⋈ owners left join, so
+    with broadcast disabled the plan carries at most ONE join of any
+    kind, and the gram stream feeds nothing but its one aggregate."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.curation import (
+        doc_novelty_fraction,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_str(doc_novelty_fraction(spark, SF_SMOKE), "simple")
+        n_joins = (
+            plan.count("SortMergeJoin")
+            + plan.count("ShuffledHashJoin")
+            + plan.count("BroadcastHashJoin")
+            + plan.count("BroadcastNestedLoopJoin")
+            + plan.count("CartesianProduct")
+        )
+        assert n_joins <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

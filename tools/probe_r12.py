@@ -1,0 +1,71 @@
+"""Round-12 scale probe for the four touched lineages.
+
+Usage: python tools/probe_r12.py [docs|rel]
+
+* ``docs``  — doc_novelty_fraction (join-free owner rework) and
+  doc_source_quality_buckets (distributed-selection terciles) over the
+  50k→500k corpus decade (.scale_probe/n50k, n500k).
+* ``rel``   — orders_price_decile_bins (ungrouped distributed
+  selection) and lineitem_winsorized_stats (grouped) over the
+  10×→100× relational decade (.scale_probe/t10x, t100x).
+
+Reuses tools/scale_probe.py's corpus generators, warm-up discipline and
+noop-sink timing; run each family in its OWN fresh process, never
+concurrently with another Spark job (BENCH_NOTES_r10 hygiene).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+import scale_probe as sp  # noqa: E402
+
+from etl_with_s3__dynamodb_and_glue_spark import get_spark  # noqa: E402
+
+BASE = os.path.join("/root/repo", ".scale_probe")
+
+
+def main() -> None:
+    family = sys.argv[1] if len(sys.argv) > 1 else "docs"
+    spark = get_spark(f"probe-r12-{family}")
+    qs = sp._registry()
+    if family == "docs":
+        for name, n in sp.XL_SIZES.items():
+            d = os.path.join(BASE, name)
+            if not os.path.isdir(os.path.join(d, "documents.parquet")):
+                sp.gen_documents(n, d)
+        qs["doc_token_stats"](spark, os.path.join(BASE, "n50k")).collect()
+        sp._time_queries(
+            spark,
+            ["doc_novelty_fraction", "doc_source_quality_buckets"],
+            sp.XL_SIZES,
+            BASE,
+            "n50k",
+            "n500k",
+            reps=3,
+        )
+    elif family == "rel":
+        for name, scale in sp.REL_XL_SIZES.items():
+            d = os.path.join(BASE, name)
+            if not os.path.isdir(os.path.join(d, "lineitem.parquet")):
+                sp.gen_relational(scale, d)
+        qs["pricing_summary"](spark, os.path.join(BASE, "t10x")).collect()
+        sp._time_queries(
+            spark,
+            ["orders_price_decile_bins", "lineitem_winsorized_stats"],
+            sp.REL_XL_SIZES,
+            BASE,
+            "t10x",
+            "t100x",
+            reps=4,
+        )
+    else:
+        sys.exit("family must be docs or rel")
+
+
+if __name__ == "__main__":
+    main()
