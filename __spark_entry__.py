@@ -165,6 +165,11 @@ _TOUCHED_THIS_ROUND = [
     # whitespace-only text read 1 under size(split(s,'')), diverging
     # from the oracle's strlen (latent: no blank docs in fixtures)
     "doc_char_entropy",
+    # r12 join-back audit's one actionable hit: the per-user
+    # first-seen aggregate (corpus-proportional) joined back onto the
+    # events stream + countDistinct → reworked join-free via
+    # collect_set(week) (calendar-bounded per user), two exchanges
+    "user_weekly_retention",
 ]
 
 _CHECK_FIRST = [

@@ -262,11 +262,23 @@ def with_char_entropy(
     the nested-filter r3 form, 8.6 s for the naively-chained zip_with
     form, ~1 s staged). Still zero shuffle — embarrassingly parallel
     over whatever partitioning the input already has, which is the
-    shape you want for a 100 TB quality-scoring pass."""
-    chars_c, ends_c = "_ce_chars", "_ce_ends"
+    shape you want for a 100 TB quality-scoring pass.
+
+    ``n_out`` is ``length(normalized)`` (ADVICE r11, medium): the
+    earlier ``size(split(s, ''))`` form reads 1 on EMPTY normalized
+    text (Spark's split('', '') is ['']), diverging from the oracle's
+    ``strlen``. The ENTROPY arithmetic keeps ``size(chars)`` as its
+    ``n`` on purpose — that n is referenced inside the per-run-count
+    lambda, where size(attribute) is O(1) but length(string) is
+    O(|text|) per element (the HOF-LAMBDA class the r11 rework
+    removed); the two differ only on blank text, where the n>0-guarded
+    entropy is 0.0 either way (split('','')'s [''] run yields
+    −(1/1)·log₂(1) = 0), so entropy stays bit-identical."""
+    norm_c, chars_c, ends_c = "_ce_norm", "_ce_chars", "_ce_ends"
     staged = (
-        df.withColumn(
-            chars_c, F.array_sort(F.split(normalize(text_col), ""))
+        df.withColumn(norm_c, normalize(text_col))
+        .withColumn(
+            chars_c, F.array_sort(F.split(F.col(norm_c), ""))
         )
         .withColumn(ends_c, _char_run_ends(F.col(chars_c)))
     )
@@ -274,8 +286,8 @@ def with_char_entropy(
     ent = _entropy_from_counts(_counts_from_ends(F.col(ends_c)), n)
     staged = staged.withColumn(out, ent)
     if n_out is not None:
-        staged = staged.withColumn(n_out, n)
-    return staged.drop(chars_c, ends_c)
+        staged = staged.withColumn(n_out, F.length(F.col(norm_c)))
+    return staged.drop(norm_c, chars_c, ends_c)
 
 
 def quality_score(

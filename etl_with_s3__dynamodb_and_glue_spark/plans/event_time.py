@@ -519,25 +519,39 @@ ORDER BY day, t.event_type
 def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen week
     (cohort), counted distinct in each subsequent week offset — the
-    product-analytics staple. Two aggregates keyed by user_id share
-    one exchange (first-seen is a min over the same key the activity
-    rows carry); the matrix itself is tiny (weeks × offsets).
-    Week = days-since-epoch ÷ 7 so cohort boundaries are engine-
-    neutral (no ISO-week disagreement)."""
+    product-analytics staple. Week = days-since-epoch ÷ 7 so cohort
+    boundaries are engine-neutral (no ISO-week disagreement).
+
+    Plan shape (r12 join-back audit): the old form joined the
+    per-user first-seen aggregate (corpus-proportional, |users| rows)
+    back onto the events stream, then ran a countDistinct — three
+    exchanges and a user-keyed join. One per-user aggregate carrying
+    BOTH min(week) and collect_set(week) (the set is
+    calendar-bounded, ≤ weeks in the retention horizon, NOT
+    event-proportional) eliminates the join, and because a user's
+    weeks are distinct and cohort is fixed per user, each (user,
+    offset) pair appears exactly once after the explode — so the
+    countDistinct degenerates to a map-side-combinable count. Two
+    exchanges, no join, identical matrix."""
     ev = read_events(spark, sf_dir).select(
         "user_id",
         F.floor(F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7)
         .cast("long")
         .alias("week"),
     )
-    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week"),
+        F.collect_set("week").alias("weeks"),
+    )
     return (
-        ev.join(first, "user_id")
+        per_user.select(
+            "cohort_week", F.explode("weeks").alias("week")
+        )
         .groupBy(
             "cohort_week",
             (F.col("week") - F.col("cohort_week")).alias("week_offset"),
         )
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
 
 

@@ -1347,6 +1347,42 @@ def test_char_entropy_expression_and_staged_forms_agree(spark):
     assert expr == staged  # exact ==, not approx: bit-identical
 
 
+def test_with_char_entropy_n_chars_is_normalized_strlen(spark):
+    """ADVICE r11 (medium): n_chars must equal length(normalize(text))
+    — the oracle's strlen — INCLUDING on empty / whitespace-only text,
+    where the old size(split(s,'')) form read 1 (Spark split('','')
+    is ['']). Also pins the NULL-text edge (both forms NULL)."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators.text import (
+        normalize,
+        with_char_entropy,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edges = spark.createDataFrame(
+        [(-1, ""), (-2, "   "), (-3, "héllo wörld"), (-4, None)],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edges)
+    rows = (
+        with_char_entropy(both, "text", out="e", n_out="n_chars")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.length(normalize("text")).alias("expect"),
+        )
+        .collect()
+    )
+    assert rows, "empty comparison frame"
+    for r in rows:
+        assert r.n_chars == r.expect, (r.doc_id, r.n_chars, r.expect)
+    by_id = {r.doc_id: r.n_chars for r in rows}
+    assert by_id[-1] == 0 and by_id[-2] == 0  # the ADVICE divergence
+    assert by_id[-4] is None
+
+
 def test_psi_drift_zero_for_identical_and_positive_for_shift(spark):
     from etl_with_s3__dynamodb_and_glue_spark.operators.profile import psi_drift
 

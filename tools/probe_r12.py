@@ -8,6 +8,14 @@ Usage: python tools/probe_r12.py [docs|rel]
 * ``rel``   — orders_price_decile_bins (ungrouped distributed
   selection) and lineitem_winsorized_stats (grouped) over the
   10×→100× relational decade (.scale_probe/t10x, t100x).
+* ``emb``   — the ANN serving family's THIRD decade (1M→10M vectors,
+  .scale_probe/e1m, e10m) — carried from the r10 brief twice; this is
+  the decade where the indexed-vs-brute separation claim either holds
+  or breaks, and where the 1M index-build cost (k-means-dominated,
+  r10 notes) gets its 10M measurement. Index builds print untimed-
+  build lines like the xl probe; serving reps=2 (docs-xxl precedent:
+  treat same-session reps as a smoke record, quote fresh-session
+  steady state).
 
 Reuses tools/scale_probe.py's corpus generators, warm-up discipline and
 noop-sink timing; run each family in its OWN fresh process, never
@@ -63,8 +71,14 @@ def main() -> None:
             "t100x",
             reps=4,
         )
+    elif family == "emb":
+        xxl_sizes = {"e1m": 1_000_000, "e10m": 10_000_000}
+        sp._prep_embedding_corpora(spark, BASE, xxl_sizes)
+        sp._time_queries(
+            spark, sp.EMB_QUERIES, xxl_sizes, BASE, "e1m", "e10m", reps=2
+        )
     else:
-        sys.exit("family must be docs or rel")
+        sys.exit("family must be docs, rel or emb")
 
 
 if __name__ == "__main__":
