@@ -71,6 +71,80 @@ def main() -> None:
             "t100x",
             reps=4,
         )
+    elif family == "stores":
+        # THIRD decade of the STORE-SIZE axis (500k→5M-doc signature
+        # stores, fixed 500-doc arrival batch) — r10 brief item 6,
+        # carried twice. Mirrors tools/scale_probe.py::probe_stores_xl
+        # one decade up; the n5m corpus already exists from the r11
+        # docs-xxl probes. The claim under test: serving cost vs
+        # absorbed history — decade 2 measured 0.29, and the serving
+        # join's store side (S × bands exploded 8-byte keys) is the
+        # term that could drift toward linear as S dominates.
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from etl_with_s3__dynamodb_and_glue_spark.operators import dedup
+
+        sizes = {"n500k": 500_000, "n5m": 5_000_000}
+        for name, n in sizes.items():
+            d = os.path.join(BASE, name)
+            if not os.path.isdir(os.path.join(d, "documents.parquet")):
+                sp.gen_documents(n, d)
+        docs500k = spark.read.parquet(
+            os.path.join(BASE, "n500k", "documents.parquet")
+        )
+        docs5m = spark.read.parquet(
+            os.path.join(BASE, "n5m", "documents.parquet")
+        )
+        sdir = os.path.join(BASE, "stores_xxl")
+        shutil.rmtree(sdir, ignore_errors=True)
+        os.makedirs(sdir)
+        sp._noop(dedup.exact_dedup(docs500k.limit(200)))
+        mh = {}
+        import json as _json
+        import time as _time
+
+        for name, docs in (("s500k", docs500k), ("s5m", docs5m)):
+            p = os.path.join(sdir, f"minhash_{name}")
+            t0 = _time.perf_counter()
+            dedup.build_minhash_store(docs, p)
+            print(
+                _json.dumps(
+                    {
+                        "build": f"minhash_store_{name}",
+                        "sec": round(_time.perf_counter() - t0, 3),
+                        "timed": False,
+                    }
+                )
+            )
+            mh[name] = p
+
+        def arrivals(n):
+            # n500k is an exact prefix of n5m (shared generator seed),
+            # so these re-keyed rows carry real dups against BOTH
+            return docs5m.filter(F.col("doc_id") < n).withColumn(
+                "doc_id", F.col("doc_id") + 10_000_000
+            )
+
+        serve = {}
+        for name in ("s500k", "s5m"):
+            store = dedup.load_minhash_store(spark, mh[name])
+            serve[name] = sp._probe_call(
+                spark,
+                "minhash_store_serving",
+                lambda rep, s=store: sp._noop(
+                    dedup.minhash_near_dups_vs_store(arrivals(500), s)
+                ),
+                store=name,
+                batch=500,
+            )
+        sp._exp_line(
+            "minhash_store_serving_vs_store_size_decade3",
+            serve["s500k"],
+            serve["s5m"],
+            batch=500,
+        )
     elif family == "emb":
         xxl_sizes = {"e1m": 1_000_000, "e10m": 10_000_000}
         sp._prep_embedding_corpora(spark, BASE, xxl_sizes)
