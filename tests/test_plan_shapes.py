@@ -271,16 +271,31 @@ def test_weighted_sample_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_decile_bins_have_no_window(spark):
-    """Scale-safe quantile binning must contain NO window operator at
-    all — boundaries broadcast, rows bin themselves."""
+def test_decile_bins_have_no_data_sized_window(spark):
+    """Scale-safe quantile binning: no single-task window over the
+    DATA. The original pin was "no Window node at all" (boundaries
+    from one percentile aggregate); since the r12 swap to distributed
+    selection the boundary pass legitimately contains Window nodes —
+    the per-slice rank is partitioned by (partition-id, group), and
+    the offset/collect windows run over metadata-sized frames
+    (≤ partitions × groups rows). What must NEVER return is (a) an
+    ntile/rank over the un-partitioned orders rows and (b) the native
+    holistic percentile. So: every Window in the plan either carries a
+    partition spec or consumes the slice-counts aggregate, pinned by
+    forbidding the two bad spellings instead of all windows."""
     import __spark_entry__ as entry_mod
 
     df = entry_mod.queries()["orders_price_decile_bins"](
         spark, "/root/testdata/sf0.001"
     )
     plan = plan_str(df)
-    assert "Window" not in plan, plan
+    assert "ntile" not in plan, plan
+    assert "percentile(" not in plan, plan
+    # the rank window over the data-sized pairs frame must be
+    # partitioned (spark_partition_id + group), never global
+    assert "row_number() windowspecdefinition(_pid" in plan.lower() or (
+        "row_number" not in plan.lower()
+    ), plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
 
 
