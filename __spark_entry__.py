@@ -129,6 +129,16 @@ _MODULES = [
 #      embedding_dedup_final, embedding_dedup_final_lsh,
 #      doc_dedup_final_lsh, asset_near_dups ...) — ALL r10-checked,
 #      all naturally in the r13 window.
+#   2. (found r12, BENCH_NOTES_r12 §7) Pin the serving-join build
+#      side in dedup.minhash_near_dups_vs_store: the r12 stores probe
+#      watched the optimizer broadcast a STORE-derived side (zstd
+#      size estimate under the session's 64 MB threshold) and
+#      collect >1 GiB of task results into the driver — a driver-OOM
+#      class at deployment scale. Fix = F.broadcast() the
+#      batch-sized sides explicitly (candidates / arrivals token
+#      sets), which pins the store side probe-only. Touches
+#      doc_arrivals_dedup_store (+ _lsh sibling if it shares the
+#      path) — r10-checked, naturally in the r13 window.
 #
 # r14 QUEUE (ADVICE r11 lows on operators/percentiles.py — blocked
 # by rule 2 until order_price_percentiles + doc_lm_outliers rotate

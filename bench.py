@@ -106,6 +106,36 @@ EXTRAS = [
 ]
 
 
+# Machine canary (VERDICT r11 item 5): a fixed 3-query probe timed at
+# session START (post-warm-up) and session END, so cross-session host
+# skew carries its own correction factor instead of a narrative — the
+# r11 artifacts measured 25.9 / 47.1 / 100.4 s on ONE unchanged tree
+# across three sessions, and the 4× had to be adjudicated by argument.
+# The set deliberately avoids HEADLINE/EXTRAS: running a headline
+# query here would pre-warm its plan and deflate the cold total that
+# the round-over-round series is built on. Compare canary_start
+# across sessions (cold-plan canary) and canary_end across sessions
+# (dirty-JVM canary); never mix the two.
+CANARY = ["returnflag_cube", "order_date_parts", "top_orders_global"]
+
+
+def _run_canary(spark, qs, sf_dir: str) -> dict[str, float | None]:
+    import gc
+
+    out: dict[str, float | None] = {}
+    for name in CANARY:
+        try:
+            spark.catalog.clearCache()
+            gc.collect()
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception:  # noqa: BLE001 — canary must never sink the run
+            out[name] = None
+    return out
+
+
 def _staged_queries() -> dict:
     """Implemented-but-not-yet-registered queries (rotation rule 1
     keeps them out of the registry until a window slot opens); timed
@@ -151,6 +181,8 @@ def main() -> None:
         spark.range(100).select(_warm("id")).collect()
     except Exception:  # noqa: BLE001 — a cold JVM still beats no numbers
         pass
+
+    canary_start = _run_canary(spark, qs, sf_dir)
 
     # IVF index build is the OFFLINE step of an ANN deployment (built
     # once, probed by every query batch) — run it before the timing
@@ -305,6 +337,8 @@ def main() -> None:
         if reps:
             extra_reps[name] = reps
 
+    canary_end = _run_canary(spark, qs, sf_dir)
+
     # Key order matters for the grading driver's FIXED-SIZE TAIL
     # capture (the r6 artifact arrived with the line's head — and the
     # headline metric — cut off): the bulky per-query dicts go FIRST
@@ -314,6 +348,8 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm_timings,
         "extra_reps": extra_reps,
+        "canary_start": canary_start,
+        "canary_end": canary_end,
         "extra": {
             "embedding_ivf_index_build": build_sec,
             "embedding_ivf_requery": requery_sec,
@@ -322,6 +358,12 @@ def main() -> None:
             "ivfpq_index_build": ivfpq_build_sec,
             "minhash_store_build": store_build_sec,
             "warm_total": warm_total,
+            "canary_start_total": round(
+                sum(t for t in canary_start.values() if t is not None), 3
+            ),
+            "canary_end_total": round(
+                sum(t for t in canary_end.values() if t is not None), 3
+            ),
             **extra_timings,
         },
         **({"errors": errors} if errors else {}),

@@ -37,10 +37,63 @@ from etl_with_s3__dynamodb_and_glue_spark import get_spark  # noqa: E402
 BASE = os.path.join("/root/repo", ".scale_probe")
 
 
+def _time_single_size(spark, qs, queries, size_name: str, reps: int = 2):
+    """One size point in its own fresh session — the emb decade-3
+    variant of scale_probe._time_queries. The single-session two-point
+    methodology OOMed at e10m even at 64g heap: the e1m builds' session
+    residue (cached index frames, MLlib init working set) stacked under
+    the e10m k-means|| init. docs-xxl's own hygiene note already
+    prefers fresh-session steady state at these sizes; exponents are
+    assembled from the two logs."""
+    import gc
+    import json as _json
+    import time as _time
+
+    for q in queries:
+        best = None
+        for rep in range(reps):
+            spark.catalog.clearCache()
+            gc.collect()
+            spark._jvm.System.gc()
+            t0 = _time.perf_counter()
+            qs[q](spark, os.path.join(BASE, size_name)).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = round(_time.perf_counter() - t0, 3)
+            best = dt if best is None or dt < best else best
+            print(
+                _json.dumps(
+                    {"query": q, "size": size_name, "rep": rep, "sec": dt}
+                ),
+                flush=True,
+            )
+        print(
+            _json.dumps({"query": q, "size": size_name, "sec_best": best}),
+            flush=True,
+        )
+
+
 def main() -> None:
     family = sys.argv[1] if len(sys.argv) > 1 else "docs"
-    spark = get_spark(f"probe-r12-{family}")
+    extra = {}
+    if family in ("stores", "emb", "emb1m", "emb10m"):
+        # broadcast construction collects task results to the driver;
+        # the s500k store side measured ~1.1 GiB against the 1g
+        # default maxResultSize (see BENCH_NOTES_r12 §6 — the 64 MB
+        # autoBroadcastJoinThreshold vs zstd-compressed size estimates
+        # interaction is itself a recorded scale finding)
+        extra["spark.driver.maxResultSize"] = "8g"
+    spark = get_spark(f"probe-r12-{family}", extra_conf=extra)
     qs = sp._registry()
+    if family in ("emb1m", "emb10m"):
+        sizes = (
+            {"e1m": 1_000_000}
+            if family == "emb1m"
+            else {"e10m": 10_000_000}
+        )
+        sp._prep_embedding_corpora(spark, BASE, sizes)
+        _time_single_size(spark, qs, sp.EMB_QUERIES, next(iter(sizes)))
+        return
     if family == "docs":
         for name, n in sp.XL_SIZES.items():
             d = os.path.join(BASE, name)
@@ -123,7 +176,10 @@ def main() -> None:
         def arrivals(n):
             # n500k is an exact prefix of n5m (shared generator seed),
             # so these re-keyed rows carry real dups against BOTH
-            return docs5m.filter(F.col("doc_id") < n).withColumn(
+            # stores; read them from the SMALLER corpus (matches the
+            # stores-xl decade-2 arrivals construction — filtering the
+            # 5M table gave the optimizer a corpus-sized size estimate)
+            return docs500k.filter(F.col("doc_id") < n).withColumn(
                 "doc_id", F.col("doc_id") + 10_000_000
             )
 
