@@ -94,6 +94,44 @@ def main() -> None:
         sp._prep_embedding_corpora(spark, BASE, sizes)
         _time_single_size(spark, qs, sp.EMB_QUERIES, next(iter(sizes)))
         return
+    if family in ("emb1m-ivf", "emb10m-ivf"):
+        # IVF-only decade-3 variant: ensure_pq_index trains codebooks
+        # on the FULL corpus (quantization.train_pq default
+        # train_fraction=1.0) and OOMed the 96g single-JVM heap at
+        # 10M vectors — sampled codebook training is banked for r13
+        # (the embedding_pq/ivfpq lineages rotate in then). The
+        # decade-3 headline claim (indexed-vs-brute separation) needs
+        # only brute + IVF, whose build trains on a 25% sample.
+        import json as _json
+        import time as _time
+
+        from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
+
+        size_name = "e1m" if family == "emb1m-ivf" else "e10m"
+        n = 1_000_000 if size_name == "e1m" else 10_000_000
+        d = os.path.join(BASE, size_name)
+        if not os.path.isdir(os.path.join(d, "embeddings.parquet")):
+            sp.gen_embeddings(n, d)
+        t0 = _time.perf_counter()
+        llm_ops.ensure_ivf_index(spark, d)
+        print(
+            _json.dumps(
+                {
+                    "build": f"ivf_{size_name}",
+                    "sec": round(_time.perf_counter() - t0, 3),
+                    "timed": False,
+                }
+            ),
+            flush=True,
+        )
+        _time_single_size(
+            spark,
+            qs,
+            ["embedding_topk_bruteforce", "embedding_ivf_topk"],
+            size_name,
+            reps=3,
+        )
+        return
     if family == "docs":
         for name, n in sp.XL_SIZES.items():
             d = os.path.join(BASE, name)
