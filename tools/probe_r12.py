@@ -73,6 +73,123 @@ def _time_single_size(spark, qs, queries, size_name: str, reps: int = 2):
         )
 
 
+# r12-window lineages with no XL row on record (r11 precedent: every
+# in-window lineage gets a second-decade probe). doc_split_leakage_audit
+# is EXCLUDED by design: the exact all-pairs twin is the deliberately
+# small-N oracle path — its scale path is the already-probed _lsh
+# variant. user_sessions / doc_char_entropy / the five reworked queries
+# already have r12 rows.
+WIN_DOCS = [
+    "doc_per_source_sample",
+    "doc_training_order",
+    "doc_curation_funnel",
+    "doc_encoding_audit",
+    "doc_decontamination_bloom",
+    "doc_length_buckets",
+    "doc_split_assignment",
+    "doc_vocab_coverage",
+    "doc_source_token_budget",
+    "doc_arrivals_dedup",
+    "asset_frame_samples",
+]
+WIN_REL = [
+    "customer_scd1_merge",
+    "customer_cdc_apply",
+    "orders_profile",
+    "user_conversion_funnel",
+    "fk_integrity_audit",
+    "orders_expectations",
+    "events_forward_fill",
+    "volume_shipping",
+    "user_daily_anomalies",
+    "serving_top_rows_lookup",
+    "events_daily_complete",
+    "user_weekly_retention",
+    "event_type_transitions",
+    "events_daily_rollup_incremental",
+    "event_type_cooccurrence",
+    "events_wow_change",
+    "segment_nation_chi2",
+    "part_name_fuzzy_matches",
+    "lineitem_corr_matrix",
+    "customer_scd2_apply",
+    "customer_balance_zscores",
+    "orders_pit_customer_balance",
+    "rolling_7d_distinct_users",
+    "events_customers_null_bypass",
+    "clicks_asof_recent_view",
+    "daily_new_users_cumulative",
+    "order_quantity_arrays",
+    "event_key_skew_profile",
+    "eventers_orderers_full_outer",
+    "top_orders_global",
+    "customers_without_events_anti",
+]
+
+
+def _sweep(spark, qs, queries, small: str, big: str, reps: int = 3):
+    """r11-style window sweep with per-query failure isolation (a
+    query that needs a table the probe corpus lacks records an error
+    instead of killing the family) and a long-rep guard (rep 1 over
+    300 s skips further reps — the number is already the story)."""
+    import gc
+    import json as _json
+    import math
+    import time as _time
+
+    for q in queries:
+        best = {}
+        for size in (small, big):
+            reps_done = []
+            for rep in range(reps):
+                spark.catalog.clearCache()
+                gc.collect()
+                spark._jvm.System.gc()
+                t0 = _time.perf_counter()
+                try:
+                    qs[q](spark, os.path.join(BASE, size)).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                except Exception as exc:  # noqa: BLE001
+                    print(
+                        _json.dumps(
+                            {
+                                "query": q,
+                                "size": size,
+                                "error": f"{type(exc).__name__}: {exc}"[:300],
+                            }
+                        ),
+                        flush=True,
+                    )
+                    break
+                dt = round(_time.perf_counter() - t0, 3)
+                reps_done.append(dt)
+                print(
+                    _json.dumps(
+                        {"query": q, "size": size, "rep": rep, "sec": dt}
+                    ),
+                    flush=True,
+                )
+                if dt > 300:
+                    break
+            if reps_done:
+                best[size] = min(reps_done)
+        if len(best) == 2 and best[small] > 0:
+            print(
+                _json.dumps(
+                    {
+                        "query": q,
+                        f"sec_{small}": best[small],
+                        f"sec_{big}": best[big],
+                        "scaling_exponent": round(
+                            math.log(best[big] / best[small]) / math.log(10), 3
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+
+
 def main() -> None:
     family = sys.argv[1] if len(sys.argv) > 1 else "docs"
     extra = {}
@@ -162,6 +279,20 @@ def main() -> None:
             "t100x",
             reps=4,
         )
+    elif family == "win-docs":
+        for name, n in sp.XL_SIZES.items():
+            d = os.path.join(BASE, name)
+            if not os.path.isdir(os.path.join(d, "documents.parquet")):
+                sp.gen_documents(n, d)
+        qs["doc_token_stats"](spark, os.path.join(BASE, "n50k")).collect()
+        _sweep(spark, qs, WIN_DOCS, "n50k", "n500k", reps=3)
+    elif family == "win-rel":
+        for name, scale in sp.REL_XL_SIZES.items():
+            d = os.path.join(BASE, name)
+            if not os.path.isdir(os.path.join(d, "lineitem.parquet")):
+                sp.gen_relational(scale, d)
+        qs["pricing_summary"](spark, os.path.join(BASE, "t10x")).collect()
+        _sweep(spark, qs, WIN_REL, "t10x", "t100x", reps=3)
     elif family == "stores":
         # THIRD decade of the STORE-SIZE axis (500k→5M-doc signature
         # stores, fixed 500-doc arrival batch) — r10 brief item 6,
