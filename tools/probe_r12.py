@@ -89,7 +89,13 @@ WIN_DOCS = [
     "doc_split_assignment",
     "doc_vocab_coverage",
     "doc_source_token_budget",
-    "doc_arrivals_dedup",
+    # doc_arrivals_dedup EXCLUDED mid-sweep (measured 868.6 s at a
+    # MERE 50k docs): like doc_split_leakage_audit it is the
+    # documented exact O(|A|·|C|) oracle twin (llm_ops.py:1187) —
+    # small-N by design; the shape a real ingest runs is
+    # doc_arrivals_dedup_lsh/_store, both already probed (store axis
+    # through THREE decades). An all-pairs twin's cost curve is not a
+    # finding, it's its definition.
     "asset_frame_samples",
 ]
 WIN_REL = [
@@ -280,19 +286,23 @@ def main() -> None:
             reps=4,
         )
     elif family == "win-docs":
+        only = set(sys.argv[2:])
         for name, n in sp.XL_SIZES.items():
             d = os.path.join(BASE, name)
             if not os.path.isdir(os.path.join(d, "documents.parquet")):
                 sp.gen_documents(n, d)
         qs["doc_token_stats"](spark, os.path.join(BASE, "n50k")).collect()
-        _sweep(spark, qs, WIN_DOCS, "n50k", "n500k", reps=3)
+        sel = [q for q in WIN_DOCS if not only or q in only]
+        _sweep(spark, qs, sel, "n50k", "n500k", reps=3)
     elif family == "win-rel":
+        only = set(sys.argv[2:])
         for name, scale in sp.REL_XL_SIZES.items():
             d = os.path.join(BASE, name)
             if not os.path.isdir(os.path.join(d, "lineitem.parquet")):
                 sp.gen_relational(scale, d)
         qs["pricing_summary"](spark, os.path.join(BASE, "t10x")).collect()
-        _sweep(spark, qs, WIN_REL, "t10x", "t100x", reps=3)
+        sel = [q for q in WIN_REL if not only or q in only]
+        _sweep(spark, qs, sel, "t10x", "t100x", reps=3)
     elif family == "stores":
         # THIRD decade of the STORE-SIZE axis (500k→5M-doc signature
         # stores, fixed 500-doc arrival batch) — r10 brief item 6,
