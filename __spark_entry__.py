@@ -37,7 +37,7 @@ _MODULES = [
 
 # The driver's correctness harness checks the FIRST 50 registry entries
 # per round; the registry is larger than that, so ordering is coverage
-# policy (round 12 edition). Rotation rules (tested by
+# policy (round 13 edition). Rotation rules (tested by
 # tests/test_registry_rotation.py):
 #   1. every query never seen in ANY CORRECTNESS_r*.json artifact must
 #      be in the current window (first 50) — nothing ships a round
@@ -80,18 +80,20 @@ _MODULES = [
 # would outlive the local suite's regression horizon, while redundant
 # variants are exactly the coverage a full window can't afford.
 #
-# ROUND-12 WINDOW: the 14 r8 deferrals from the head of the r11
+# ROUND-13 WINDOW: the 6 r9 deferrals from the head of the r12
 # _CHECK_LAST (mandatory — the last-three artifacts as of
-# construction are r9/r10/r11 and these sit only in r8), plus
-# user_sessions (rule 3), plus doc_char_entropy (rule 2: the ADVICE
-# r11 medium fix — with_char_entropy's n_chars must come from
-# length(normalized), not size(split(s,'')), which is 1 on empty
-# text — touches its only consumer), plus 34 of the 40-query
-# r9-checked block. doc_char_entropy's +1 over the precomputed
-# zero-slack window is PAID FOR by deferring a sixth r9 query to
-# r13's slack slot (published_segment_kpis…embedding_hard_negatives,
-# the six at the head of _CHECK_LAST — none on any r12/r13 queued
-# lineage). Exactly 50.
+# construction are r10/r11/r12 and these sit only in r9), plus
+# user_sessions (rule 3), plus embedding_ivfpq_topk (rule 2: the
+# banked sampled-PQ-training fix touches train_pq → ensure_pq_index →
+# both PQ consumers; this one is r11-checked so it costs a slot),
+# plus 42 of the 49-query r10-checked block. embedding_ivfpq_topk's
+# +1 is PAID FOR by deferring a SEVENTH r10 query to r14
+# (returnflag_cube…events_activity_concurrency, the seven at the
+# head of _CHECK_LAST — none on any r13/r14 queued lineage). The 42
+# include every lineage the three banked r13 fixes touch: the six
+# resolve_near_dups consumers (CC double-persist), both
+# minhash_near_dups_vs_store consumers (broadcast-side pin), and
+# embedding_pq_topk (sampled PQ training). Exactly 50.
 #
 # CORRECTNESS_r11.json provenance: the round-11 driver committed
 # VERDICT/ADVICE/BENCH but wrote no correctness artifact (VERDICT r11
@@ -104,160 +106,104 @@ _MODULES = [
 # staleness arithmetic would misread the 19 r7-checked queries
 # re-verified at r11 as never-re-checked and force a 69-wide window.
 #
-# SCHEDULE THROUGH r15 (from the last-checked map: 14 r8 / 40 r9 /
-# 49 r10 / 50 r11): r12 = 14 r8 + user_sessions + doc_char_entropy +
-# 34 r9 (EXACTLY 50, zero slack); r13 = the remaining 6 r9 + 43 of
-# the 49 r10-checked + user_sessions (50, zero slack — the sixth-r9
-# deferral consumed the slack slot; the 43 MUST include every
-# resolve_near_dups consumer for the queued CC fix, all r10-checked);
-# r14 = the remaining 6 r10 + 43 r11-checked + user_sessions (50;
-# include order_price_percentiles + doc_lm_outliers for the queued
-# percentiles.py hardening); r15 = the remaining 7 r11 + 42
-# r12-checked + user_sessions. Capacity test ceiling 197 ≥ 153 holds
-# throughout.
+# SCHEDULE THROUGH r16 (from the last-checked map after r12: 6 r9 /
+# 49 r10 / 48 r11 / 50 r12): r13 = 6 r9 + user_sessions +
+# embedding_ivfpq_topk (rule 2, pulled from the r11 block) + 42 r10
+# (EXACTLY 50, zero slack — the seventh-r10 deferral pays for the
+# ivfpq pull); r14 = the remaining 7 r10 + 42 r11-checked +
+# user_sessions (50; the 42 MUST include order_price_percentiles +
+# doc_lm_outliers for the queued percentiles.py hardening); r15 =
+# the remaining 5 r11 + 44 r12-checked + user_sessions (50); r16 =
+# the remaining 5 r12 + 44 r13-checked + user_sessions. Capacity
+# test ceiling 197 ≥ 153 holds throughout.
 #
-# r13 PERF/FIX QUEUE (banked, blocked by rule 2 this round):
-#   1. ADVICE r10 item 1 (dedup.py:823): on the distributed CC path
-#      the caller's unpartitioned edges_sym persist stays pinned while
-#      _pointer_jump_components persists a repartitioned copy —
-#      double cache footprint on exactly the crawl-scale path. Fix =
-#      materialize the repartitioned copy then unpersist the source
-#      inside _pointer_jump_components (or skip the caller persist
-#      when n_sym > CC_LOCAL_MAX_EDGES). Touches connected_components
-#      → every resolve_near_dups consumer (doc_dedup_final,
-#      doc_dedup_keep_best, doc_dedup_cluster_stats,
-#      embedding_dedup_final, embedding_dedup_final_lsh,
-#      doc_dedup_final_lsh, asset_near_dups ...) — ALL r10-checked,
-#      all naturally in the r13 window.
-#   2. (found r12, BENCH_NOTES_r12 §7) Pin the serving-join build
-#      side in dedup.minhash_near_dups_vs_store: the r12 stores probe
-#      watched the optimizer broadcast a STORE-derived side (zstd
-#      size estimate under the session's 64 MB threshold) and
-#      collect >1 GiB of task results into the driver — a driver-OOM
-#      class at deployment scale. Fix = F.broadcast() the
-#      batch-sized sides explicitly (candidates / arrivals token
-#      sets), which pins the store side probe-only. Touches
-#      doc_arrivals_dedup_store (+ _lsh sibling if it shares the
-#      path) — r10-checked, naturally in the r13 window.
+# r13 DELIVERED (the three banked fixes, all rule-2 lineages
+# in-window this round):
+#   1. dedup.py CC double-persist (ADVICE r10 item 1):
+#      _pointer_jump_components now materializes its co-partitioned
+#      copy and releases the caller's unpartitioned edges_sym persist
+#      BEFORE the fixpoint loop — single cache footprint on the
+#      crawl-scale path.
+#   2. dedup.minhash_near_dups_vs_store broadcast-side pin
+#      (BENCH_NOTES_r12 §7): both serving joins now F.broadcast() the
+#      batch-derived side explicitly (banded arrivals; candidate
+#      pairs), so the optimizer can never pick a store-derived build
+#      side off a zstd size underestimate and collect corpus-scale
+#      task results into the driver. Plan test pins it.
+#   3. quantization.train_pq sampled codebook training: a
+#      max_train_rows cap (default 2^18) bounds the k-means training
+#      set — codebooks need the density shape, not every vector; the
+#      full-corpus default OOMed the 10M-vector build at r12.
+#      Behavior at ≤262k-row corpora (every driver/test SF) is
+#      bit-identical: the cap only engages above it.
 #
 # r14 QUEUE (ADVICE r11 lows on operators/percentiles.py — blocked
 # by rule 2 until order_price_percentiles + doc_lm_outliers rotate
-# back in): (a) persist `pairs` or keep relying on the documented
-# exchange-reuse invariant (docstring note landed r12, comment-only);
-# (b) wrap int(spark.conf.get('spark.sql.shuffle.partitions')) in
-# try/except for non-numeric deployments ('auto'). Both are
-# plan-identical here (exchangeReuse defaults on; the conf is always
-# numeric in this harness) — landing them early would burn two
-# zero-slack window slots on no-op-here hardening.
+# back in; re-raised by ADVICE r12): (a) persist `pairs` instead of
+# relying on the documented exchange-reuse invariant; (b) wrap
+# int(spark.conf.get('spark.sql.shuffle.partitions')) in try/except
+# for non-numeric deployments ('auto'). Both are plan-identical here
+# (exchangeReuse defaults on; the conf is always numeric in this
+# harness) — landing them early would burn five zero-slack window
+# slots (the three r12-checked percentile users plus these two).
+#
+# r15 QUEUE (ADVICE r12 low, event_time.py:544): make the null-week
+# contract of user_weekly_retention explicit in the ORACLE SQL
+# (WHERE ts IS NOT NULL in ev) when the query rotates back in —
+# r12-checked, so an oracle edit now would burn a slot; the intended
+# behavior (null weeks drop) is pinned by a pytest fixture this
+# round (test-only, rule-2-free).
 
-_WINDOW_ROUND = 12
+_WINDOW_ROUND = 13
 
 # Rule-2 ledger: queries whose code or oracle this round's diff
 # touched (directly or through a plan-lineage function they consume).
 # The rotation test enforces these sit inside the window.
 _TOUCHED_THIS_ROUND = [
-    # holistic-percentile class, final three users swapped to
-    # operators/percentiles.py distributed selection (banked r11;
-    # bit-equality suite pins the interpolation arithmetic):
-    # ungrouped percentile(array(9)) buffered the WHOLE price column
-    # in one task
-    "orders_price_decile_bins",
-    # grouped p05/p95 per returnflag (few-groups holistic trap)
-    "lineitem_winsorized_stats",
-    # grouped p33/p67 per source (pulled forward from the r13 queue —
-    # it rotates in naturally this round, so rule 2 is free and the
-    # class closes a round early)
-    "doc_source_quality_buckets",
-    # join-free owner rework (banked r11 — NOT a hint; the 5-gram
-    # build side is corpus-proportional and SHUFFLE_HASH OOMed at 5M)
-    "doc_novelty_fraction",
-    # ADVICE r11 medium: n_chars from length(normalized) — empty /
-    # whitespace-only text read 1 under size(split(s,'')), diverging
-    # from the oracle's strlen (latent: no blank docs in fixtures)
-    "doc_char_entropy",
-    # r12 join-back audit's one actionable hit: the per-user
-    # first-seen aggregate (corpus-proportional) joined back onto the
-    # events stream + countDistinct → reworked join-free via
-    # collect_set(week) (calendar-bounded per user), two exchanges
-    "user_weekly_retention",
+    # CC double-persist fix (connected_components /
+    # _pointer_jump_components): every resolve_near_dups consumer
+    "doc_dedup_final",
+    "doc_dedup_keep_best",
+    "doc_dedup_cluster_stats",
+    "doc_dedup_final_lsh",
+    "embedding_dedup_final",
+    "embedding_dedup_final_lsh",
+    # broadcast-side pin in minhash_near_dups_vs_store (direct +
+    # via minhash_near_dups_incremental)
+    "doc_arrivals_dedup_store",
+    "doc_arrivals_dedup_lsh",
+    # sampled PQ codebook training (train_pq -> ensure_pq_index ->
+    # both PQ consumers; ivfpq is the r11-checked pull-forward)
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    # seeded-sample determinism fix (found r13 while testing the PQ
+    # cap): pyspark's sample() drops a keyword seed when the fraction
+    # is positional, so build_ivf_index's 25% coarse-quantizer sample
+    # was silently nondeterministic per build — fixed to explicit
+    # keywords; touches every ensure_ivf_index consumer (ivfpq above
+    # is one too)
+    "embedding_ivf_topk",
+    "ivf_imbalance",
 ]
 
 _CHECK_FIRST = [
-    # --- checked r8, in none of r9/r10/r11: mandatory this round ---
-    "customer_scd1_merge",
-    "customer_cdc_apply",
-    "orders_profile",
-    "user_conversion_funnel",
-    "doc_per_source_sample",
-    "fk_integrity_audit",
-    "orders_expectations",
-    "events_forward_fill",
-    "volume_shipping",
-    "user_daily_anomalies",
-    "serving_top_rows_lookup",
-    "doc_arrivals_dedup",
-    "doc_training_order",
-    "doc_curation_funnel",
-    # --- incident-prone events.ts lineage, in-window every round ---
-    "user_sessions",
-    # --- rule 2: ADVICE r11 medium n_chars fix (with_char_entropy) —
-    # the +1 paid by the sixth r9 deferral ---
-    "doc_char_entropy",
-    # --- r9-checked block rotating back in (stale at r13 otherwise);
-    # includes the four rule-2-touched queries (three percentile
-    # swaps + the novelty rework); the 6 deferred to the r13 window
-    # are listed at the head of _CHECK_LAST ---
-    "asset_frame_samples",
-    "events_daily_complete",
-    "user_weekly_retention",
-    "event_type_transitions",
-    "events_daily_rollup_incremental",
-    "event_type_cooccurrence",
-    "events_wow_change",
-    "segment_nation_chi2",
-    "part_name_fuzzy_matches",
-    "lineitem_corr_matrix",
-    "orders_price_decile_bins",
-    "customer_scd2_apply",
-    "customer_balance_zscores",
-    "orders_pit_customer_balance",
-    "rolling_7d_distinct_users",
-    "events_customers_null_bypass",
-    "clicks_asof_recent_view",
-    "doc_encoding_audit",
-    "doc_novelty_fraction",
-    "doc_decontamination_bloom",
-    "daily_new_users_cumulative",
-    "doc_length_buckets",
-    "order_quantity_arrays",
-    "event_key_skew_profile",
-    "doc_split_assignment",
-    "doc_split_leakage_audit",
-    "doc_vocab_coverage",
-    "lineitem_winsorized_stats",
-    "eventers_orderers_full_outer",
-    "top_orders_global",
-    "customers_without_events_anti",
-    "doc_scrub_duplicate_spans",
-    "doc_source_quality_buckets",
-    "doc_source_token_budget",
-]
-_CHECK_LAST = [
-    # checked r9, deferred to the r13 window (the sixth —
-    # embedding_hard_negatives — pays for doc_char_entropy's rule-2
-    # slot; r13's slack slot absorbs it) — MANDATORY in the r13 window
+    # --- checked r9, in none of r10/r11/r12: mandatory this round ---
     "published_segment_kpis",
     "top_return_customers",
     "nation_revenue_pareto",
     "doc_token_budget_sample",
     "doc_lang_confusion",
     "embedding_hard_negatives",
-    # checked r10, parked (43 rotate in at r13, the last 6 at r14)
-    "returnflag_cube",
-    "order_date_parts",
-    "buyer_eventer_intersect",
-    "buyers_not_eventers_except",
-    "returnflag_status_pivot",
+    # --- incident-prone events.ts lineage, in-window every round ---
+    "user_sessions",
+    # --- rule 2: r11-checked, pulled forward for the sampled-PQ
+    # training fix — the +1 paid by the seventh r10 deferral ---
+    "embedding_ivfpq_topk",
+    # --- r10-checked block rotating back in (stale at r14
+    # otherwise); includes all nine remaining rule-2-touched
+    # queries (six CC consumers, two store-serving consumers,
+    # embedding_pq_topk); the 7 deferred to the r14 window are
+    # listed at the head of _CHECK_LAST ---
     "doc_arrivals_dedup_lsh",
     "doc_arrivals_dedup_store",
     "doc_split_leakage_audit_lsh",
@@ -300,12 +246,22 @@ _CHECK_LAST = [
     "doc_dedup_cluster_stats",
     "embedding_dedup_final",
     "embedding_dedup_final_lsh",
+]
+_CHECK_LAST = [
+    # checked r10, deferred to the r14 window (the seventh —
+    # events_activity_concurrency — pays for embedding_ivfpq_topk's
+    # rule-2 pull-forward) — MANDATORY in the r14 window
+    "returnflag_cube",
+    "order_date_parts",
+    "buyer_eventer_intersect",
+    "buyers_not_eventers_except",
+    "returnflag_status_pivot",
     "events_value_running_total",
     "events_activity_concurrency",
     # checked r11 (CORRECTNESS_r11.json, backfilled — see provenance
-    # note above), parked: 43 rotate in at r14 (must include
+    # note above), parked: 42 rotate in at r14 (must include
     # order_price_percentiles + doc_lm_outliers for the queued
-    # percentiles.py hardening), the last 7 at r15
+    # percentiles.py hardening), the last 5 at r15
     "order_price_percentiles",
     "doc_source_mix",
     "asset_features",
@@ -352,8 +308,59 @@ _CHECK_LAST = [
     "orders_price_drift",
     "doc_token_cms_estimates",
     "doc_weighted_sample",
-    "embedding_ivfpq_topk",
     "doc_eval_span_overlap",
+    # checked r12, parked: 44 rotate in at r15 (must include
+    # user_weekly_retention for the queued null-week oracle-contract
+    # edit), the last 5 at r16
+    "customer_scd1_merge",
+    "customer_cdc_apply",
+    "orders_profile",
+    "user_conversion_funnel",
+    "doc_per_source_sample",
+    "fk_integrity_audit",
+    "orders_expectations",
+    "events_forward_fill",
+    "volume_shipping",
+    "user_daily_anomalies",
+    "serving_top_rows_lookup",
+    "doc_arrivals_dedup",
+    "doc_training_order",
+    "doc_curation_funnel",
+    "doc_char_entropy",
+    "asset_frame_samples",
+    "events_daily_complete",
+    "user_weekly_retention",
+    "event_type_transitions",
+    "events_daily_rollup_incremental",
+    "event_type_cooccurrence",
+    "events_wow_change",
+    "segment_nation_chi2",
+    "part_name_fuzzy_matches",
+    "lineitem_corr_matrix",
+    "orders_price_decile_bins",
+    "customer_scd2_apply",
+    "customer_balance_zscores",
+    "orders_pit_customer_balance",
+    "rolling_7d_distinct_users",
+    "events_customers_null_bypass",
+    "clicks_asof_recent_view",
+    "doc_encoding_audit",
+    "doc_novelty_fraction",
+    "doc_decontamination_bloom",
+    "daily_new_users_cumulative",
+    "doc_length_buckets",
+    "order_quantity_arrays",
+    "event_key_skew_profile",
+    "doc_split_assignment",
+    "doc_split_leakage_audit",
+    "doc_vocab_coverage",
+    "lineitem_winsorized_stats",
+    "eventers_orderers_full_outer",
+    "top_orders_global",
+    "customers_without_events_anti",
+    "doc_scrub_duplicate_spans",
+    "doc_source_quality_buckets",
+    "doc_source_token_budget",
 ]
 
 

@@ -48,12 +48,27 @@ def _registry():
 
 
 def _artifacts():
-    """(round_number, {query: row}) sorted ascending."""
+    """(round_number, {query: row}) sorted ascending.
+
+    Backfilled artifacts (self-attested, driver-equivalent harness —
+    e.g. CORRECTNESS_r11.json, see __spark_entry__.py) carry a
+    ``_provenance`` key. Surface it (ADVICE r12): consumers of the
+    driver-owned namespace must keep self-attested rounds visibly
+    distinct from driver-attested ones rather than trusting the
+    namespace blindly."""
     out = []
     for f in glob.glob("/root/repo/CORRECTNESS_r*.json"):
         m = re.search(r"_r(\d+)\.json$", f)
         if m:
-            out.append((int(m.group(1)), json.load(open(f))))
+            data = json.load(open(f))
+            prov = data.get("_provenance")
+            if prov is not None:
+                print(
+                    f"NOTE: {f.rsplit('/', 1)[-1]} is backfilled/"
+                    f"self-attested, not driver-written: "
+                    f"{str(prov)[:200]}"
+                )
+            out.append((int(m.group(1)), data))
     return sorted(out)
 
 
