@@ -460,8 +460,10 @@ def minhash_near_dups_incremental(
     corpus-ingest time — the analog of :func:`ensure_ivf_index`'s
     build-once contract), so per-batch work is arrival tokenize +
     signatures + one equi-join against bucketed signatures. The
-    arrival side is typically the small one; AQE's runtime stats can
-    broadcast it without a forced hint.
+    arrival side is batch-sized by construction, and the shared
+    serving join (:func:`minhash_near_dups_vs_store`) pins it as the
+    broadcast build explicitly — size estimates once picked a
+    corpus-derived side (BENCH_NOTES_r12 §7).
 
     Output columns: (doc_id — the arrival, corpus_id, jaccard).
     """
@@ -577,7 +579,21 @@ def minhash_near_dups_vs_store(
     is arrival tokenize + signatures + one band equi-join + verify
     against stored hashed token sets — the corpus is never
     re-tokenized, never self-joined. Output: (doc_id — the arrival,
-    corpus_id, jaccard ≥ threshold)."""
+    corpus_id, jaccard ≥ threshold).
+
+    BUILD-SIDE PIN (BENCH_NOTES_r12 §7): every join here broadcasts
+    the BATCH-derived side explicitly — the exploded arrival band
+    keys, then the distinct candidate id-pairs, then the arrival
+    token sets — so the store is only ever the streamed/probe side.
+    Left to size estimates, the optimizer broadcast a STORE-derived
+    side at the r12 5M-doc probe (zstd-compressed parquet estimates
+    sat under the 64 MB auto-broadcast threshold) and collected
+    >1 GiB of task results into the driver — a guaranteed driver OOM
+    at deployment scale. The store must never shuffle either: a
+    serving batch that forced a corpus-wide exchange would turn
+    per-batch cost from O(batch) into O(corpus).
+    ``tests/test_plan_shapes.py::test_store_serving_join_never_builds_on_the_store``
+    pins both properties at plan level."""
     if bands is None:
         bands = pick_bands(num_hashes, threshold)
     a_toks = token_sets(arrivals, text_col, id_col).persist(
@@ -603,7 +619,8 @@ def minhash_near_dups_vs_store(
     )
     na, nc = F.col("n_a"), F.col("n_c")
     candidates = (
-        banded_a.join(banded_c, ["bucket"])
+        F.broadcast(banded_a)
+        .join(banded_c, ["bucket"])
         .filter((na >= nc * threshold) & (nc >= na * threshold))
         .select("doc_id", "corpus_id", "n_a", "n_c")
         .distinct()
@@ -611,9 +628,13 @@ def minhash_near_dups_vs_store(
     hashed = F.transform("toks", lambda t: F.xxhash64(t))
     a = a_toks.select(F.col(id_col).alias("doc_id"), hashed.alias("toks_a"))
     c = store.select(F.col(id_col).alias("corpus_id"), F.col("toks_h").alias("toks_b"))
+    # candidate id-pairs (batch-bounded, four scalar columns) probe the
+    # store's token sets; the arrival token sets then join on the
+    # candidate-bounded result — the store's toks_h rows never move
     verified = (
-        candidates.join(a, "doc_id")
+        F.broadcast(candidates)
         .join(c, "corpus_id")
+        .join(F.broadcast(a), "doc_id")
         .select(
             "doc_id",
             "corpus_id",
@@ -820,7 +841,15 @@ def _pointer_jump_components(
     pointer jumping over the pair graph only. Takes the caller's
     persisted symmetrized edges and co-partitions its OWN copy on the
     join key (one cached-read exchange) — the iterative-join
-    co-partitioning trade belongs to this path alone."""
+    co-partitioning trade belongs to this path alone.
+
+    The co-partitioned copy is materialized EAGERLY and the caller's
+    unpartitioned persist released before the loop starts (ADVICE
+    r10): the loop never reads the source again, and holding both
+    copies would double the cache footprint for the whole fixpoint on
+    exactly the path that only runs at crawl scale. The count that
+    forces materialization is one cached-scan + exchange job whose
+    work the first loop job would have paid anyway."""
     spark = edges_sym_src.sparkSession
     try:
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -830,6 +859,8 @@ def _pointer_jump_components(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
+        edges_sym.count()
+        edges_sym_src.unpersist()
         return _pointer_jump_loop(edges_sym, max_iterations)
     finally:
         edges_sym.unpersist()

@@ -1506,6 +1506,10 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str):
     corpus = f"{sf_dir}/embeddings.parquet"
 
     def build(path: str) -> None:
+        # codebook training is capped at train_pq's default
+        # max_train_rows=2^18 sample (r13): full-corpus k-means OOMed
+        # the 10M-vector r12 probe, and centroids only need the
+        # density shape — encoding below still covers every vector
         books = quantization.train_pq(
             _emb(spark, sf_dir), m=16, k=16, dim=64, max_iter=5
         )

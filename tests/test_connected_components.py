@@ -130,3 +130,32 @@ def test_cc_two_cliques_and_isolates(spark):
     for kw in ({}, {"local_max_edges": 0}):
         got = _spark_cc(spark, 7, edges, **kw)
         assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
+
+
+def test_pointer_jump_releases_source_cache_before_loop(spark):
+    """ADVICE r10 (landed r13): the distributed path must not hold the
+    caller's unpartitioned edge persist for the whole fixpoint — the
+    co-partitioned copy is materialized eagerly and the SOURCE persist
+    released inside _pointer_jump_components, so the loop runs on a
+    single cached copy of the edge set (the double footprint only ever
+    hit the crawl-scale path, where it matters most)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators.dedup import (
+        _pointer_jump_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "u long, v long"
+    )
+    src = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    src.count()
+    labels = _pointer_jump_components(src, max_iterations=50)
+    got = {r.vid: r.label for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+    # released INSIDE the call (the caller's finally-unpersist is now
+    # a second, idempotent release) — before the fix the source stayed
+    # pinned here
+    assert src.storageLevel == StorageLevel.NONE

@@ -655,3 +655,88 @@ def test_novelty_fraction_never_joins_the_gram_stream(spark):
         assert n_joins <= 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _parse_plan_tree(plan: str) -> dict:
+    """Parse simple-mode explain output into {text, children} nodes.
+    Spark renders the operator tree with 3-char indentation units and
+    introduces every non-root node with '+- ' or ':- '."""
+    tree_part = plan.split("===== Subqueries", 1)[0]
+    parsed: list[tuple[int, dict]] = []
+    for raw in tree_part.splitlines():
+        if not raw.strip() or raw.startswith("=="):
+            continue
+        m = re.search(r"[:+]- ", raw)
+        if m:
+            depth = m.start() // 3 + 1
+            text = raw[m.end() :]
+        elif not raw[0].isspace():
+            depth, text = 0, raw
+        else:  # continuation/detail line
+            continue
+        parsed.append((depth, {"text": text, "children": []}))
+    root = parsed[0][1]
+    stack: list[tuple[int, dict]] = [(0, root)]
+    for depth, node in parsed[1:]:
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        stack[-1][1]["children"].append(node)
+        stack.append((depth, node))
+    return root
+
+
+def test_store_serving_join_never_builds_on_the_store(spark):
+    """r12 scale finding (BENCH_NOTES_r12 §7): at the 5M-doc store
+    probe the optimizer picked a STORE-derived side as a broadcast
+    build (zstd-compressed parquet size estimates sat under the 64 MB
+    auto-broadcast threshold) and collected >1 GiB of task results
+    into the driver — a guaranteed driver OOM at deployment scale.
+    minhash_near_dups_vs_store now pins every build side to the
+    batch-derived frame. The plan-level contract: store rows may only
+    flow through an Exchange (shuffle or broadcast collection) AFTER a
+    BroadcastHashJoin has already cut them on its STREAMED side —
+    i.e. no exchange ever moves raw corpus-scale store rows."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.llm_ops import (
+        doc_arrivals_dedup_store,
+    )
+
+    plan = plan_str(doc_arrivals_dedup_store(spark, SF_SMOKE), "simple")
+    root = _parse_plan_tree(plan)
+
+    def is_store_scan(text: str) -> bool:
+        # only the signature store carries toks_h / minhash columns
+        return "Scan parquet" in text and ("toks_h" in text or "mh_0" in text)
+
+    def paths_to_scan(node: dict):
+        if is_store_scan(node["text"]):
+            yield [node]
+        for child in node["children"]:
+            for p in paths_to_scan(child):
+                yield [node] + p
+
+    # the store must appear at all (guards against the test silently
+    # passing if the lineage stops reading the parquet store)
+    assert any(True for _ in paths_to_scan(root)), plan
+
+    bad: list[str] = []
+
+    def walk(node: dict) -> None:
+        text = node["text"]
+        if text.startswith(("Exchange", "BroadcastExchange")):
+            for p in paths_to_scan(node):
+                protected = False
+                for i, step in enumerate(p):
+                    if "BroadcastHashJoin" in step["text"] and i + 1 < len(p):
+                        build = step["children"][
+                            0 if "BuildLeft" in step["text"] else 1
+                        ]
+                        if p[i + 1] is not build:
+                            protected = True  # scan on the streamed side
+                            break
+                if not protected:
+                    bad.append(text[:100])
+        for child in node["children"]:
+            walk(child)
+
+    walk(root)
+    assert not bad, (bad, plan)
