@@ -125,6 +125,7 @@ def train_pq(
     k: int = 16,
     dim: int = 64,
     train_fraction: float = 1.0,
+    max_train_rows: int | None = 262_144,
     max_iter: int = 5,
     seed: int = 7,
 ) -> PqCodebooks:
@@ -135,6 +136,23 @@ def train_pq(
     Lloyd iteration of every subspace would re-derive scan→cast→
     normalize→slice. m stays small (8–16) so the sequential fits are
     fine; each fit is itself distributed (Spark ML KMeans).
+
+    SAMPLED TRAINING (r13, after the r12 full-corpus build OOMed at
+    10M vectors): codebook training needs the density SHAPE of each
+    subspace, not every vector — standard PQ practice trains on a few
+    hundred points per centroid, so 2^18 rows oversamples even a
+    k=256 sub-quantizer ~4000×. ``max_train_rows`` (default 2^18)
+    caps the k-means input: above the cap the training set is
+    Bernoulli-downsampled to the cap's expected size (seeded —
+    deterministic for a fixed corpus partitioning, the same contract
+    as ``train_fraction``); below it nothing changes, so every
+    ≤262k-row corpus (all driver/test SFs) trains bit-identically to
+    the pre-cap behavior. ENCODING still covers every vector — the
+    cap affects centroid placement only, the same training/assignment
+    split as ``ensure_ivf_index``'s 25% coarse-quantizer sample. The
+    cap costs one count() job at build time — metadata-cheap on
+    parquet, amortized by the build-once contract. Pass
+    ``max_train_rows=None`` to force full-corpus training.
 
     ``k ≤ 256`` so codes fit one byte per subspace — the point of PQ
     is the 1-byte code; a sub-quantizer needing more than 256 cells
@@ -155,7 +173,21 @@ def train_pq(
             "v"
         )
     )
-    sample = base if train_fraction >= 1.0 else base.sample(train_fraction, seed=seed)
+    frac = min(train_fraction, 1.0)
+    if max_train_rows is not None:
+        n = corpus.count()
+        if n * frac > max_train_rows:
+            frac = max_train_rows / n
+    # NB: sample() must be called with explicit keywords — pyspark's
+    # (withReplacement, fraction, seed) overload resolution silently
+    # DROPS a keyword seed when the fraction is passed positionally
+    # (`sample(0.1, seed=7)` plans a random seed), which made sampled
+    # training nondeterministic until r13
+    sample = (
+        base
+        if frac >= 1.0
+        else base.sample(withReplacement=False, fraction=frac, seed=seed)
+    )
     sliced = sample.select(
         *[
             # F.slice is 1-indexed
@@ -537,6 +569,7 @@ def pq_topk(
     n_codes: int = 16,
     dim: int = 64,
     train_fraction: float = 1.0,
+    max_train_rows: int | None = 262_144,
     max_iter: int = 5,
 ) -> DataFrame:
     """One-shot convenience: train → encode → ADC top-k. Deployments
@@ -551,6 +584,7 @@ def pq_topk(
         k=n_codes,
         dim=dim,
         train_fraction=train_fraction,
+        max_train_rows=max_train_rows,
         max_iter=max_iter,
     )
     encoded = pq_encode(books, corpus, id_col=id_col, vec_col=vec_col)

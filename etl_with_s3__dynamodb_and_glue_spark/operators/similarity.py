@@ -439,8 +439,16 @@ def build_ivf_index(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
     )
     featured = c.withColumn("features", array_to_vector("cvec"))
+    # explicit keywords: pyspark's sample() overload resolution drops
+    # a keyword seed when the fraction is positional (`sample(0.25,
+    # seed=7)` plans a RANDOM seed) — the coarse-quantizer sample was
+    # silently nondeterministic per build until r13
     train = (
-        featured if train_fraction >= 1.0 else featured.sample(train_fraction, seed=7)
+        featured
+        if train_fraction >= 1.0
+        else featured.sample(
+            withReplacement=False, fraction=train_fraction, seed=7
+        )
     ).select("features").persist(StorageLevel.MEMORY_AND_DISK)
     if n_clusters is None:
         n_clusters = max(4, int(math.sqrt(train.count())))

@@ -246,3 +246,35 @@ def test_config_validation(emb):
         Q.train_pq(emb, m=7, k=4, dim=DIM)
     with pytest.raises(ValueError, match="1-byte"):
         Q.train_pq(emb, m=8, k=512, dim=DIM)
+
+
+def test_train_cap_is_noop_below_threshold(emb, books):
+    """The r13 sampled-training cap only engages ABOVE max_train_rows:
+    a corpus smaller than the default 2^18 cap (every driver/test SF)
+    must train bit-identically with the cap on and off — the fix
+    cannot move any small-SF codebook."""
+    import numpy as np
+
+    uncapped = Q.train_pq(
+        emb, m=M, k=K, dim=DIM, max_iter=5, max_train_rows=None
+    )
+    assert np.array_equal(uncapped.codebooks, books.codebooks)
+
+
+def test_train_cap_engages_and_stays_deterministic(emb):
+    """Above the cap the k-means input is Bernoulli-downsampled to the
+    cap's expected size (the 10M-vector full-corpus build OOMed at
+    r12); the sample is seeded, so the capped build stays
+    deterministic for a fixed corpus partitioning — and it must
+    actually engage (a 64-row training set cannot reproduce the
+    full-corpus centroids on this data)."""
+    import numpy as np
+
+    a = Q.train_pq(emb, m=M, k=K, dim=DIM, max_iter=2, max_train_rows=64)
+    b = Q.train_pq(emb, m=M, k=K, dim=DIM, max_iter=2, max_train_rows=64)
+    assert a.codebooks.shape == (M, K, DIM // M)
+    assert np.array_equal(a.codebooks, b.codebooks)
+    full = Q.train_pq(
+        emb, m=M, k=K, dim=DIM, max_iter=2, max_train_rows=None
+    )
+    assert not np.array_equal(a.codebooks, full.codebooks)
