@@ -358,11 +358,24 @@ def main() -> None:
             "ivfpq_index_build": ivfpq_build_sec,
             "minhash_store_build": store_build_sec,
             "warm_total": warm_total,
-            "canary_start_total": round(
-                sum(t for t in canary_start.values() if t is not None), 3
+            # A canary total is only comparable LIKE-FOR-LIKE (ADVICE
+            # r12): if any canary query errored, the 2-query sum would
+            # quietly skew the cross-session correction the canary
+            # exists for — null the total and record the error count
+            # instead.
+            "canary_start_total": (
+                round(sum(canary_start.values()), 3)
+                if all(t is not None for t in canary_start.values())
+                else None
             ),
-            "canary_end_total": round(
-                sum(t for t in canary_end.values() if t is not None), 3
+            "canary_end_total": (
+                round(sum(canary_end.values()), 3)
+                if all(t is not None for t in canary_end.values())
+                else None
+            ),
+            "canary_errors": sum(
+                t is None
+                for t in (*canary_start.values(), *canary_end.values())
             ),
             **extra_timings,
         },

@@ -53,7 +53,11 @@ def group_percentiles_exact(
     """Exact interpolated percentiles per group, long format:
     (group_col, p, pct). NULL values are ignored (native
     ``percentile()`` semantics); a group with zero non-null values
-    emits no rows. Values are cast to double before ranking —
+    emits NO rows — note this differs from a native GROUPED
+    ``percentile()``, which keeps the group with NULL percentiles, so
+    an all-null group VANISHES from any downstream inner join on the
+    result (ADVICE r12; left-join where the old behavior matters).
+    Values are cast to double before ranking —
     identical ordering for numeric inputs, and interpolation happens
     in double exactly as the native aggregate does.
 

@@ -741,7 +741,10 @@ def doc_source_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan — no holistic aggregate, no window over data-sized
     frames. Thresholds and scores are rounded to 6 dp in BOTH engines
     before the bucket comparison, so interpolation noise can't flip a
-    boundary doc."""
+    boundary doc. All-null-group contract: a source whose quality is
+    all NULL gets no tercile row and vanishes at the inner join (see
+    lineitem_winsorized_stats / ADVICE r12 — latent, quality is never
+    null here)."""
     from ..operators.percentiles import group_percentiles_exact
     from ..operators.text import quality_score, tokens
 

@@ -625,7 +625,17 @@ def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.37 at 100× on order_price_percentiles). Thresholds now come
     from operators/percentiles.py::group_percentiles_exact
     (distributed selection, bit-identical interpolation, then the
-    same cents rounding — oracle hash unchanged), pivoted long→wide."""
+    same cents rounding — oracle hash unchanged), pivoted long→wide.
+
+    ALL-NULL-GROUP CONTRACT (ADVICE r12, latent — l_extendedprice is
+    never null in any fixture): group_percentiles_exact emits NO row
+    for a group whose values are all NULL, so the threshold inner
+    join drops such a group's rows entirely, where the old native
+    grouped ``percentile()`` kept them with NULL thresholds (clamping
+    to NULL → NULL stats row). A deployment that must preserve the
+    old behavior should left-join the threshold table and pass the
+    unclamped values through; the two engines here agree because the
+    oracle inner-joins the same way."""
     from ..operators.percentiles import group_percentiles_exact
 
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")

@@ -6,6 +6,7 @@ no data, a filtered source, a new tenant."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 from tests.conftest import SF_SMOKE
@@ -144,3 +145,42 @@ def test_token_dup_share_empty_corpus_matches_oracle_edge(spark, empty_sf_dir):
     [row] = doc_token_dup_share(spark, empty_sf_dir).collect()
     assert row["n_docs"] == 0
     assert row["n_tokens_duplicated"] == 0
+
+
+def test_weekly_retention_drops_null_ts_events(spark, tmp_path):
+    """Null-week CONTRACT pin (ADVICE r12, latent — driver fixtures
+    have zero null ts): the r12 join-free rework's collect_set(week)
+    silently drops NULL weeks, so (a) a null-ts event contributes to
+    no offset bucket and (b) a user whose every ts is NULL has no
+    cohort and vanishes from the matrix. That is the INTENDED
+    semantics (an event with no time cannot place in a time-bucketed
+    matrix); this fixture makes it explicit instead of latent. The
+    oracle SQL keeps such rows as NULL-offset groups — the contract
+    divergence is documented in __spark_entry__.py's r15 queue (the
+    oracle edit burns a window slot until the query rotates back)."""
+    from etl_with_s3__dynamodb_and_glue_spark.plans.event_time import (
+        user_weekly_retention,
+    )
+
+    rows = [
+        # user 1: weeks 0 and 1 plus a null-ts event
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0, None),
+        (2, "2024-01-08 00:00:00", 1, "click", 1.0, None),
+        (3, None, 1, "click", 1.0, None),
+        # user 2: ONLY null ts — no cohort, absent from the matrix
+        (4, None, 2, "click", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in user_weekly_retention(spark, str(tmp_path)).collect()
+    }
+    # 2024-01-01 = epoch day 19723 → week floor(19723/7) = 2817
+    assert got == {(2817, 0): 1, (2817, 1): 1}, got
