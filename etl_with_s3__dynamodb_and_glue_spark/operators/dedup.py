@@ -874,11 +874,42 @@ def _pointer_jump_loop(
     # sized the loop's shuffle-partition conf to the edge count was
     # A/B'd and showed NO win — the per-round floor is job latency,
     # not task width — so the session conf stays untouched.)
-    labels = (
+    #
+    # CHECKPOINT RETIREMENT (r13): each round's eager localCheckpoint
+    # leaves its blocks cached until the JVM ContextCleaner gets
+    # around to them, so the loop's storage grew O(V · rounds) — the
+    # r13 storage probe measured ~1.5 GB of dead label blocks on a
+    # 2.56M-vertex chain graph, dwarfing the (columnar-compressed)
+    # edge caches the double-persist fix freed. A round's checkpoint
+    # is dead the moment the NEXT round's checkpoint materializes
+    # (its joins were the only consumers), so the loop now retires it
+    # explicitly, holding storage to O(V): the ids each checkpoint
+    # registered are diffed from ``getPersistentRDDs`` around the
+    # eager call and unpersisted one round later. A concurrent job
+    # persisting an RDD inside that diff window could be swept along
+    # — unpersist is a cache eviction, never a correctness event, and
+    # the loop is driver-synchronous in every consumer.
+    sc = edges_sym.sparkSession.sparkContext
+
+    def _persistent_ids():
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _checkpoint(df):
+        before = _persistent_ids()
+        out = df.localCheckpoint()
+        return out, _persistent_ids() - before
+
+    def _retire(ids):
+        live = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            rdd = live.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    labels, prev_ckpt_ids = _checkpoint(
         edges_sym.select(F.col("u").alias("vid"))
         .distinct()
         .select("vid", F.col("vid").alias("label"))
-        .localCheckpoint()
     )
     label_type = dict(labels.dtypes)["label"]
     for round_no in range(max_iterations):
@@ -919,9 +950,12 @@ def _pointer_jump_loop(
                     F.lit(0),
                 ).alias("changed"),
             )
-            .localCheckpoint()
         )
+        new_labels, new_ckpt_ids = _checkpoint(new_labels)
         labels = new_labels.select("vid", "label")
+        # the previous round's blocks just had their last read
+        _retire(prev_ckpt_ids)
+        prev_ckpt_ids = new_ckpt_ids
         if obs.get["changed"] == 0:
             break
     else:
