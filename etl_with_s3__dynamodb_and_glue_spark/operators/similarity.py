@@ -496,8 +496,19 @@ def ivf_probe(
     same rationale as :func:`srp_signatures_udf`: n_clusters×dim
     literals as native expressions cost seconds of Catalyst compile
     and HOFs evaluate interpreted per element. The probe side is tiny
-    and broadcast; against a partitioned on-disk index the cluster
-    equi-join prunes the assignment scan to the probed partitions.
+    and broadcast.
+
+    SCAN PRUNING IS EXPLICIT (r13): the equi-join against
+    ``broadcast(probed)`` does NOT prune a partitioned on-disk scan
+    by itself — dynamic partition pruning declines to fire across the
+    Python-evaluated probe side (the r13 e10m plan read
+    ``PartitionFilters: [isnotnull(cluster)]``), so the join was
+    pruning COMPUTE (cosine only on surviving rows) while still
+    READING every cell. The probed cell ids are now collected first
+    (one tiny job over the bounded query batch — it is broadcast
+    anyway) and applied as a literal ``isin`` filter on the partition
+    column: static file-index pruning, n_probe/n_clusters of the
+    bytes actually read.
     """
     import numpy as np
     import pandas as pd
@@ -525,8 +536,19 @@ def ivf_probe(
         "query_id", "qvec", F.explode(probe_udf("qvec")).alias("cluster")
     )
 
+    # literal partition pruning: the probe UDF is deterministic, so
+    # this tiny extra job and the broadcast below see the same cells
+    probed_cells = sorted(
+        r.cluster for r in probed.select("cluster").distinct().collect()
+    )
+    if not probed_cells:
+        return index.assignments.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
+
     scored = (
-        index.assignments.join(F.broadcast(probed), "cluster")
+        index.assignments.filter(F.col("cluster").isin(probed_cells))
+        .join(F.broadcast(probed), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
