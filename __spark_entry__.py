@@ -147,6 +147,27 @@ _MODULES = [
 # harness) — landing them early would burn five zero-slack window
 # slots (the three r12-checked percentile users plus these two).
 #
+# Patch, pre-staged r13 (VERDICT r12 item 6) so r14 lands it without
+# design work — in group_percentiles_exact:
+#   (a) after the `.withColumn("_pid", ...)` in the `pairs` chain:
+#         from pyspark.storagelevel import StorageLevel
+#         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+#       and unpersist before returning (materialize via the
+#       slice_counts aggregate that runs anyway — no extra job); the
+#       persist replaces the exchange-reuse invariant outright, so
+#       DROP the "must stay on" bullet from the docstring and keep
+#       the boundary-consistency rationale on the persist comment.
+#   (b) replace the bare int(spark.conf.get(...)) with the
+#       try/except already shipped in dedup._pointer_jump_components:
+#         try: num_partitions = int(conf.get(...))
+#         except (TypeError, ValueError): num_partitions = df.rdd.getNumPartitions()
+#   Test (pre-written intent): set
+#       spark.conf.set("spark.sql.exchangeReuse.enabled", "false")
+#   in a try/finally, assert group_percentiles_exact still matches
+#   the native percentile() on the test corpus (the r11 failure mode
+#   was silent rank corruption under disabled reuse), and assert a
+#   monkeypatched conf.get returning 'auto' doesn't raise.
+#
 # r15 QUEUE (ADVICE r12 low, event_time.py:544): make the null-week
 # contract of user_weekly_retention explicit in the ORACLE SQL
 # (WHERE ts IS NOT NULL in ev) when the query rotates back in —

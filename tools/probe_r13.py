@@ -279,6 +279,8 @@ def _probe_pq_recall(spark) -> None:
     )
     from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
 
+    import numpy as np
+
     d = os.path.join(BASE, "e1m")
     if not os.path.isdir(os.path.join(d, "embeddings.parquet")):
         sp.gen_embeddings(1_000_000, d)
@@ -286,22 +288,79 @@ def _probe_pq_recall(spark) -> None:
     queries = llm_ops._queries_df(spark, d)
     exact = S.brute_force_topk(emb, queries, k=10).persist()
     exact.count()
-    for label, cap in (("capped_2^18", 262_144), ("uncapped", None)):
+    # distortion sample: 20k seeded rows, L2-normalized like the
+    # encode path — E‖x − decode(encode(x))‖² is the direct codebook-
+    # quality statistic, and unlike recall it stays SENSITIVE at this
+    # corpus size (recall@10 on 1M structure-less random vectors is
+    # ~0 for ANY 16×16 codebook — quantization error exceeds the gap
+    # between true neighbors; the documented 0.45 floor is the small-
+    # corpus regime)
+    sample = np.array(
+        emb.sample(withReplacement=False, fraction=0.02, seed=11)
+        .limit(20_000)
+        .toPandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    served = {}
+    # the seed-13 control isolates what the OVERLAP metric means on
+    # this data: if merely re-seeding k-means init reshuffles the
+    # served list as thoroughly as capping does, list instability is
+    # a property of the near-tie band (random vectors, equal-distance
+    # candidates), not of the sampled training
+    for label, cap, seed in (
+        ("capped_2^18", 262_144, 7),
+        ("uncapped", None, 7),
+        ("capped_seed13", 262_144, 13),
+    ):
         t0 = _time.perf_counter()
         books = Q.train_pq(
-            emb, m=16, k=16, dim=64, max_iter=5, max_train_rows=cap
+            emb, m=16, k=16, dim=64, max_iter=5, max_train_rows=cap,
+            seed=seed,
         )
         build = round(_time.perf_counter() - t0, 3)
+        cb = np.asarray(books.codebooks, dtype=np.float64)  # (m,k,dsub)
+        m, _, dsub = cb.shape
+        err = 0.0
+        for j in range(m):
+            xj = sample[:, j * dsub : (j + 1) * dsub]
+            d2 = (
+                (xj**2).sum(1, keepdims=True)
+                - 2 * xj @ cb[j].T
+                + (cb[j] ** 2).sum(1)
+            )
+            err += d2.min(axis=1).sum()
+        distortion = err / len(sample)
         codes = Q.pq_encode(books, emb)
-        approx = Q.pq_adc_topk(books, codes, queries, k=10)
+        approx = Q.pq_adc_topk(books, codes, queries, k=10).persist()
         rec = S.recall_at_k(approx, exact, 10)
+        served[label] = approx
         print(
             _json.dumps(
                 {
                     "probe": "pq_recall_e1m",
                     "variant": label,
                     "recall_at_10": round(rec, 4),
+                    "quantization_distortion": round(distortion, 6),
                     "train_sec": build,
+                }
+            ),
+            flush=True,
+        )
+    for a, b in (
+        ("capped_2^18", "uncapped"),
+        ("capped_2^18", "capped_seed13"),
+    ):
+        fa = served[a].select("query_id", "neighbor_id")
+        ovl = fa.intersect(
+            served[b].select("query_id", "neighbor_id")
+        ).count() / max(fa.count(), 1)
+        print(
+            _json.dumps(
+                {
+                    "probe": "pq_recall_e1m",
+                    f"served_topk_overlap_{a}_vs_{b}": round(ovl, 4),
                 }
             ),
             flush=True,
