@@ -331,6 +331,15 @@ def minhash_near_dups(
     """
     if bands is None:
         bands = pick_bands(num_hashes, threshold)
+    # A split-adaptive repartition of this cache (operators/
+    # parallelism.py) was A/B'd in the r13 optimization round and
+    # REJECTED: interleaved best-of-3 read 0.74-0.86× (slower) at both
+    # thresholds — the pipeline's heavy stages already parallelize
+    # through their own exchanges, so the extra exchange + 32-task
+    # scheduling on ~10 small stages costs more than the one-task scan
+    # saves. (The same helper IS a measured win where the heavy work
+    # sits directly on the scan with no shuffle in between — see
+    # importance.dsir_log_weights and build_minhash_store's layout.)
     toks = token_sets(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     # exact-duplicate collapse: one representative (min id) per
     # identical token SET. The fingerprint must be order-insensitive
@@ -554,10 +563,31 @@ def build_minhash_store(
     build-once/match-many artifact of an incremental dedup deployment
     (same offline/serving split as the IVF index). Store size is one
     row per doc: H longs + the hashed token array, a small multiple of
-    a fingerprint and far smaller than the text."""
-    corpus_signature_frame(docs, text_col, id_col, num_hashes).write.mode(
-        "overwrite"
-    ).option("compression", "zstd").parquet(path)
+    a fingerprint and far smaller than the text.
+
+    FILE LAYOUT (r13 opt round): written as at least
+    ``defaultParallelism`` files. The serving contract forbids ever
+    shuffling the store (minhash_near_dups_vs_store pins every
+    broadcast build to the batch side and streams the store), so the
+    SERVING-side parallelism of the band join and of the exact-Jaccard
+    verify is exactly the store scan's split count — and AQE's
+    coalesced write of a toy-scale store emitted ONE file, serializing
+    every serving stage onto one core (event-log probe: the s-sf0.1
+    serve ran 1-task stages of 3.4/3.1/3.5 s on a 32-core session).
+    The explicit repartition floors the file count at the session's
+    parallelism; a deployment-scale store already exceeds it through
+    its natural shuffle partitioning (`max` keeps that), so this never
+    shrinks a big build's layout."""
+    spark = docs.sparkSession
+    frame = corpus_signature_frame(docs, text_col, id_col, num_hashes)
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" deployments
+        nparts = spark.sparkContext.defaultParallelism
+    n_files = max(spark.sparkContext.defaultParallelism, nparts)
+    frame.repartition(n_files).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(path)
 
 
 def load_minhash_store(spark, path: str) -> DataFrame:

@@ -82,10 +82,23 @@ def hashed_feature_counts(
     # downstream weight/resample; '' tokenizes to [''] — one gram —
     # so the doc still scores and the "EVERY input doc" contract of
     # dsir_log_weights holds.
+    from .parallelism import ensure_scan_parallelism
+
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     feats = F.concat(toks, word_ngrams(toks, 2))
+    # Split-adaptive repartition (r13 opt round, operators/
+    # parallelism.py): the unigram+bigram explode and per-gram md5
+    # sit DIRECTLY on the corpus scan with no shuffle in between, so a
+    # one-file input runs the whole featurization on one core.
+    # Interleaved A/B at sf0.1 (tools/probe_scan_parallelism.py):
+    # doc_dsir_weights 3.50 → 2.29 s (1.53×). Value-safe here by
+    # construction: everything between this exchange and the next one
+    # is per-row hashing, and the aggregates that follow are exact
+    # integer counts — no float summation order anywhere upstream of
+    # the (shuffle-partitioned, hence unaffected) weight sum.
     return (
-        df.select(*carry_cols, F.explode(feats).alias("gram"))
+        ensure_scan_parallelism(df)
+        .select(*carry_cols, F.explode(feats).alias("gram"))
         .select(*carry_cols, gram_bucket(F.col("gram"), buckets).alias("bucket"))
         .groupBy(*carry_cols, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
