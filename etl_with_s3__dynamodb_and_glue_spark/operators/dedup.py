@@ -127,12 +127,14 @@ def minhash_signatures(
     ``zip_with(least)`` accumulator 2.72 s. The codegen'd
     hash-aggregate min (streaming agg buffers, map-side combined)
     beats both array forms, which materialize an H-long intermediate
-    array per element — and the groupBy's exchange is additionally
-    REUSED across the banding self-join's two branches downstream,
-    which the row-local forms give up (an explicit persist for that
-    was A/B'd too: still slower end-to-end). Values are identical
-    across all three (exceptAll parity 0), so this is purely an
-    execution-strategy decision.
+    array per element. Values are identical across all three
+    (exceptAll parity 0), so this is purely an execution-strategy
+    decision. (The r10 A/B additionally relied on exchange reuse to
+    share this aggregation across the banding self-join's branches;
+    under Spark 4.1's AQE that reuse no longer fires — the r13
+    event-log probe caught the aggregate executing once PER branch —
+    so the self-join consumers now persist the signature frame
+    instead; see minhash_near_dups.)
 
     Deliberately NOT double-hashed (Kirsch–Mitzenmacher
     ``g_i = h1 + i·h2``): measured at sf0.1, the linear family's
@@ -360,13 +362,24 @@ def minhash_near_dups(
     )
     # include_set_size: the set size rides the signature aggregation
     # itself (same groupBy, zero extra shuffle or join).
+    #
+    # PERSISTED (r13 optimization round): the banding self-join
+    # consumes `sigs` on BOTH sides, and the exchange-reuse that the
+    # r10 A/B relied on to share the signature aggregation across the
+    # branches no longer fires under Spark 4.1's AQE — the event-log
+    # probe caught the 64-hash aggregate executing TWICE (two
+    # signature-sized stage sums, 34.7 s + 23.3 s of task time at
+    # sf0.1/t=0.9). The cache is tiny (one row per rep: H longs +
+    # n_set) and interleaved best-of-3 reads 6.80 → 3.17 s (2.14×) at
+    # t=0.9, 2.79 → 2.12 s (1.31×) at t=0.95. Released with the other
+    # intermediates via unpersist_on_release.
     sigs = minhash_signatures(
         rep_toks.withColumnRenamed("toks", "shingles"),
         id_col=id_col,
         shingle_col="shingles",
         num_hashes=num_hashes,
         include_set_size=True,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # Set sizes then ride through the banding join (carry_cols) so the
     # length prune (#2 above) fires on the RAW band collisions —
     # before the distinct shuffles them and long before the verify
@@ -440,7 +453,7 @@ def minhash_near_dups(
         )
     )
     verified = cross.union(within)
-    return unpersist_on_release(verified, toks, members)
+    return unpersist_on_release(verified, toks, members, sigs)
 
 
 def minhash_near_dups_incremental(
@@ -479,7 +492,19 @@ def minhash_near_dups_incremental(
     c_toks = token_sets(corpus, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    store = _signature_frame_from_toks(c_toks, id_col, num_hashes)
+    # PERSISTED (r13 optimization round, same finding as the sigs
+    # persist in minhash_near_dups): the serving join consumes the
+    # signature frame twice — band keys, then toks_h for the verify —
+    # and without a cache the corpus signature aggregation executes
+    # once per consumer (exchange reuse no longer deduplicates the
+    # branches under Spark 4.1 AQE). The on-disk store path
+    # (minhash_near_dups_vs_store over a loaded parquet store) is
+    # unaffected: re-scanning the store is a flat read, which is the
+    # deployment answer — this inline variant persists the frame it
+    # would otherwise recompute.
+    store = _signature_frame_from_toks(c_toks, id_col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     verified = minhash_near_dups_vs_store(
         arrivals,
         store,
@@ -489,7 +514,7 @@ def minhash_near_dups_incremental(
         num_hashes=num_hashes,
         bands=bands,
     )
-    return unpersist_on_release(verified, c_toks)
+    return unpersist_on_release(verified, c_toks, store)
 
 
 def arrivals_decision(
