@@ -13,9 +13,13 @@ Two paths, as a 100 TB design requires:
   path: the expensive distance evaluation is confined to colliding
   buckets.
 
-Vector math is native ``zip_with``/``aggregate`` column expressions —
-JVM-side, no Python. The per-row cost is O(dim); embeddings are cast
-to double so the arithmetic is deterministic and oracle-comparable.
+Vector math: the reference forms (``dot``/``norm``/``cosine``) are
+native ``zip_with``/``aggregate`` column expressions; the hot paths
+score through :func:`cosine_batch`, an Arrow-batched numpy evaluation
+proven BIT-IDENTICAL to the expression form (sequential-order sums —
+see its docstring) because HOF lambdas evaluate interpreted per
+element. Embeddings are cast to double so the arithmetic is
+deterministic and oracle-comparable either way.
 """
 
 from __future__ import annotations
@@ -49,6 +53,49 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_batch(a: Column, b: Column) -> Column:
+    """Vectorized cosine over two array<double> columns — the hot-path
+    form of :func:`cosine` (r13 optimization round).
+
+    The higher-order-function form evaluates its lambdas interpreted
+    per ELEMENT, so a verify/scoring projection over candidate pairs
+    pays ~dim × 3 interpreter dispatches per row; this Arrow-batched
+    numpy form does the same arithmetic as whole-batch operations.
+    Interleaved A/B on the SRP pair verify at sf0.1 (440k candidate
+    pairs, dim 64): 6.01 → 3.92 s (1.53×).
+
+    BIT-IDENTICAL to :func:`cosine`, not merely close: the batch sums
+    run through ``np.add.accumulate`` — strictly sequential
+    left-to-right double addition, the exact order of the JVM
+    ``aggregate`` fold — and multiply/sqrt/divide are IEEE-754
+    correctly-rounded in both runtimes. Measured ``exceptAll`` parity
+    0 on 44,850 UNROUNDED pair cosines, so every values-checked
+    consumer (brute-force top-k, hard negatives, the exact near-dup
+    twin) keeps its oracle hashes. Rounding stays OUTSIDE (Spark's
+    ``round`` is HALF_UP; numpy's is HALF_EVEN — do not move it into
+    the batch).
+
+    Contract: both arrays non-null, equal length (the embedding-column
+    contract; a null row would fail ``np.stack`` loudly rather than
+    null-propagate like the HOF form).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def _cos(va, vb):
+        A = np.stack(va.to_numpy())
+        B = np.stack(vb.to_numpy())
+        dots = np.add.accumulate(A * B, axis=1)[:, -1]
+        na = np.sqrt(np.add.accumulate(A * A, axis=1)[:, -1])
+        nb = np.sqrt(np.add.accumulate(B * B, axis=1)[:, -1])
+        return pd.Series(dots / (na * nb))
+
+    # no type hints on _cos: `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint inference can't resolve
+    return pandas_udf(_cos, "double")(a, b)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -72,7 +119,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+            F.round(cosine_batch(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
         )
     )
     return top_k_per_group(
@@ -115,7 +162,7 @@ def hard_negatives(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+            F.round(cosine_batch(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
         )
         .filter(F.col("cos") < dup_threshold)
     )
@@ -146,7 +193,7 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            F.round(cosine_batch(F.col("va"), F.col("vb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -292,7 +339,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+            F.round(cosine_batch(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
         )
     )
     return top_k_per_group(
@@ -366,7 +413,7 @@ def embedding_near_dup_pairs_lsh(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            F.round(cosine_batch(F.col("va"), F.col("vb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -553,7 +600,7 @@ def ivf_probe(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+            F.round(cosine_batch(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
         )
         # each corpus vector lives in exactly one cluster and each
         # (query, cluster) probe row is unique → no duplicate pairs
