@@ -211,15 +211,18 @@ def train_pq(
     # same persisted sample, and each individual Lloyd job is far
     # smaller than the cluster — running them sequentially serializes
     # m × (per-job scheduling + iteration barrier) dead time. Spark
-    # supports concurrent job submission from threads, so fit a few
-    # subspaces at once (bounded — oversubscribing just queues jobs).
-    # Determinism is untouched: each fit is seeded per-subspace and
-    # writes its own books[j] slice. Measured at sf0.1 (m=16, k=16):
-    # sequential 21-24 s → 4 threads 8-9 s for byte-identical books.
+    # supports concurrent job submission from threads, so fit every
+    # subspace at once up to a bound (oversubscribing just queues
+    # jobs in the FIFO scheduler). Determinism is untouched: each fit
+    # is seeded per-subspace and writes its own books[j] slice.
+    # Measured at sf0.1 (m=16, k=16): sequential 21-24 s → 4 threads
+    # 8-9 s (r10); 4 → 16 threads 4.59 → 3.53 s warm-interleaved
+    # best-of-3 with bit-identical books (r13 — the barrier dead time
+    # still dominated at 4).
     from concurrent.futures import ThreadPoolExecutor
 
     try:
-        with ThreadPoolExecutor(max_workers=min(4, m)) as pool:
+        with ThreadPoolExecutor(max_workers=min(16, m)) as pool:
             list(pool.map(fit_subspace, range(m)))
     finally:
         sliced.unpersist()
