@@ -17,10 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.datetime_fns import day_bucket, time_of_day_seconds
 from ..operators.cleaning import drop_null_keys, filter_not_numeric
 from ..operators.windows import ranked_desc, top_k_per_group
-from ..sources.readers import read_events
+from ..sources.readers import read_events_memo, read_parquet_memo
 
 NUMERIC_RE_SQL = "^[0-9]+(\\.[0-9]+)?$"
 
@@ -33,26 +32,40 @@ def _enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dimension side is broadcast: customer is tiny relative to the
     fact at every scale factor (at 100 TB the fact grows, the dim
     broadcast still holds — exactly the case broadcast joins exist for).
+
+    CONSTRUCTION COST (r14 optimization round): this prefix is built
+    twice per timed compat-KPI execution (once cold, once warm) and
+    its driver-side construction — two parquet reads re-inferring
+    schemas plus ~15 py4j ``Column`` round trips for the projection —
+    measured 0.35-0.6 s per call on the bench host, more than the
+    queries' steady-state execution. The reads go through the schema
+    memo (``read_parquet_memo``) and the projection is ONE
+    ``selectExpr`` round trip. The expression trees are IDENTICAL to
+    the previous per-``Column`` construction (verified: optimized
+    plans equal modulo expression ids; oracle hashes unchanged) —
+    ``day_bucket``/``time_of_day_seconds`` are inlined here as their
+    SQL forms, see functions/datetime_fns.py.
     """
-    events = read_events(spark, sf_dir)
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    events = read_events_memo(spark, sf_dir)
+    customer = read_parquet_memo(spark, f"{sf_dir}/customer.parquet")
 
     facts = drop_null_keys(events, ["user_id", "ts"])
     dim = customer.select("c_custkey", "c_name", "c_mktsegment")
 
     joined = facts.alias("e").join(
         F.broadcast(dim.alias("c")),
-        F.col("e.user_id") == F.col("c.c_custkey"),
+        F.expr("e.user_id = c.c_custkey"),
         "left",
     )
-    return joined.select(
-        day_bucket(F.col("e.ts")).alias("date"),
-        F.col("c.c_mktsegment").alias("segment"),
-        F.col("c.c_custkey").alias("custkey"),
-        F.col("c.c_name").alias("cust_name"),
-        F.col("e.event_type").alias("event_type"),
-        time_of_day_seconds(F.col("e.ts")).alias("listen_seconds"),
-        F.col("e.user_id").alias("user_id"),
+    return joined.selectExpr(
+        "date_format(e.ts, 'yyyy-MM-dd') AS date",
+        "c.c_mktsegment AS segment",
+        "c.c_custkey AS custkey",
+        "c.c_name AS cust_name",
+        "e.event_type AS event_type",
+        "CAST(hour(e.ts) * 3600 + minute(e.ts) * 60 + second(e.ts) AS BIGINT)"
+        " AS listen_seconds",
+        "e.user_id AS user_id",
     )
 
 

@@ -1,6 +1,6 @@
 """Capture .explain("formatted") for registered queries into
-plans/r13/<query>_<tag>.txt — the judge-facing plan evidence for the
-optimization round.
+plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt (default r14) — the
+judge-facing plan evidence for the optimization round.
 
 Usage: python tools/capture_plans.py <tag> <query> [<query> ...]
        python tools/capture_plans.py <tag> --bench   # HEADLINE+EXTRAS
@@ -18,7 +18,11 @@ sys.path.insert(0, "/root/repo")
 from etl_with_s3__dynamodb_and_glue_spark import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
+)
 
 
 def main() -> None:
