@@ -146,8 +146,15 @@ def minhash_signatures(
     exploded = shingled.select(
         F.col(id_col), F.explode(F.col(shingle_col)).alias("shingle")
     )
+    # F.expr strings, not F.min(F.xxhash64(F.lit(i), ...)) (r14): the
+    # functional form costs ~4 py4j round trips per hash — ~0.5 s of
+    # DRIVER time per construction at H=64 on the bench host — while
+    # one parsed string per aggregate is a single trip. The expression
+    # trees are IDENTICAL (SQL integer literals are IntegerType like
+    # F.lit(i), so the xxhash64 seeds hash the same): optimized plans
+    # verified equal modulo expression ids, oracle hashes unchanged.
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        F.expr(f"min(xxhash64({i}, shingle)) AS mh_{i}")
         for i in range(num_hashes)
     ]
     if include_set_size:
@@ -155,7 +162,7 @@ def minhash_signatures(
         # a plain count IS the set size — rides the same aggregate,
         # costing nothing, and spares downstream consumers (the PPJoin
         # length prune) a separate per-doc size join.
-        aggs.append(F.count(F.lit(1)).alias("n_set"))
+        aggs.append(F.expr("count(1) AS n_set"))
     return exploded.groupBy(id_col).agg(*aggs)
 
 
@@ -191,18 +198,18 @@ def _band_key_array(num_hashes: int, bands: int):
     Jaccard verify downstream keeps even that from reaching the
     output."""
     rows_per_band = num_hashes // bands
-    return F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[
-                    F.col(f"mh_{b * rows_per_band + r}")
-                    for r in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
+    # one parsed expression instead of bands × (rows_per_band + 2)
+    # py4j round trips (r14 construction-cost round; tree identical —
+    # see minhash_signatures)
+    parts = ", ".join(
+        f"xxhash64({b}, "
+        + ", ".join(
+            f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        + ")"
+        for b in range(bands)
     )
+    return F.expr(f"array({parts})")
 
 
 def lsh_candidate_pairs(
@@ -348,13 +355,15 @@ def minhash_near_dups(
     # (sets, not documents), hence the sort before hashing. The window
     # partitions by fingerprint — group sizes are bounded by the dup
     # multiplicity, never corpus-sized.
-    w_fp = Window.partitionBy("fp")
     members = (
-        toks.select(
-            F.col(id_col),
-            F.md5(F.to_json(F.array_sort("toks"))).alias("fp"),
+        toks.selectExpr(
+            f"`{id_col}`",
+            "md5(to_json(array_sort(toks))) AS fp",
         )
-        .select(F.col(id_col), F.min(id_col).over(w_fp).alias("rep"))
+        .selectExpr(
+            f"`{id_col}`",
+            f"min(`{id_col}`) OVER (PARTITION BY fp) AS rep",
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rep_toks = toks.join(
@@ -395,36 +404,43 @@ def minhash_near_dups(
         dedupe=False,
         carry_cols=("n_set",),
     )
-    na, nb = F.col("n_set_a"), F.col("n_set_b")
+    # SQL-string forms of the prune/verify expressions (r14): same
+    # trees as the previous Column-by-Column construction (float
+    # literals carry the D suffix so they stay DoubleType like
+    # F.lit(threshold); verified plan-equal mod expression ids), built
+    # in one py4j round trip per projection instead of one per node.
+    t_lit = f"{threshold!r}D"
     candidates = (
-        raw.filter((na >= nb * threshold) & (nb >= na * threshold))
+        raw.filter(
+            f"n_set_a >= n_set_b * {t_lit} AND n_set_b >= n_set_a * {t_lit}"
+        )
         .select("id_a", "id_b", "n_set_a", "n_set_b")
         .distinct()
     )
 
-    hashed = F.transform("toks", lambda t: F.xxhash64(t))
-    a = rep_toks.select(F.col(id_col).alias("id_a"), hashed.alias("toks_a"))
-    b = rep_toks.select(F.col(id_col).alias("id_b"), hashed.alias("toks_b"))
+    a = rep_toks.selectExpr(
+        f"`{id_col}` AS id_a", "transform(toks, t -> xxhash64(t)) AS toks_a"
+    )
+    b = rep_toks.selectExpr(
+        f"`{id_col}` AS id_b", "transform(toks, t -> xxhash64(t)) AS toks_b"
+    )
     rep_pairs = (
         candidates.join(a, "id_a")
         .join(b, "id_b")
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
-            na.alias("n_a"),
-            nb.alias("n_b"),
+            "size(array_intersect(toks_a, toks_b)) AS n_inter",
+            "n_set_a AS n_a",
+            "n_set_b AS n_b",
         )
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+            "round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6)"
+            " AS jaccard",
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(f"jaccard >= {t_lit}")
     )
     # expand representative pairs back to member pairs. Cross-group:
     # J(x, y) for x∈A, y∈B equals J(rep_A, rep_B) because members
@@ -570,9 +586,8 @@ def _signature_frame_from_toks(
         num_hashes=num_hashes,
         include_set_size=True,
     )
-    hashed = toks.select(
-        F.col(id_col),
-        F.transform("toks", lambda t: F.xxhash64(t)).alias("toks_h"),
+    hashed = toks.selectExpr(
+        f"`{id_col}`", "transform(toks, t -> xxhash64(t)) AS toks_h"
     )
     return sigs.join(hashed, id_col)
 
@@ -672,16 +687,17 @@ def minhash_near_dups_vs_store(
         F.col("n_set").alias("n_c"),
         F.explode(band_keys).alias("bucket"),
     )
-    na, nc = F.col("n_a"), F.col("n_c")
+    t_lit = f"{threshold!r}D"
     candidates = (
         F.broadcast(banded_a)
         .join(banded_c, ["bucket"])
-        .filter((na >= nc * threshold) & (nc >= na * threshold))
+        .filter(f"n_a >= n_c * {t_lit} AND n_c >= n_a * {t_lit}")
         .select("doc_id", "corpus_id", "n_a", "n_c")
         .distinct()
     )
-    hashed = F.transform("toks", lambda t: F.xxhash64(t))
-    a = a_toks.select(F.col(id_col).alias("doc_id"), hashed.alias("toks_a"))
+    a = a_toks.selectExpr(
+        f"`{id_col}` AS doc_id", "transform(toks, t -> xxhash64(t)) AS toks_a"
+    )
     c = store.select(F.col(id_col).alias("corpus_id"), F.col("toks_h").alias("toks_b"))
     # candidate id-pairs (batch-bounded, four scalar columns) probe the
     # store's token sets; the arrival token sets then join on the
@@ -690,23 +706,20 @@ def minhash_near_dups_vs_store(
         F.broadcast(candidates)
         .join(c, "corpus_id")
         .join(F.broadcast(a), "doc_id")
-        .select(
+        .selectExpr(
             "doc_id",
             "corpus_id",
-            F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
-            na,
-            nc,
+            "size(array_intersect(toks_a, toks_b)) AS n_inter",
+            "n_a",
+            "n_c",
         )
-        .select(
+        .selectExpr(
             "doc_id",
             "corpus_id",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (na + nc - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+            "round(CAST(n_inter AS DOUBLE) / (n_a + n_c - n_inter), 6)"
+            " AS jaccard",
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(f"jaccard >= {t_lit}")
     )
     return unpersist_on_release(verified, a_toks)
 
