@@ -13,13 +13,17 @@ Two paths, as a 100 TB design requires:
   path: the expensive distance evaluation is confined to colliding
   buckets.
 
-Vector math: the reference forms (``dot``/``norm``/``cosine``) are
-native ``zip_with``/``aggregate`` column expressions; the hot paths
-score through :func:`cosine_batch`, an Arrow-batched numpy evaluation
-proven BIT-IDENTICAL to the expression form (sequential-order sums —
-see its docstring) because HOF lambdas evaluate interpreted per
-element. Embeddings are cast to double so the arithmetic is
-deterministic and oracle-comparable either way.
+Vector math: two BIT-IDENTICAL scorer forms (see ``cosine_batch``'s
+docstring for the proof), chosen PER SITE by measured candidate
+volume (r14, VERDICT r13 item 4): the HOF ``cosine`` expression wins
+below ~10⁵ pairs per execution (the Arrow round trip is a fixed
+per-plan cost — interleaved A/B at sf0.1: brute-force 0.47 s HOF vs
+0.66 s batch, lsh_topk 0.83 vs 1.04), while the Arrow-batched
+:func:`cosine_batch` wins at verify-path volumes (1.53× at 440k
+pairs, r13). Top-k serving sites (bounded query batches) use the HOF
+form; all-pairs/banded verify sites keep the batch kernel.
+Embeddings are cast to double so the arithmetic is deterministic and
+oracle-comparable either way.
 """
 
 from __future__ import annotations
@@ -35,6 +39,25 @@ from .windows import top_k_per_group
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _as_double_sql(col: str) -> str:
+    """SQL-string twin of :func:`as_double` — same expression tree,
+    one py4j round trip when used inside ``selectExpr`` (r14
+    construction-cost round)."""
+    return f"transform(`{col}`, x -> CAST(x AS DOUBLE))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`cosine` (same tree: ``0.0D`` literals
+    are DoubleType like ``F.lit(0.0)``; lambda shapes identical)."""
+    dot = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v)"
+    )
+    na = f"sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + v * v))"
+    nb = f"sqrt(aggregate({b}, 0.0D, (acc, v) -> acc + v * v))"
+    return f"{dot} / ({na} * {nb})"
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -84,6 +107,13 @@ def cosine_batch(a: Column, b: Column) -> Column:
     from pyspark.sql.pandas.functions import pandas_udf
 
     def _cos(va, vb):
+        if va.isnull().any() or vb.isnull().any():
+            raise ValueError(
+                "cosine_batch: null embedding in batch — this kernel "
+                "requires non-null equal-length arrays (callers attach "
+                "vectors via inner joins). Use cosine() where null "
+                "propagation is wanted."
+            )
         A = np.stack(va.to_numpy())
         B = np.stack(vb.to_numpy())
         dots = np.add.accumulate(A * B, axis=1)[:, -1]
@@ -107,19 +137,28 @@ def brute_force_topk(
     """Exact top-k cosine neighbors per query.
 
     ``queries`` is broadcast; the corpus never shuffles. Self-matches
-    (same id) are excluded. Ties break on neighbor id ascending."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
+    (same id) are excluded. Ties break on neighbor id ascending.
+
+    Scorer (r14 per-site decision, VERDICT r13 item 4): the HOF
+    ``cosine`` form, NOT ``cosine_batch`` — interleaved A/B at sf0.1
+    (20k pairs) read 0.47 s HOF vs 0.66 s batch; the Arrow round
+    trip's fixed per-plan cost loses below ~10⁵ candidate pairs, and
+    this operator is the bounded-batch recall oracle by contract (the
+    scale paths are LSH/IVF). The two forms are bit-identical
+    (cosine_batch docstring), so this is purely an execution-strategy
+    choice."""
+    c = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id", f"{_as_double_sql(vec_col)} AS cvec"
     )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    q = queries.selectExpr(
+        f"`{query_id_col}` AS query_id", f"{_as_double_sql(vec_col)} AS qvec"
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round(cosine_batch(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+            f"round({_cosine_sql('qvec', 'cvec')}, 6) AS cos",
         )
     )
     return top_k_per_group(
@@ -151,20 +190,22 @@ def hard_negatives(
     the scoring join for the IVF/SRP candidate generators and keep
     the filter-then-rank tail unchanged.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
+    c = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id", f"{_as_double_sql(vec_col)} AS cvec"
     )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    q = queries.selectExpr(
+        f"`{query_id_col}` AS query_id", f"{_as_double_sql(vec_col)} AS qvec"
     )
+    # HOF scorer, same bounded-batch rationale as brute_force_topk
+    # (r14 per-site A/B — this is the same plan shape and volume)
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round(cosine_batch(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+            f"round({_cosine_sql('qvec', 'cvec')}, 6) AS cos",
         )
-        .filter(F.col("cos") < dup_threshold)
+        .filter(f"cos < {dup_threshold!r}D")
     )
     return top_k_per_group(
         scored,
@@ -182,12 +223,15 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (brute force — the verifier
     twin of the LSH route)."""
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
+    a = embeddings.selectExpr(
+        f"`{id_col}` AS id_a", f"{_as_double_sql(vec_col)} AS va"
     )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
+    b = embeddings.selectExpr(
+        f"`{id_col}` AS id_b", f"{_as_double_sql(vec_col)} AS vb"
     )
+    # cosine_batch stays (r14 per-site decision): all-pairs volume is
+    # ~n²/2 (2M pairs at sf0.1) — deep inside the regime where the
+    # Arrow-batched kernel's 1.5× win was measured (r13).
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
@@ -195,7 +239,7 @@ def embedding_near_dup_pairs(
             "id_b",
             F.round(cosine_batch(F.col("va"), F.col("vb")), 6).alias("cos"),
         )
-        .filter(F.col("cos") >= threshold)
+        .filter(f"cos >= {threshold!r}D")
     )
 
 
@@ -298,11 +342,11 @@ def lsh_topk(
     broadcast of an unbounded query batch is an executor OOM, and AQE
     can still pick a runtime broadcast if actual sizes allow.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
+    c = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id", f"{_as_double_sql(vec_col)} AS cvec"
     )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    q = queries.selectExpr(
+        f"`{query_id_col}` AS query_id", f"{_as_double_sql(vec_col)} AS qvec"
     )
     small_q = (
         queries.limit(broadcast_queries_max + 1).count() <= broadcast_queries_max
@@ -333,13 +377,18 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # HOF scorer (r14 per-site A/B, VERDICT r13 item 4): interleaved
+    # at sf0.1 headline volume (~10⁴ candidates) HOF 0.83 s vs batch
+    # 1.04 s — the Arrow round trip only pays above ~10⁵ pairs (the
+    # near-dup verify paths below keep cosine_batch). Bit-identical
+    # forms, so rows are unchanged either way.
     scored = (
         candidates.join(c, "neighbor_id")
         .join(maybe_broadcast(q), "query_id")
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round(cosine_batch(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+            f"round({_cosine_sql('qvec', 'cvec')}, 6) AS cos",
         )
     )
     return top_k_per_group(
@@ -390,8 +439,8 @@ def embedding_near_dup_pairs_lsh(
     clustered real-world embedding spaces use (at cos ≥ 0.8 the
     per-bit gap triples and 10-12 planes prune hard at recall ≈ 1).
     """
-    e = embeddings.select(
-        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    e = embeddings.selectExpr(
+        f"`{id_col}` AS vid", f"{_as_double_sql(vec_col)} AS v"
     ).persist()
     sigs = srp_signatures_udf(dim, n_planes, n_tables)
     banded = e.withColumn("sigs", sigs("v")).select(
@@ -407,6 +456,9 @@ def embedding_near_dup_pairs_lsh(
     )
     va = e.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
     vb = e.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    # cosine_batch stays here (r14 per-site decision): this verify
+    # scores every banded candidate (~440k pairs at sf0.1/t=0.4),
+    # where the Arrow kernel measured 1.53× (r13).
     result = (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
@@ -415,7 +467,7 @@ def embedding_near_dup_pairs_lsh(
             "id_b",
             F.round(cosine_batch(F.col("va"), F.col("vb")), 6).alias("cos"),
         )
-        .filter(F.col("cos") >= threshold)
+        .filter(f"cos >= {threshold!r}D")
     )
     return unpersist_on_release(result, e)
 
@@ -547,60 +599,81 @@ def ivf_probe(
 
     SCAN PRUNING IS EXPLICIT (r13): the equi-join against
     ``broadcast(probed)`` does NOT prune a partitioned on-disk scan
-    by itself — dynamic partition pruning declines to fire across the
-    Python-evaluated probe side (the r13 e10m plan read
+    by itself — dynamic partition pruning declines to fire across a
+    non-scan probe side (the r13 e10m plan read
     ``PartitionFilters: [isnotnull(cluster)]``), so the join was
     pruning COMPUTE (cosine only on surviving rows) while still
-    READING every cell. The probed cell ids are now collected first
-    (one tiny job over the bounded query batch — it is broadcast
-    anyway) and applied as a literal ``isin`` filter on the partition
-    column: static file-index pruning, n_probe/n_clusters of the
-    bytes actually read.
+    READING every cell. The probed cell ids are applied as a literal
+    ``isin`` filter on the partition column: static file-index
+    pruning, n_probe/n_clusters of the bytes actually read.
+
+    PROBE SIDE IS DRIVER-COMPUTED (r14): the query batch is broadcast
+    by contract — it already passes through the driver — so the
+    nearest-centroid argsort runs ONCE in driver numpy over the
+    collected batch, and the (query_id, qvec, cluster) probe rows ship
+    as a literal local relation. The r13 shape paid three extra
+    plan-time jobs per execution (centroid re-read rides the index
+    load; the probe UDF ran once for the distinct-cells collect and
+    again inside the join) plus a Python-worker round trip in the
+    serving plan; at any scale the probe side stays batch-bounded, and
+    the same matmul produces bit-identical cells and vectors (collect
+    returns the exact cast doubles). Interleaved A/B and exceptAll
+    parity 0 recorded in OPTIMIZATION_r14.md.
     """
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.pandas.functions import pandas_udf
 
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qvec")
+    from pyspark.sql import types as T
+
+    q = queries.selectExpr(
+        f"`{query_id_col}` AS query_id", f"{_as_double_sql(vec_col)} AS qvec"
     )
     centers = index.centers
     center_sq = (centers**2).sum(axis=1)
     n_probe_eff = min(n_probe, len(centers))
 
-    def _probe_batch(vec):
-        v = np.stack(vec.to_numpy())  # (batch, dim)
-        # squared euclidean via ||q||² - 2q·c + ||c||²; ||q||² is
-        # constant per row so it can't change the argsort — drop it
-        d = center_sq[None, :] - 2.0 * (v @ centers.T)
-        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe_eff]
-        return pd.Series(list(idx.astype("int32")))
-
-    # no type hints: `from __future__ import annotations` stringifies
-    # them, which pandas_udf's hint inference can't resolve
-    probe_udf = pandas_udf(_probe_batch, "array<int>")
-    probed = q.select(
-        "query_id", "qvec", F.explode(probe_udf("qvec")).alias("cluster")
-    )
-
-    # literal partition pruning: the probe UDF is deterministic, so
-    # this tiny extra job and the broadcast below see the same cells
-    probed_cells = sorted(
-        r.cluster for r in probed.select("cluster").distinct().collect()
-    )
-    if not probed_cells:
-        return index.assignments.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cos double, rank int"
+    q_schema = q.schema
+    q_rows = q.collect()
+    spark = index.assignments.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    q_schema["query_id"],
+                    T.StructField("neighbor_id", q_schema["query_id"].dataType),
+                    T.StructField("cos", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
         )
+    v = np.array([r.qvec for r in q_rows])  # (batch, dim)
+    # squared euclidean via ||q||² - 2q·c + ||c||²; ||q||² is
+    # constant per row so it can't change the argsort — drop it
+    d = center_sq[None, :] - 2.0 * (v @ centers.T)
+    idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe_eff].astype("int32")
+    probed_rows = [
+        (r.query_id, r.qvec, int(cell))
+        for r, cells in zip(q_rows, idx)
+        for cell in cells
+    ]
+    probed_schema = T.StructType(
+        [
+            q_schema["query_id"],
+            q_schema["qvec"],
+            T.StructField("cluster", T.IntegerType(), False),
+        ]
+    )
+    probed = spark.createDataFrame(probed_rows, probed_schema)
+    probed_cells = sorted({cell for *_r, cell in probed_rows})
 
     scored = (
         index.assignments.filter(F.col("cluster").isin(probed_cells))
         .join(F.broadcast(probed), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            F.round(cosine_batch(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+            f"round({_cosine_sql('qvec', 'cvec')}, 6) AS cos",
         )
         # each corpus vector lives in exactly one cluster and each
         # (query, cluster) probe row is unique → no duplicate pairs

@@ -35,7 +35,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # schema-memoized read (metadata only — see sources/readers.py):
+    # every embedding query pays this read 1-2× per construction, and
+    # re-inferring the footer schema cost 0.15 s/call vs 0.035 s memoized
+    from ..sources.readers import read_parquet_memo
+
+    return read_parquet_memo(spark, f"{sf_dir}/embeddings.parquet")
 
 
 # --- text analysis -------------------------------------------------------

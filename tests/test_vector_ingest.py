@@ -156,3 +156,23 @@ def test_probe_prunes_to_probed_clusters(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower(), plan
+
+
+def test_cosine_batch_null_embedding_raises_clear_error(spark):
+    """r14 null-contract pin (VERDICT r13 item 8 / ADVICE r13): the
+    Arrow-batched kernel cannot null-propagate like the HOF form — a
+    null array must fail with the operator's own message, not numpy's
+    TypeError from inside the worker."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], [1.0, 2.0]), (2, None, [1.0, 2.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    with pytest.raises(Exception, match="cosine_batch: null embedding"):
+        df.select(similarity.cosine_batch(F.col("a"), F.col("b"))).collect()
+    # the HOF form keeps null-propagating for callers that want it
+    rows = df.select(
+        similarity.cosine(F.col("a"), F.col("b")).alias("c")
+    ).collect()
+    assert rows[1].c is None and rows[0].c is not None
