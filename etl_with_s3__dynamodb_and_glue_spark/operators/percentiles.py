@@ -63,14 +63,6 @@ def group_percentiles_exact(
 
     INVARIANTS a deployment must not break (ADVICE r11):
 
-    * ``spark.sql.exchangeReuse.enabled`` must stay on (the default).
-      Both consumers of ``pairs`` — the slice-count offsets and the
-      ranked window — must observe IDENTICAL range boundaries and
-      ``spark_partition_id`` stamps; exchange reuse guarantees the
-      range shuffle materializes once. With reuse disabled the two
-      RangePartitioner samplings can differ and silently corrupt
-      global ranks — if you must disable reuse, ``persist()`` the
-      ``pairs`` frame instead (queued hardening, r14).
     * The ``offsets`` broadcast is (partitions × groups) rows and the
       ``targets`` broadcast (groups × |ps|): fine for few-to-moderate
       group cardinality (the holistic-trap fix this operator exists
@@ -82,13 +74,31 @@ def group_percentiles_exact(
     """
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):  # e.g. "auto" deployments
+            num_partitions = df.rdd.getNumPartitions()
 
     # STRUCT-WRAP the group key: a NULL group is a real group to the
     # native aggregate, but bare-column equality (both the USING join
     # on offsets and the target join) silently drops null keys —
     # struct equality compares null FIELDS as values, making every
     # join/groupBy below null-safe without eqNullSafe special cases.
+    #
+    # PERSISTED (r14, the ADVICE-r11 hardening pre-staged in
+    # __spark_entry__.py): both consumers of ``pairs`` — the
+    # slice-count offsets and the ranked window — must observe
+    # IDENTICAL range boundaries and ``spark_partition_id`` stamps.
+    # The persist replaces the previous reliance on exchange reuse
+    # (which left rank consistency hostage to a session conf: with
+    # ``spark.sql.exchangeReuse.enabled=false`` the two
+    # RangePartitioner samplings could differ and silently corrupt
+    # global ranks). The cache fills on the slice_counts aggregate
+    # that runs anyway and is released with the result's lifetime.
+    from pyspark.storagelevel import StorageLevel
+
     pairs = (
         df.select(
             F.struct(F.col(group_col).alias("k")).alias("_g"),
@@ -97,6 +107,7 @@ def group_percentiles_exact(
         .filter(F.col("_v").isNotNull())
         .repartitionByRange(num_partitions, "_g", "_v")
         .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # tiny: at most (partitions × groups) rows
@@ -165,7 +176,7 @@ def group_percentiles_exact(
         "_w_hi",
         "_v",
     )
-    return (
+    out = (
         hits.groupBy("_g", "p")
         .agg(
             F.max(F.when(F.col("_rk") == F.col("_k_lo"), F.col("_v"))).alias(
@@ -188,6 +199,9 @@ def group_percentiles_exact(
             .alias("pct"),
         )
     )
+    from ..caching import unpersist_on_release
+
+    return unpersist_on_release(out, pairs)
 
 
 def global_percentiles_exact(

@@ -110,3 +110,47 @@ def test_partition_count_does_not_change_results(spark, n_parts):
         ).collect()
     }
     assert ours == native
+
+
+def test_matches_native_with_exchange_reuse_disabled(spark):
+    """r14 hardening (ADVICE r11, pre-staged in __spark_entry__.py):
+    rank consistency no longer depends on exchange reuse — the pairs
+    frame is persisted, so both consumers see one materialization.
+    The r11 failure mode under disabled reuse was SILENT rank
+    corruption; this pins bit-equality with the native aggregate."""
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    native = _native(orders, "o_orderpriority", "o_totalprice", PS)
+    spark.conf.set("spark.sql.exchangeReuse.enabled", "false")
+    try:
+        ours = {
+            (r["o_orderpriority"], r["p"]): r["pct"]
+            for r in group_percentiles_exact(
+                orders, "o_orderpriority", "o_totalprice", PS
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.exchangeReuse.enabled", "true")
+    assert ours == native
+
+
+def test_non_numeric_shuffle_partitions_conf_does_not_raise(spark, monkeypatch):
+    """'auto'-style deployments: a non-numeric
+    spark.sql.shuffle.partitions must degrade to the frame's own
+    partition count, not raise (ADVICE r11 item b)."""
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    real_get = spark.conf.get
+
+    def fake_get(key, *a, **kw):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return real_get(key, *a, **kw)
+
+    monkeypatch.setattr(spark.conf, "get", fake_get)
+    native = _native(orders, "o_orderpriority", "o_totalprice", [0.5])
+    ours = {
+        (r["o_orderpriority"], r["p"]): r["pct"]
+        for r in group_percentiles_exact(
+            orders, "o_orderpriority", "o_totalprice", [0.5]
+        ).collect()
+    }
+    assert ours == native
