@@ -37,7 +37,7 @@ _MODULES = [
 
 # The driver's correctness harness checks the FIRST 50 registry entries
 # per round; the registry is larger than that, so ordering is coverage
-# policy (round 13 edition). Rotation rules (tested by
+# policy (round 14 edition). Rotation rules (tested by
 # tests/test_registry_rotation.py):
 #   1. every query never seen in ANY CORRECTNESS_r*.json artifact must
 #      be in the current window (first 50) — nothing ships a round
@@ -80,198 +80,95 @@ _MODULES = [
 # would outlive the local suite's regression horizon, while redundant
 # variants are exactly the coverage a full window can't afford.
 #
-# ROUND-13 WINDOW: the 6 r9 deferrals from the head of the r12
-# _CHECK_LAST (mandatory — the last-three artifacts as of
-# construction are r10/r11/r12 and these sit only in r9), plus
-# user_sessions (rule 3), plus embedding_ivfpq_topk (rule 2: the
-# banked sampled-PQ-training fix touches train_pq → ensure_pq_index →
-# both PQ consumers; this one is r11-checked so it costs a slot),
-# plus 42 of the 49-query r10-checked block. embedding_ivfpq_topk's
-# +1 is PAID FOR by deferring a SEVENTH r10 query to r14
-# (returnflag_cube…events_activity_concurrency, the seven at the
-# head of _CHECK_LAST — none on any r13/r14 queued lineage). The 42
-# include every lineage the three banked r13 fixes touch: the six
-# resolve_near_dups consumers (CC double-persist), both
-# minhash_near_dups_vs_store consumers (broadcast-side pin), and
-# embedding_pq_topk (sampled PQ training). Exactly 50.
+# ROUND-14 WINDOW (optimization round 2): rule 2 dominates this
+# round — the construction-cost campaign touched five operator
+# families, so the window is 7 mandatory r10 returns (stale at r14
+# otherwise) + user_sessions (rule 3) + the 32 rule-2-touched
+# lineages + 10 r11-checked rotations chosen from the bench surface
+# (headline/extras lineages get driver re-checks the same round their
+# host session re-times them). The other 33 r11-checked queries park
+# one more round (legal: r11 is within the last-three artifacts
+# r11/r12/r13 as of construction) and are MANDATORY at r15.
 #
-# CORRECTNESS_r11.json provenance: the round-11 driver committed
-# VERDICT/ADVICE/BENCH but wrote no correctness artifact (VERDICT r11
-# "What's wrong" preamble); the judge's own full-registry run was
-# 153/153 green. The artifact on disk was backfilled at r12's first
-# commit by tools/backfill_correctness_r11.py — the SAME
-# driver-equivalent gate (tests/oracle_harness.compare, sf0.01) over
-# the r11 window on the UNMODIFIED r11 end-of-round tree (git clean),
-# 50/50 OK; it carries a _provenance key saying so. Without it the
-# staleness arithmetic would misread the 19 r7-checked queries
-# re-verified at r11 as never-re-checked and force a 69-wide window.
+# r14 DELIVERED (this round's diff; every lineage in-window):
+#   1. Star family: schema-memoized reads + one-call enriched
+#      projection (expression trees identical; construction 2x).
+#   2. MinHash/LSH family: signature aggregates, band keys, and
+#      verify projections built as parsed expressions (plan-equal mod
+#      ids, exceptAll parity 0; construction 2-3x); size-gated store
+#      layout (no unconditional build shuffle, ADVICE r13); bounded
+#      arrival-token-set broadcast with a plan-tested shuffled-join
+#      fallback (VERDICT r13 item 5).
+#   3. Embedding family: per-site cosine scorer by measured volume
+#      (VERDICT r13 item 4 — serving sites back to the HOF form,
+#      verify sites keep the Arrow kernel; bit-identical either way);
+#      ivf_probe cells computed driver-side (two plan-time jobs and a
+#      Python-worker round trip removed, parity 0); cosine_batch
+#      null-contract pinned with a clear error + test.
+#   4. Percentiles hardening (the r13-prestaged queue): pairs persist
+#      replaces the exchange-reuse invariant (bit-equality with the
+#      native aggregate pinned under reuse=false) + non-numeric conf
+#      tolerance. All five consumers values-match.
+#   5. DSIR trio: ensure_scan_parallelism degrades to a no-op on
+#      Spark Connect-style sessions (ADVICE r13).
+#   6. nation_revenue: schema-memoized reads (6 reads/construction).
 #
-# SCHEDULE THROUGH r16 (from the last-checked map after r12: 6 r9 /
-# 49 r10 / 48 r11 / 50 r12): r13 = 6 r9 + user_sessions +
-# embedding_ivfpq_topk (rule 2, pulled from the r11 block) + 42 r10
-# (EXACTLY 50, zero slack — the seventh-r10 deferral pays for the
-# ivfpq pull); r14 = the remaining 7 r10 + 42 r11-checked +
-# user_sessions (50; the 42 MUST include order_price_percentiles +
-# doc_lm_outliers for the queued percentiles.py hardening); r15 =
-# the remaining 5 r11 + 44 r12-checked + user_sessions (50); r16 =
-# the remaining 5 r12 + 44 r13-checked + user_sessions. Capacity
-# test ceiling 197 ≥ 153 holds throughout.
-#
-# r13 DELIVERED (the three banked fixes, all rule-2 lineages
-# in-window this round):
-#   1. dedup.py CC double-persist (ADVICE r10 item 1):
-#      _pointer_jump_components now materializes its co-partitioned
-#      copy and releases the caller's unpartitioned edges_sym persist
-#      BEFORE the fixpoint loop — single cache footprint on the
-#      crawl-scale path.
-#   2. dedup.minhash_near_dups_vs_store broadcast-side pin
-#      (BENCH_NOTES_r12 §7): both serving joins now F.broadcast() the
-#      batch-derived side explicitly (banded arrivals; candidate
-#      pairs), so the optimizer can never pick a store-derived build
-#      side off a zstd size underestimate and collect corpus-scale
-#      task results into the driver. Plan test pins it.
-#   3. quantization.train_pq sampled codebook training: a
-#      max_train_rows cap (default 2^18) bounds the k-means training
-#      set — codebooks need the density shape, not every vector; the
-#      full-corpus default OOMed the 10M-vector build at r12.
-#      Behavior at ≤262k-row corpora (every driver/test SF) is
-#      bit-identical: the cap only engages above it.
-#
-# r14 QUEUE (ADVICE r11 lows on operators/percentiles.py — blocked
-# by rule 2 until order_price_percentiles + doc_lm_outliers rotate
-# back in; re-raised by ADVICE r12): (a) persist `pairs` instead of
-# relying on the documented exchange-reuse invariant; (b) wrap
-# int(spark.conf.get('spark.sql.shuffle.partitions')) in try/except
-# for non-numeric deployments ('auto'). Both are plan-identical here
-# (exchangeReuse defaults on; the conf is always numeric in this
-# harness) — landing them early would burn five zero-slack window
-# slots (the three r12-checked percentile users plus these two).
-#
-# Patch, pre-staged r13 (VERDICT r12 item 6) so r14 lands it without
-# design work — in group_percentiles_exact:
-#   (a) after the `.withColumn("_pid", ...)` in the `pairs` chain:
-#         from pyspark.storagelevel import StorageLevel
-#         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-#       and unpersist before returning (materialize via the
-#       slice_counts aggregate that runs anyway — no extra job); the
-#       persist replaces the exchange-reuse invariant outright, so
-#       DROP the "must stay on" bullet from the docstring and keep
-#       the boundary-consistency rationale on the persist comment.
-#   (b) replace the bare int(spark.conf.get(...)) with the
-#       try/except already shipped in dedup._pointer_jump_components:
-#         try: num_partitions = int(conf.get(...))
-#         except (TypeError, ValueError): num_partitions = df.rdd.getNumPartitions()
-#   Test (pre-written intent): set
-#       spark.conf.set("spark.sql.exchangeReuse.enabled", "false")
-#   in a try/finally, assert group_percentiles_exact still matches
-#   the native percentile() on the test corpus (the r11 failure mode
-#   was silent rank corruption under disabled reuse), and assert a
-#   monkeypatched conf.get returning 'auto' doesn't raise.
+# SCHEDULE THROUGH r17 (last-checked map after r14 rotation: 33 r11 /
+# 45 r12 / 25 r13 / 50 r14): r15 = the 33 r11 (mandatory) +
+# user_sessions + 16 r12; r16 = the remaining 29 r12 (mandatory) +
+# user_sessions + 20 r13; r17 = the remaining 5 r13 + 44 r14 +
+# user_sessions. Capacity ceiling 4x50-3 = 197 >= 153 holds with
+# slack at every step.
 #
 # r15 QUEUE (ADVICE r12 low, event_time.py:544): make the null-week
 # contract of user_weekly_retention explicit in the ORACLE SQL
 # (WHERE ts IS NOT NULL in ev) when the query rotates back in —
-# r12-checked, so an oracle edit now would burn a slot; the intended
-# behavior (null weeks drop) is pinned by a pytest fixture this
-# round (test-only, rule-2-free).
+# r12-checked, parked until r15/r16; the intended behavior (null
+# weeks drop) is pinned by a pytest fixture since r13 (test-only,
+# rule-2-free).
 
-_WINDOW_ROUND = 13
+_WINDOW_ROUND = 14
 
 # Rule-2 ledger: queries whose code or oracle this round's diff
 # touched (directly or through a plan-lineage function they consume).
 # The rotation test enforces these sit inside the window.
 _TOUCHED_THIS_ROUND = [
-    # CC double-persist fix (connected_components /
-    # _pointer_jump_components): every resolve_near_dups consumer
-    "doc_dedup_final",
-    "doc_dedup_keep_best",
-    "doc_dedup_cluster_stats",
-    "doc_dedup_final_lsh",
-    "embedding_dedup_final",
-    "embedding_dedup_final_lsh",
-    # broadcast-side pin in minhash_near_dups_vs_store (direct +
-    # via minhash_near_dups_incremental)
-    "doc_arrivals_dedup_store",
-    "doc_arrivals_dedup_lsh",
-    # sampled PQ codebook training (train_pq -> ensure_pq_index ->
-    # both PQ consumers; ivfpq is the r11-checked pull-forward)
-    "embedding_pq_topk",
-    "embedding_ivfpq_topk",
-    # seeded-sample determinism fix (found r13 while testing the PQ
-    # cap): pyspark's sample() drops a keyword seed when the fraction
-    # is positional, so build_ivf_index's 25% coarse-quantizer sample
-    # was silently nondeterministic per build — fixed to explicit
-    # keywords; touches every ensure_ivf_index consumer (ivfpq above
-    # is one too)
-    "embedding_ivf_topk",
-    "ivf_imbalance",
-]
-
-_CHECK_FIRST = [
-    # --- checked r9, in none of r10/r11/r12: mandatory this round ---
+    "flagship_daily_segment_topk",
+    "serving_top_rows_lookup",
     "published_segment_kpis",
-    "top_return_customers",
-    "nation_revenue_pareto",
-    "doc_token_budget_sample",
-    "doc_lang_confusion",
-    "embedding_hard_negatives",
-    # --- incident-prone events.ts lineage, in-window every round ---
-    "user_sessions",
-    # --- rule 2: r11-checked, pulled forward for the sampled-PQ
-    # training fix — the +1 paid by the seventh r10 deferral ---
-    "embedding_ivfpq_topk",
-    # --- r10-checked block rotating back in (stale at r14
-    # otherwise); includes all nine remaining rule-2-touched
-    # queries (six CC consumers, two store-serving consumers,
-    # embedding_pq_topk); the 7 deferred to the r14 window are
-    # listed at the head of _CHECK_LAST ---
+    "segment_kpis_compat",
+    "segment_kpis_intended",
+    "top_rows_per_day_compat",
+    "top_segments_per_day_intended",
+    "doc_minhash_near_dups",
+    "doc_dedup_final_lsh",
     "doc_arrivals_dedup_lsh",
     "doc_arrivals_dedup_store",
     "doc_split_leakage_audit_lsh",
-    "doc_dsir_weights",
-    "doc_dsir_sample",
-    "doc_token_dup_share",
-    "flagship_daily_segment_topk",
-    "segment_kpis_compat",
-    "top_rows_per_day_compat",
-    "doc_token_stats",
-    "doc_quality",
-    "doc_lang_id",
-    "doc_exact_dedup",
-    "doc_jaccard_pairs",
-    "doc_dedup_final_lsh",
-    "doc_minhash_near_dups",
-    "doc_simhash_near_dups",
     "embedding_topk_bruteforce",
+    "embedding_lsh_topk",
+    "embedding_hard_negatives",
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_lsh",
-    "doc_repetition_signals",
-    "doc_pii_scrub",
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
-    "segment_event_value_salted",
-    "order_rank_flavors",
-    "pricing_summary",
-    "shipping_priority",
-    "nation_revenue",
-    "returnflag_rollup",
-    "embedding_pq_topk",
-    "ivf_imbalance",
-    "doc_bpe_merges",
-    "asset_near_dups",
-    "doc_duplicate_spans",
-    "rolling_7d_distinct_exact",
-    "doc_dsir_admissions",
-    "doc_dedup_final",
-    "doc_dedup_keep_best",
-    "doc_dedup_cluster_stats",
     "embedding_dedup_final",
     "embedding_dedup_final_lsh",
+    "embedding_ivf_topk",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "ivf_imbalance",
+    "order_price_percentiles",
+    "doc_lm_outliers",
+    "lineitem_winsorized_stats",
+    "doc_source_quality_buckets",
+    "orders_price_decile_bins",
+    "doc_dsir_weights",
+    "doc_dsir_sample",
+    "doc_dsir_admissions",
+    "nation_revenue",
 ]
-_CHECK_LAST = [
-    # checked r10, deferred to the r14 window (the seventh —
-    # events_activity_concurrency — pays for embedding_ivfpq_topk's
-    # rule-2 pull-forward) — MANDATORY in the r14 window
+
+_CHECK_FIRST = [
+    # --- checked r10, in none of r11/r12/r13: mandatory this round ---
     "returnflag_cube",
     "order_date_parts",
     "buyer_eventer_intersect",
@@ -279,45 +176,79 @@ _CHECK_LAST = [
     "returnflag_status_pivot",
     "events_value_running_total",
     "events_activity_concurrency",
-    # checked r11 (CORRECTNESS_r11.json, backfilled — see provenance
-    # note above), parked: 42 rotate in at r14 (must include
-    # order_price_percentiles + doc_lm_outliers for the queued
-    # percentiles.py hardening), the last 5 at r15
+    # --- incident-prone events.ts lineage, in-window every round ---
+    "user_sessions",
+    # --- rule 2: the 32 lineages this round's optimization diff
+    # touched (see _TOUCHED_THIS_ROUND; same order) ---
+    "flagship_daily_segment_topk",
+    "serving_top_rows_lookup",
+    "published_segment_kpis",
+    "segment_kpis_compat",
+    "segment_kpis_intended",
+    "top_rows_per_day_compat",
+    "top_segments_per_day_intended",
+    "doc_minhash_near_dups",
+    "doc_dedup_final_lsh",
+    "doc_arrivals_dedup_lsh",
+    "doc_arrivals_dedup_store",
+    "doc_split_leakage_audit_lsh",
+    "embedding_topk_bruteforce",
+    "embedding_lsh_topk",
+    "embedding_hard_negatives",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_lsh",
+    "embedding_dedup_final",
+    "embedding_dedup_final_lsh",
+    "embedding_ivf_topk",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "ivf_imbalance",
     "order_price_percentiles",
+    "doc_lm_outliers",
+    "lineitem_winsorized_stats",
+    "doc_source_quality_buckets",
+    "orders_price_decile_bins",
+    "doc_dsir_weights",
+    "doc_dsir_sample",
+    "doc_dsir_admissions",
+    "nation_revenue",
+    # --- r11-checked rotations, bench-surface first (the other 33
+    # r11 queries park one round and are mandatory at r15) ---
+    "customer_order_deltas",
+    "asset_content_hashes",
+    "customer_rolling_spend",
+    "clicks_asof_prior_view",
+    "error_followup_counts",
+    "doc_lm_score",
+    "events_json_extract",
+    "doc_bm25_topk",
+    "doc_boilerplate_fraction",
+    "doc_hybrid_rrf",
+]
+_CHECK_LAST = [
+    # checked r11, parked: ALL 33 are stale at r15 construction and
+    # MUST form the core of the r15 window
     "doc_source_mix",
     "asset_features",
     "user_sessions_native",
     "events_daily_tumbling",
     "events_sliding_windows",
     "customer_snapshot_diff",
-    "customer_order_deltas",
     "order_approx_stats",
-    "asset_content_hashes",
     "weekly_user_sketch_rollup",
-    "customer_rolling_spend",
     "part_text_features",
     "csv_quarantine_counts",
-    "clicks_asof_prior_view",
-    "error_followup_counts",
     "priority_returns_exists",
     "small_qty_part_revenue",
     "activity_union_by_name",
-    "doc_lm_outliers",
-    "doc_lm_score",
     "orders_price_histogram",
     "doc_chunks",
-    "segment_kpis_intended",
-    "top_segments_per_day_intended",
     "part_scalar_showcase",
     "active_user_ids_union",
     "customers_with_events_semi",
-    "events_json_extract",
     "priority_status_grouping_sets",
     "doc_chunk_packs",
-    "doc_bm25_topk",
     "doc_inverted_index",
-    "doc_boilerplate_fraction",
-    "doc_hybrid_rrf",
     "doc_quality_classifier",
     "doc_tfidf_top_terms",
     "doc_top_tokens",
@@ -330,9 +261,8 @@ _CHECK_LAST = [
     "doc_token_cms_estimates",
     "doc_weighted_sample",
     "doc_eval_span_overlap",
-    # checked r12, parked: 44 rotate in at r15 (must include
-    # user_weekly_retention for the queued null-week oracle-contract
-    # edit), the last 5 at r16
+    # checked r12, parked: 16 rotate in at r15, the rest at r16
+    # (must include user_weekly_retention for the queued oracle edit)
     "customer_scd1_merge",
     "customer_cdc_apply",
     "orders_profile",
@@ -343,7 +273,6 @@ _CHECK_LAST = [
     "events_forward_fill",
     "volume_shipping",
     "user_daily_anomalies",
-    "serving_top_rows_lookup",
     "doc_arrivals_dedup",
     "doc_training_order",
     "doc_curation_funnel",
@@ -358,7 +287,6 @@ _CHECK_LAST = [
     "segment_nation_chi2",
     "part_name_fuzzy_matches",
     "lineitem_corr_matrix",
-    "orders_price_decile_bins",
     "customer_scd2_apply",
     "customer_balance_zscores",
     "orders_pit_customer_balance",
@@ -375,13 +303,37 @@ _CHECK_LAST = [
     "doc_split_assignment",
     "doc_split_leakage_audit",
     "doc_vocab_coverage",
-    "lineitem_winsorized_stats",
     "eventers_orderers_full_outer",
     "top_orders_global",
     "customers_without_events_anti",
     "doc_scrub_duplicate_spans",
-    "doc_source_quality_buckets",
     "doc_source_token_budget",
+    # checked r13, parked: rotate r16/r17
+    "top_return_customers",
+    "nation_revenue_pareto",
+    "doc_token_budget_sample",
+    "doc_lang_confusion",
+    "doc_token_dup_share",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_lang_id",
+    "doc_exact_dedup",
+    "doc_jaccard_pairs",
+    "doc_simhash_near_dups",
+    "doc_repetition_signals",
+    "doc_pii_scrub",
+    "segment_event_value_salted",
+    "order_rank_flavors",
+    "pricing_summary",
+    "shipping_priority",
+    "returnflag_rollup",
+    "doc_bpe_merges",
+    "asset_near_dups",
+    "doc_duplicate_spans",
+    "rolling_7d_distinct_exact",
+    "doc_dedup_final",
+    "doc_dedup_keep_best",
+    "doc_dedup_cluster_stats",
 ]
 
 

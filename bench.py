@@ -243,6 +243,32 @@ def main() -> None:
         sum(t for t in warm_timings.values() if t is not None), 3
     )
 
+    # Third pass, noop sink (guide §1.4), ADDITIONS-ONLY per VERDICT
+    # r13 item 7: `value`/`queries`/`queries_warm` stay collect-based
+    # so the r1-r14 series and the driver's core-count comparison keep
+    # their meaning; this pass records what the computation costs
+    # WITHOUT driver-side result pickling (~3-4 s of the headline per
+    # the r13 collect-vs-noop probe), so both numbers exist.
+    noop_timings: dict[str, float | None] = {}
+    for name in HEADLINE:
+        if timings.get(name) is None:
+            noop_timings[name] = None
+            continue
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001
+            noop_timings[name] = None
+            errors[f"_noop_{name}"] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
+        noop_timings[name] = round(time.perf_counter() - t0, 3)
+    noop_total = round(
+        sum(t for t in noop_timings.values() if t is not None), 3
+    )
+
     # Probe-only re-query against the warm index (second batch of the
     # same serving session) — the steady-state per-batch cost.
     requery_sec: float | None = None
@@ -347,6 +373,7 @@ def main() -> None:
     payload = {
         "queries": timings,
         "queries_warm": warm_timings,
+        "queries_noop": noop_timings,
         "extra_reps": extra_reps,
         "canary_start": canary_start,
         "canary_end": canary_end,
@@ -358,6 +385,7 @@ def main() -> None:
             "ivfpq_index_build": ivfpq_build_sec,
             "minhash_store_build": store_build_sec,
             "warm_total": warm_total,
+            "noop_total": noop_total,
             # A canary total is only comparable LIKE-FOR-LIKE (ADVICE
             # r12): if any canary query errored, the 2-query sum would
             # quietly skew the cross-session correction the canary

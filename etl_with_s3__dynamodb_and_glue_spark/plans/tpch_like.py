@@ -134,16 +134,28 @@ LIMIT 10
 
 def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join (small dims broadcast), agg per
-    nation."""
-    region = _t(spark, sf_dir, "region")
-    nation = _t(spark, sf_dir, "nation")
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    orders = _t(spark, sf_dir, "orders").filter(
+    nation.
+
+    Reads are schema-memoized HERE, not in ``_t`` (r14): six reads per
+    construction made this the headline's most read-bound constructor
+    (0.15 s/read re-inferring footers), while editing the shared
+    ``_t`` would pull every tpch-like query into one rule-2 driver
+    window. Plans and results are identical to the plain read
+    (sources/readers.py::read_parquet_memo)."""
+    from ..sources.readers import read_parquet_memo
+
+    def _tm(name: str) -> DataFrame:
+        return read_parquet_memo(spark, f"{sf_dir}/{name}.parquet")
+
+    region = _tm("region")
+    nation = _tm("nation")
+    cust = _tm("customer")
+    supp = _tm("supplier")
+    orders = _tm("orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1998-01-01"))
     )
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tm("lineitem")
     revenue = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
