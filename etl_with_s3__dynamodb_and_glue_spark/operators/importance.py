@@ -67,6 +67,12 @@ def gram_bucket(gram: Column, buckets: int = B_BUCKETS) -> Column:
     )
 
 
+# per-process memo of the unigram++bigram feature expression keyed by
+# text column name — expression metadata only (see the note at the
+# use site in hashed_feature_counts)
+_FEATURE_EXPR_MEMO: dict = {}
+
+
 def hashed_feature_counts(
     df: DataFrame,
     text_col: str = "text",
@@ -84,8 +90,19 @@ def hashed_feature_counts(
     # dsir_log_weights holds.
     from .parallelism import ensure_scan_parallelism
 
-    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    feats = F.concat(toks, word_ngrams(toks, 2))
+    # EXPRESSION MEMO (r14 construction-cost round): the exploded
+    # feature expression is a pure function of (text_col,) — the
+    # tokens + shifted-view bigram tree is ~50 py4j round trips to
+    # build (≈0.3-0.5 s of driver time per query construction on the
+    # bench host). Column objects are immutable unresolved expression
+    # trees, safely shared across DataFrames/queries; this caches the
+    # EXPRESSION, never data.
+    key = text_col
+    feats = _FEATURE_EXPR_MEMO.get(key)
+    if feats is None:
+        toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+        feats = F.concat(toks, word_ngrams(toks, 2))
+        _FEATURE_EXPR_MEMO[key] = feats
     # Split-adaptive repartition (r13 opt round, operators/
     # parallelism.py): the unigram+bigram explode and per-gram md5
     # sit DIRECTLY on the corpus scan with no shuffle in between, so a
