@@ -165,6 +165,23 @@ _TOUCHED_THIS_ROUND = [
     "doc_dsir_sample",
     "doc_dsir_admissions",
     "nation_revenue",
+    # --- memo-adoption sweep (resumed session): per-lineage schema-
+    # memoized reads in these plan functions (readers unchanged; every
+    # lineage below was already in the r14 window as a rule-3 return
+    # or an r11-checked rotation before being touched) ---
+    "customer_order_deltas",
+    "events_json_extract",
+    "user_sessions",
+    "events_value_running_total",
+    "events_activity_concurrency",
+    "customer_rolling_spend",
+    "clicks_asof_prior_view",
+    "error_followup_counts",
+    "doc_bm25_topk",
+    "doc_lm_score",
+    "doc_hybrid_rrf",
+    "doc_boilerplate_fraction",
+    "asset_content_hashes",
 ]
 
 _CHECK_FIRST = [

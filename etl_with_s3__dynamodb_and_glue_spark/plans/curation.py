@@ -24,6 +24,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-memoized twin of :func:`_docs` (metadata only — see
+    sources/readers.py::read_parquet_memo; plans and results are
+    identical to the plain read). Adopted lineage-by-lineage as
+    rule-2 window slots allow, NOT in ``_docs`` itself, which feeds
+    most of this module's registered queries."""
+    from ..sources.readers import read_parquet_memo
+
+    return read_parquet_memo(spark, f"{sf_dir}/documents.parquet")
+
+
 # --- repetition quality signals ------------------------------------------
 
 
@@ -445,7 +456,9 @@ def doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide boilerplate signal complementing the within-doc
     repetition signals. See operators/curation.py::boilerplate_fraction
     for the two-shuffle plan shape and the hashed-gram scale variant."""
-    return curation.boilerplate_fraction(_docs(spark, sf_dir), n=5, min_docs=2)
+    return curation.boilerplate_fraction(
+        _docs_memo(spark, sf_dir), n=5, min_docs=2
+    )
 
 
 DOC_BOILERPLATE_SQL = """
@@ -662,7 +675,7 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import carry_cache_deps
     from ..operators import importance
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_memo(spark, sf_dir)
     weights = importance.dsir_log_weights(docs, target=F.col("lang") == "en")
     out = weights.select(
         "doc_id",
@@ -748,7 +761,7 @@ def doc_source_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.percentiles import group_percentiles_exact
     from ..operators.text import quality_score, tokens
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_memo(spark, sf_dir)
     q = docs.select(
         "doc_id",
         "source",
@@ -843,7 +856,7 @@ def doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import carry_cache_deps
     from ..operators import importance
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_memo(spark, sf_dir)
     weights = importance.dsir_log_weights(docs, target=F.col("lang") == "en")
     scored = weights.select(
         "doc_id", "n_feats", F.round("log_weight", 6).alias("log_weight")

@@ -11,11 +11,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.temporal import as_of_join, range_join
-from ..sources.readers import read_events
+from ..sources.readers import read_events, read_events_memo
 
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def _orders_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-memoized twin of :func:`_orders` (metadata only — see
+    sources/readers.py::read_parquet_memo; plans and results are
+    identical to the plain read). Adopted lineage-by-lineage as
+    rule-2 window slots allow, NOT in ``_orders`` itself, which
+    feeds ~15 registered queries."""
+    from ..sources.readers import read_parquet_memo
+
+    return read_parquet_memo(spark, f"{sf_dir}/orders.parquet")
 
 
 # --- exact percentiles / extremes per group ------------------------------
@@ -35,7 +46,7 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (A/B at 100×: 40 s → ~4 s)."""
     from ..operators.percentiles import group_percentiles_exact
 
-    orders = _orders(spark, sf_dir)
+    orders = _orders_memo(spark, sf_dir)
     pct = group_percentiles_exact(
         orders, "o_orderpriority", "o_totalprice", [0.5, 0.9, 0.99]
     )
@@ -129,7 +140,7 @@ def customer_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sum of each customer's orders in the 90 days up to and including
     each order date — a true RANGE frame (value-based, handles gaps),
     not a ROWS frame."""
-    orders = _orders(spark, sf_dir)
+    orders = _orders_memo(spark, sf_dir)
     day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
     w = (
         Window.partitionBy("o_custkey")
@@ -233,7 +244,7 @@ ORDER BY p_partkey
 def clicks_asof_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click event joined to the user's most recent view event at
     or before it (point-in-time join; operators/temporal.py)."""
-    ev = read_events(spark, sf_dir)
+    ev = read_events_memo(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), "ts"
     )
@@ -325,7 +336,7 @@ ORDER BY c.user_id, c.click_id
 def error_followup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per error event: how many events the same user produced in the
     following 10 minutes (interval/range join; operators/temporal.py)."""
-    ev = read_events(spark, sf_dir)
+    ev = read_events_memo(spark, sf_dir)
     errors = ev.filter(F.col("event_type") == "error").select(
         "user_id", F.col("event_id").alias("error_id"), "ts"
     )
@@ -1332,7 +1343,7 @@ def orders_price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression always consumed."""
     from ..operators.percentiles import global_percentiles_exact
 
-    orders = _orders(spark, sf_dir)
+    orders = _orders_memo(spark, sf_dir)
     qs = global_percentiles_exact(
         orders,
         "o_totalprice",

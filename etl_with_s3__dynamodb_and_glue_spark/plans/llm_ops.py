@@ -34,6 +34,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-memoized twin of :func:`_docs` (metadata only — see
+    sources/readers.py::read_parquet_memo; plans and results are
+    identical to the plain read). Adopted lineage-by-lineage as
+    rule-2 window slots allow, NOT in ``_docs`` itself, which feeds
+    ~40 registered queries across this module."""
+    from ..sources.readers import read_parquet_memo
+
+    return read_parquet_memo(spark, f"{sf_dir}/documents.parquet")
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # schema-memoized read (metadata only — see sources/readers.py):
     # every embedding query pays this read 1-2× per construction, and
@@ -1149,7 +1160,7 @@ def doc_dedup_final_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only for the driver (the recursive-CTE oracle already covers
     the exact twin).
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs_memo(spark, sf_dir)
     pairs = dedup.minhash_near_dups(docs, threshold=0.95)
     return dedup.resolve_near_dups(docs, pairs)
 
@@ -1157,7 +1168,7 @@ def doc_dedup_final_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (LSH) — rows-only for the driver; recall vs the
     exact twin is asserted in tests."""
-    return dedup.minhash_near_dups(_docs(spark, sf_dir), threshold=0.95)
+    return dedup.minhash_near_dups(_docs_memo(spark, sf_dir), threshold=0.95)
 
 
 # --- incremental (arrivals-vs-corpus) dedup ------------------------------
@@ -1665,7 +1676,7 @@ def asset_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asset_content_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing with an oracle: sha256 over the content
     bytes (text bytes standing in for encoded media)."""
-    assets = multimodal.make_asset_table(_docs(spark, sf_dir))
+    assets = multimodal.make_asset_table(_docs_memo(spark, sf_dir))
     return (
         multimodal.content_hash(assets)
         .select(
@@ -2198,7 +2209,7 @@ def doc_split_leakage_audit_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact twin."""
     from ..caching import carry_cache_deps
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_memo(spark, sf_dir)
     verified = dedup.minhash_near_dups(docs, threshold=_LEAKAGE_THRESHOLD)
     pairs = verified.select("id_a", "id_b")
     # lazy composition — keep the token-set/member caches alive until

@@ -20,11 +20,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.windows import ranked_desc, top_k_per_group
-from ..sources.readers import read_events
+from ..sources.readers import read_events, read_events_memo
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _t_memo(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Schema-memoized twin of :func:`_t` (metadata only — see
+    sources/readers.py::read_parquet_memo; plans and results are
+    identical to the plain read). Adopted lineage-by-lineage as
+    rule-2 window slots allow, NOT in ``_t`` itself, which feeds
+    most of this module's ~20 registered queries."""
+    from ..sources.readers import read_parquet_memo
+
+    return read_parquet_memo(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _dec(col, scale: int = 4):
@@ -318,7 +329,7 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 def customer_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead + running frame aggregate per customer, fully
     deterministic ordering (orderdate, orderkey)."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t_memo(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     price = _dec(F.col("o_totalprice"), 2)
     return orders.select(
@@ -374,7 +385,7 @@ LIMIT 25
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON access over the events.props string column (engine surface
     the reference lacks; SURVEY.md §2.7 extension)."""
-    ev = read_events(spark, sf_dir)
+    ev = read_events_memo(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         ev.select("event_type", k.alias("k"))
@@ -650,7 +661,9 @@ def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle inner-joins the same way."""
     from ..operators.percentiles import group_percentiles_exact
 
-    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    li = _t_memo(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
     pe = group_percentiles_exact(
         li, "l_returnflag", "l_extendedprice", [0.05, 0.95]
     )
